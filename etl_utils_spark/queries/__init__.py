@@ -1,0 +1,14 @@
+"""Declared query library (SURVEY.md §2) with DuckDB-oracle parity.
+
+Import side effect: importing this package registers every query module
+into ``REGISTRY``. ``__spark_entry__.queries()`` / ``oracle_sql()`` are
+thin views over this registry.
+"""
+
+from etl_utils_spark.queries.registry import REGISTRY, Query, query
+
+# Register all query modules (import order = SURVEY tier order).
+from etl_utils_spark.queries import relational  # noqa: E402,F401
+from etl_utils_spark.queries import scalar_funcs  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,67 @@
+"""Parquet table catalog over the driver fixtures (TESTDATA.md).
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst keeps
+predicate pushdown, column pruning, and partition pruning — at 100 TB
+these scans are the dominant cost and must stay prunable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region=5, nation=25 rows; bounded by geography, not by data volume).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) which Spark rejects
+    ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and truncate to
+    microsecond timestamps (integer division — ns epochs exceed
+    double's 2^53 mantissa, so no float path). DuckDB truncates
+    ns→µs on read the same way, keeping the oracle exact."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for spark.sql access."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

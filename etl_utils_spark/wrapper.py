@@ -1,0 +1,346 @@
+"""QueryWrapper — the ETL job harness (reference Tier A surface).
+
+A PySpark-native re-imagining of the exasol/etl-utils Lua wrapper
+(/root/reference/query_wrapper.sql): parameterized SQL, persistent job
+logging, uniform error handling, prepared statements, result iteration,
+and procedural step dispatch — with Spark, not a SQL host, as the
+execution engine.
+
+Deliberate semantic departures (documented, Spark-first):
+- ``execute`` on a prepared INSERT is set-based (one DataFrame append),
+  not a row-at-a-time loop (query_wrapper.sql:285-301) — N engine
+  round-trips collapse to one distributed write.
+- COMMIT/ROLLBACK: Spark has no multi-statement transactions; commit()
+  flushes the log buffer (its observable effect in the reference,
+  query_wrapper.sql:127-144); rollback() flushes logs and marks the
+  run rolled back. Table-level atomicity comes from the storage layer
+  (Delta where available).
+- Results stay distributed: iterators use toLocalIterator(), never
+  whole-result materialization (the reference holds full result arrays
+  in the Lua VM, query_wrapper.sql:363-373 — unusable at 100 TB).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+import traceback
+from dataclasses import dataclass, field
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from etl_utils_spark.logtables import LogTables
+from etl_utils_spark.params import ParamError, rewrite_placeholders, substitute_sql
+
+# In-memory message-buffer schema returned by finish()
+# (query_wrapper.sql:414).
+MESSAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.LongType(), True),
+        T.StructField("msg_time", T.StringType(), True),
+        T.StructField("msg_type", T.StringType(), True),
+        T.StructField("message", T.StringType(), True),
+        T.StructField("rowcount", T.DecimalType(18, 0), True),
+    ]
+)
+
+MAX_TYPE_LEN = 10  # query_wrapper.sql:73-75
+MAX_MSG_LEN = 20000  # query_wrapper.sql:77-79
+
+_INSERT_VALUES = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>[\w.`\"]+)\s*(?P<cols>\([^)]*\))?\s*VALUES\s*\(",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+class WrapperError(RuntimeError):
+    pass
+
+
+@dataclass
+class QueryInfo:
+    """What query() learned about a statement's outcome."""
+
+    success: bool
+    df: DataFrame | None = None
+    rows: int | None = None
+    error: str | None = None
+    statement_text: str | None = None
+
+
+@dataclass
+class Prepared:
+    """Prepared statement: ``?`` placeholders rewritten once to named
+    params (query_wrapper.sql:303-335)."""
+
+    wrapper: "QueryWrapper"
+    sql: str
+    n_params: int
+    original_sql: str = ""
+
+    def execute(
+        self,
+        values: list[list] | None = None,
+        start_index: int = 0,
+        end_index: int | None = None,
+        logging: bool = True,
+    ) -> tuple[bool, list[QueryInfo]]:
+        """Execute over a value matrix (slice [start_index:end_index],
+        0-based).
+
+        Set-based fast path: a bare ``INSERT INTO t VALUES (?,...)``
+        becomes ONE DataFrame append of the whole slice. Anything else
+        falls back to per-row binding (still the reference's semantics,
+        query_wrapper.sql:287-301, early-abort on first failure)."""
+        rows = (values or [])[start_index:end_index]
+        if not rows:
+            ok, info = self.wrapper.query(self.sql, logging=logging)
+            return ok, [info]
+
+        m = _INSERT_VALUES.match(self.original_sql or self.sql)
+        if m and all(len(r) == self.n_params for r in rows):
+            return self._execute_insert_batch(m.group("table"), rows, logging)
+
+        results: list[QueryInfo] = []
+        for r in rows:
+            params = {f"PS_VAL_{i+1}": (r[i] if i < len(r) else None) for i in range(self.n_params)}
+            ok, info = self.wrapper.query(self.sql, params=params, logging=logging)
+            results.append(info)
+            if not ok:
+                return False, results
+        return True, results
+
+    def _execute_insert_batch(
+        self, table: str, rows: list[list], logging: bool
+    ) -> tuple[bool, list[QueryInfo]]:
+        spark = self.wrapper.spark
+        try:
+            target_schema = spark.table(table.replace('"', "").replace("`", "")).schema
+            df = spark.createDataFrame([tuple(r) for r in rows], target_schema)
+            df.write.insertInto(table.replace('"', "").replace("`", ""))
+            info = QueryInfo(True, rows=len(rows), statement_text=self.sql)
+            if logging:
+                self.wrapper.log("INFO", f"batch insert into {table}", len(rows))
+            return True, [info]
+        except Exception as exc:  # noqa: BLE001 — uniform on_error handling
+            return self.wrapper._handle_error(self.sql, exc), [
+                QueryInfo(False, error=str(exc), statement_text=self.sql)
+            ]
+
+
+class QueryWrapper:
+    """The job harness (query_wrapper.sql:410-458 ``new``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str | None = None,
+        script_name: str = "script",
+        register: bool = True,
+    ):
+        self.spark = spark
+        self.script_name = script_name
+        self.verbosity = 2  # query_wrapper.sql:415
+        self.on_error = "abort"  # query_wrapper.sql:417
+        self.params: dict[str, object] = {}
+        self.messages: list[tuple] = []  # (msg_time, msg_type, message, rowcount)
+        self.error_count = 0
+        self.run_id: int | None = None
+        self.finished = False
+        # schema snapshot restored at finish (query_wrapper.sql:452,187-190)
+        self.start_database = spark.catalog.currentDatabase()
+        self.logs = LogTables(spark, log_dir) if log_dir else None
+        if self.logs and register:
+            self.run_id = self.logs.register_run(script_name)
+        self.log("START", f"script {script_name} started")
+
+    # ------------------------------------------------------------ params
+
+    def set_param(self, name: str, value: object) -> None:
+        self.params[name] = value
+
+    def get_param(self, name: str) -> object:
+        return self.params.get(name)
+
+    def load_params(self, param_dict: dict[str, object]) -> None:
+        self.params.update(param_dict)
+
+    def load_params_from_table(self, table_name: str) -> None:
+        """First column = param name, second = value
+        (query_wrapper.sql:211-224). The params table is config-scale;
+        collecting it to the driver is the point."""
+        self.set_param("PARAMETERS_TABLE", table_name)
+        ok, info = self.query("SELECT * FROM ::PARAMETERS_TABLE")
+        if ok and info.df is not None:
+            for row in info.df.collect():
+                self.params[str(row[0])] = row[1]
+            self.log("INFO", f"loaded {len(self.params)} params from {table_name}")
+
+    # ----------------------------------------------------------- logging
+
+    def log(self, message_type: str, message_text: str, rowcount: int | None = None) -> None:
+        """Buffer one message with the reference truncation rules
+        (query_wrapper.sql:70-85)."""
+        mtype = str(message_type).strip()
+        if len(mtype) > MAX_TYPE_LEN:
+            mtype = mtype[:7] + "..."
+        msg = str(message_text).strip()
+        if len(msg) > MAX_MSG_LEN:
+            msg = msg[: MAX_MSG_LEN - 5] + "..."
+        now = dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        self.messages.append((now, mtype, msg, rowcount))
+        if mtype == "ERROR":
+            self.error_count += 1
+
+    def write_log_details(self) -> None:
+        """Flush the buffer to job_details (query_wrapper.sql:87-125) —
+        one atomic append, no batching needed."""
+        if not self.logs or self.run_id is None:
+            return
+        pending = self.messages[getattr(self, "_flushed", 0) :]
+        self.logs.append_details(self.run_id, pending)
+        self._flushed = len(self.messages)
+
+    # ------------------------------------------------------------ errors
+
+    def _handle_error(self, sql_text: str, exc: Exception) -> bool:
+        """Uniform on_error policy (query_wrapper.sql:42-48)."""
+        self.log("INFO", f"Error during execution of: {sql_text}")
+        self.log("ERROR", str(exc))
+        if self.on_error == "abort":
+            self.finish()
+            raise WrapperError(str(exc)) from exc
+        if self.on_error == "rollback":
+            self.rollback()
+            self.finish()
+            raise WrapperError(str(exc)) from exc
+        return False  # 'continue'
+
+    # ------------------------------------------------------------- query
+
+    def query(
+        self,
+        sql_text: str,
+        params: dict[str, object] | None = None,
+        logging: bool = True,
+    ) -> tuple[bool, QueryInfo]:
+        """Execute one statement with bound params
+        (query_wrapper.sql:38-68 wrap_query)."""
+        merged = dict(self.params)
+        if params:
+            merged.update(params)
+        try:
+            sql, args = substitute_sql(sql_text, merged)
+            df = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
+        except (ParamError, Exception) as exc:  # noqa: BLE001
+            ok = self._handle_error(sql_text, exc)
+            return ok, QueryInfo(False, error=str(exc), statement_text=sql_text)
+
+        info = QueryInfo(True, df=df, statement_text=sql_text)
+        if logging and self.verbosity >= 2:
+            info.rows = self._infer_rowcount(sql_text, df)
+            self.log("INFO", sql_text, info.rows)
+        return True, info
+
+    def _infer_rowcount(self, sql_text: str, df: DataFrame) -> int | None:
+        """Rowcount inference incl. the reference's 'count' heuristic:
+        a 1×1 result of a statement containing 'count' logs the count
+        VALUE, not 1 (query_wrapper.sql:51-59)."""
+        try:
+            if "count" in sql_text.lower() and len(df.columns) == 1:
+                rows = df.take(2)
+                if len(rows) == 1 and isinstance(rows[0][0], (int, Decimal)):
+                    return int(rows[0][0])
+                return len(rows)
+            return df.count()
+        except Exception:  # noqa: BLE001 — logging must never kill the job
+            return None
+
+    # ---------------------------------------------------------- prepared
+
+    def prepare(self, sql_text: str) -> Prepared:
+        rewritten, n = rewrite_placeholders(sql_text)
+        return Prepared(wrapper=self, sql=rewritten, n_params=n, original_sql=sql_text)
+
+    # --------------------------------------------------------- iterators
+
+    def query_or_result(self, sql_or_df: str | DataFrame | QueryInfo) -> DataFrame:
+        """Polymorphic SQL-or-result (query_wrapper.sql:343-350)."""
+        if isinstance(sql_or_df, DataFrame):
+            return sql_or_df
+        if isinstance(sql_or_df, QueryInfo):
+            if sql_or_df.df is None:
+                raise WrapperError("QueryInfo carries no result set")
+            return sql_or_df.df
+        ok, info = self.query(sql_or_df)
+        if not ok or info.df is None:
+            raise WrapperError(f"query failed: {info.error}")
+        return info.df
+
+    def query_rows(self, sql_or_df: str | DataFrame | QueryInfo):
+        """Row iterator; fields by name or index (query_wrapper.sql:
+        352-373). Streams partitions — never materializes the result."""
+        return self.query_or_result(sql_or_df).toLocalIterator()
+
+    def query_values(self, sql_or_df: str | DataFrame | QueryInfo):
+        """Unpacked-values iterator (query_wrapper.sql:375-408)."""
+        for row in self.query_rows(sql_or_df):
+            yield tuple(row)
+
+    # ------------------------------------------------------ transactions
+
+    def commit(self) -> None:
+        """Flush logs (the observable commit effect,
+        query_wrapper.sql:127-136). Spark: storage commits per write."""
+        self.write_log_details()
+
+    def rollback(self) -> None:
+        """Spark cannot roll back multi-statement work; record the
+        intent (semantic delta from query_wrapper.sql:138-144)."""
+        self.log("INFO", "rollback requested (storage-level rollback not applicable)")
+        self.write_log_details()
+
+    # -------------------------------------------------------------- run
+
+    def run(self, package: object, function_name: str, *args) -> tuple[bool, object]:
+        """Procedural step dispatch under uniform error handling
+        (query_wrapper.sql:226-243 wrap_run)."""
+        fn = getattr(package, function_name, None)
+        if fn is None:
+            raise WrapperError(
+                f"Function {function_name} is not defined in the given package"
+            )  # :239-242
+        self.log("START", f"function {function_name} started")
+        try:
+            result = fn(self, *args)
+        except Exception as exc:  # noqa: BLE001
+            ok = self._handle_error(f"run({function_name})", exc)
+            return ok, traceback.format_exc()
+        self.log("INFO", f"function {function_name} finished")
+        return True, result
+
+    # ------------------------------------------------------------ finish
+
+    def finish(self, rollback: bool = False) -> DataFrame:
+        """Close the run (query_wrapper.sql:146-193): flush logs, set
+        the job_log row's final status by error counter, restore the
+        starting database, return the message buffer as a DataFrame."""
+        if not self.finished:
+            self.finished = True
+            if rollback:
+                self.rollback()
+            self.write_log_details()
+            ok = self.error_count == 0 and not rollback
+            if self.logs and self.run_id is not None:
+                self.logs.finish_run(self.run_id, ok)
+            try:
+                self.spark.catalog.setCurrentDatabase(self.start_database)
+            except Exception:  # noqa: BLE001 — database may have been dropped
+                pass
+        rows = [
+            (self.run_id, t, ty, m, None if rc is None else Decimal(int(rc)))
+            for (t, ty, m, rc) in self.messages
+        ]
+        return self.spark.createDataFrame(rows, MESSAGES_SCHEMA)

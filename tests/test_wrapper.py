@@ -1,0 +1,123 @@
+"""QueryWrapper behaviors with exact reference semantics
+(SURVEY.md §5.3): truncation, on_error policies, rowcount inference,
+iterators, prepared execute, finish statuses."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_utils_spark.logtables import STATUS_ERROR, STATUS_OK, LogTables
+from etl_utils_spark.sources.tables import register_views
+from etl_utils_spark.wrapper import QueryWrapper, WrapperError
+
+
+@pytest.fixture
+def wrapper(spark, sf_dir, tmp_path):
+    register_views(spark, sf_dir)
+    return QueryWrapper(spark, log_dir=str(tmp_path / "logs"), script_name="t")
+
+
+def test_log_truncation_rules(wrapper):
+    # type >10 chars → first 7 + '...' (query_wrapper.sql:73-75)
+    wrapper.log("VERYLONGTYPE", "m")
+    assert wrapper.messages[-1][1] == "VERYLON..."
+    # message >20000 chars → first 19995 + '...' (query_wrapper.sql:77-79)
+    wrapper.log("INFO", "x" * 20005)
+    msg = wrapper.messages[-1][2]
+    assert len(msg) == 19998 and msg.endswith("...")
+    # short values pass through trimmed
+    wrapper.log("  OK  ", "  hello  ")
+    assert wrapper.messages[-1][1] == "OK" and wrapper.messages[-1][2] == "hello"
+
+
+def test_rowcount_count_heuristic(wrapper):
+    ok, info = wrapper.query("SELECT COUNT(*) AS cnt FROM region")
+    assert ok and info.rows == 5  # the VALUE, not 1 (query_wrapper.sql:55-58)
+    ok, info = wrapper.query("SELECT r_regionkey FROM region")
+    assert ok and info.rows == 5
+
+
+def test_on_error_abort(wrapper):
+    with pytest.raises(WrapperError):
+        wrapper.query("SELECT * FROM no_such_table_xyz")
+    assert wrapper.error_count == 1
+    assert wrapper.finished
+
+
+def test_on_error_continue(wrapper):
+    wrapper.on_error = "continue"
+    ok, info = wrapper.query("SELECT * FROM no_such_table_xyz")
+    assert not ok and not wrapper.finished
+    assert wrapper.error_count == 1
+    # job can proceed
+    ok, _ = wrapper.query("SELECT 1 AS one")
+    assert ok
+
+
+def test_param_binding(wrapper):
+    wrapper.set_param("SEG", "BUILDING")
+    wrapper.set_param("T", "customer")
+    ok, info = wrapper.query(
+        "SELECT COUNT(*) AS n FROM ::T WHERE c_mktsegment = :SEG"
+    )
+    assert ok
+    n = info.df.collect()[0][0]
+    assert n > 0
+
+
+def test_iterators_name_and_index(wrapper):
+    rows = list(wrapper.query_rows("SELECT r_regionkey, r_name FROM region"))
+    assert len(rows) == 5
+    assert rows[0].r_name == rows[0][1]  # by name or index (ref :352-361)
+    vals = list(wrapper.query_values("SELECT r_regionkey, r_name FROM region"))
+    assert all(isinstance(v, tuple) and len(v) == 2 for v in vals)
+
+
+def test_prepared_insert_set_based(wrapper, spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS tmp_ps_target")
+    spark.sql(
+        "CREATE TABLE tmp_ps_target (a INT, b STRING) USING parquet "
+        f"LOCATION '{tmp_path}/ps_target'"
+    )
+    stmt = wrapper.prepare("INSERT INTO tmp_ps_target VALUES (?, ?)")
+    assert stmt.n_params == 2
+    ok, results = stmt.execute([[1, "x"], [2, "y"], [3, None]])
+    assert ok
+    got = sorted(tuple(r) for r in spark.table("tmp_ps_target").collect())
+    assert got == [(1, "x"), (2, "y"), (3, None)]  # missing → NULL (ref :291)
+    spark.sql("DROP TABLE IF EXISTS tmp_ps_target")
+
+
+def test_finish_statuses(spark, sf_dir, tmp_path):
+    register_views(spark, sf_dir)
+    log_dir = str(tmp_path / "logs2")
+
+    w = QueryWrapper(spark, log_dir=log_dir, script_name="good")
+    w.query("SELECT COUNT(*) AS c FROM region")
+    out = w.finish()
+    assert out.count() >= 2  # START + logged query
+
+    w2 = QueryWrapper(spark, log_dir=log_dir, script_name="bad")
+    w2.on_error = "continue"
+    w2.query("SELECT * FROM missing_table_abc")
+    w2.finish()
+
+    logs = LogTables(spark, log_dir).job_log().collect()
+    by_name = {r.script_name: r.status for r in logs}
+    assert by_name["good"] == STATUS_OK
+    assert by_name["bad"] == STATUS_ERROR
+    # run ids are unique and increasing
+    ids = sorted(r.run_id for r in logs)
+    assert ids == sorted(set(ids))
+
+
+def test_run_dispatch(wrapper):
+    class Steps:
+        @staticmethod
+        def step_ok(w, x):
+            return x + 1
+
+    ok, res = wrapper.run(Steps, "step_ok", 41)
+    assert ok and res == 42
+    with pytest.raises(WrapperError):
+        wrapper.run(Steps, "no_such_fn")
