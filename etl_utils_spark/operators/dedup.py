@@ -1,0 +1,301 @@
+"""Deduplication operators (north star C8): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (the whole point of these shapes at 100 TB):
+- exact: group by a 128-bit content hash — the shuffle carries 16-byte
+  keys, never document bodies.
+- n-gram Jaccard: inverted-index self-join on shingles (candidate pairs
+  share ≥1 shingle) — the exact-similarity join that avoids the O(n²)
+  cross product entirely.
+- MinHash+LSH: fixed-size signatures (k hashes) + banding → candidate
+  buckets; only bucket-mates are pair-verified. Signature size is
+  constant per doc regardless of doc length.
+- SimHash: one 64-bit signature per doc computed with 64 aggregate
+  expressions over (doc, token, count) — no bit-explosion shuffle; byte
+  bands give Hamming-candidate buckets.
+
+All pure DataFrame/Catalyst; deterministic hash functions (xxhash64
+with literal seeds) so results are stable across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct content hash: the kept (minimum) id and the
+    duplicate count. Hash-groupBy, never text-groupBy."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
+    """Keep one arbitrary row per key — Spark's native dropDuplicates
+    (hash shuffle on the subset columns only)."""
+    return df.dropDuplicates(subset)
+
+
+# -------------------------------------------------------------- shingles
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    w = F.split(F.col(text_col), " ")
+    # guard: sequence(0, negative) would generate a DESCENDING range
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("sid"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via inverted index.
+
+    candidate pairs = docs sharing ≥1 shingle (an exact superset of any
+    pair with J>0); per pair, |A∩B| falls out of the join count and
+    |A|,|B| from per-doc shingle counts. Output: (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard ≥ threshold."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("sid").alias("id_a"), "shingle")
+    b = sh.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc from a (sid, shingle) DataFrame:
+    h_i = min over shingles of xxhash64(i || shingle). One groupBy with
+    num_hashes min-aggregates — constant-size state per doc."""
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("sid").agg(*aggs)
+    return sig.select(
+        "sid", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified with exact
+    Jaccard. bands=8 × rows=4 over 32 hashes → catches J≳0.3 pairs with
+    high probability; every candidate is then exactly verified, so the
+    output has no false positives (only possible false negatives, the
+    standard LSH trade)."""
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, num_hashes)
+
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("signature", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("sid", F.posexplode(band_arr).alias("band", "band_hash"))
+
+    la = banded.select(F.col("sid").alias("id_a"), "band", "band_hash")
+    lb = banded.select(F.col("sid").alias("id_b"), "band", "band_hash")
+    cands = (
+        la.join(lb, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verification of candidates via the inverted index
+    a = sh.select(F.col("sid").alias("id_a"), "shingle")
+    b = sh.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
+    )
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash_bits(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", nbits: int = 64
+) -> DataFrame:
+    """64-bit SimHash as a bit array per doc.
+
+    (doc, token, count) → for each bit j, sum(count * ±1 by bit j of
+    xxhash64(token)); sign → bit. nbits aggregate expressions in ONE
+    groupBy — no row explosion, shuffle carries (doc, 64 longs)."""
+    tok = df.select(
+        F.col(id_col).alias("sid"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).groupBy("sid", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.xxhash64("token")
+    aggs = [
+        F.sum(
+            F.col("cnt")
+            * F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(nbits)
+    ]
+    agg = tok.groupBy("sid").agg(*aggs)
+    bits = F.array(*[F.when(F.col(f"b{j}") > 0, 1).otherwise(0) for j in range(nbits)])
+    return agg.select("sid", bits.alias("bits"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation: band the 64 bits into ``bands`` byte-chunks;
+    by pigeonhole, any pair with Hamming ≤ bands-1 shares at least one
+    identical chunk → bucket-join on (band, chunk), then verify exact
+    Hamming with a zip_with popcount."""
+    sb = simhash_bits(df, id_col, text_col).cache()
+    chunk = 64 // bands
+    chunks = F.array(
+        *[
+            F.concat_ws("", *[F.element_at("bits", b * chunk + k + 1) for k in range(chunk)])
+            for b in range(bands)
+        ]
+    )
+    banded = sb.select("sid", F.posexplode(chunks).alias("band", "chunk"))
+    la = banded.select(F.col("sid").alias("id_a"), "band", "chunk")
+    lb = banded.select(F.col("sid").alias("id_b"), "band", "chunk")
+    cands = (
+        la.join(lb, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ba = sb.select(F.col("sid").alias("id_a"), F.col("bits").alias("bits_a"))
+    bb = sb.select(F.col("sid").alias("id_b"), F.col("bits").alias("bits_b"))
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(ba, "id_a")
+        .join(bb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def dvec(c: str | Column) -> Column:
+    """Cast a float vector to double elementwise — both engines then
+    compute bit-identical sequential dot products."""
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with hash blocking.
+
+    ``block_col`` bounds the pair space (same-block pairs only) — the
+    blocking key at 100 TB would be an LSH bucket (see similarity.py);
+    here the fixture's label column plays that role. Exact cosine on
+    double-cast vectors."""
+    cols = [F.col(id_col), dvec(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), *( [F.col("blk")] if block_col else []))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), *( [F.col("blk")] if block_col else []))
+    joined = a.join(b, ["blk"]) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators over document tables (SURVEY.md §2 C9b/C9c
++ north-star text analysis: language-ID, quality scoring, token
+counting, fingerprinting).
+
+All pure built-in-function pipelines — explode/filter/higher-order
+array functions, no Python UDFs: at 100 TB the per-doc work stays in
+whole-stage codegen and the only shuffles are the final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopword sets for the n-gram/marker language heuristic.
+# Deterministic and tiny — broadcast as literals into the plan.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish markers
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish token pattern: word pieces, digit runs, single punctuation.
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: whitespace tokens, distinct
+    tokens, regex (BPE-ish) tokens, average token length."""
+    w = tokens_col(text_col)
+    return df.select(
+        id_col,
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), F.lit(0))).alias(
+            "n_regex_tokens"
+        ),
+        (
+            F.aggregate(w, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size(w)
+        ).alias("avg_token_len"),
+    )
+
+
+def language_scores(text_col: str | Column = "text") -> dict[str, Column]:
+    """Marker-hit count per language for a text column."""
+    w = tokens_col(text_col)
+
+    def hit_count(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(w, lambda t: t.isin(*markers)))
+
+    return {lang: hit_count(markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-set hit counts with a
+    deterministic tie-break (language name order); 'und' when no
+    marker hits at all."""
+    scores = language_scores(text_col)
+    # argmax with (count DESC, lang ASC) tie-break as a chained CASE —
+    # SQL-mirrorable on any engine.
+    langs = sorted(scores)
+    best_n = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(scores[lang] == best_n, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_n == 0, F.lit("und")).otherwise(pred)
+    cols = [F.col(id_col), pred.alias("pred_lang")]
+    cols += [scores[lang].alias(f"n_{lang}") for lang in langs]
+    return df.select(*cols)
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, punctuation ratio, stopword
+    ratio, mean word length → bounded score in [0,1].
+
+    The formula is rational arithmetic only (no transcendentals) so any
+    engine computes it bit-identically."""
+    w = tokens_col(text_col)
+    n_chars = F.length(text_col)
+    n_tokens = F.size(w)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    len_score = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    score = len_score * 0.4 + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.3
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_computed"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key that is robust to spacing/case noise.
+    (A rolling/content-defined-chunking variant would layer on top for
+    partial-overlap detection; md5-of-normalized is the deterministic
+    core both engines share.)"""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

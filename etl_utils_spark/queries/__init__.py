@@ -10,5 +10,7 @@ from etl_utils_spark.queries.registry import REGISTRY, Query, query
 # Register all query modules (import order = SURVEY tier order).
 from etl_utils_spark.queries import relational  # noqa: E402,F401
 from etl_utils_spark.queries import scalar_funcs  # noqa: E402,F401
+from etl_utils_spark.queries import llm  # noqa: E402,F401
+from etl_utils_spark.queries import events_analytics  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

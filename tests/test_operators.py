@@ -1,0 +1,127 @@
+"""Semantic invariants for the north-star operators — properties the
+oracle harness can't express (approximation soundness, recall, session
+gap laws)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators import dedup, sessionize, similarity
+from etl_utils_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_minhash_pairs_subset_of_exact(spark, sf_dir):
+    """LSH may miss pairs (false negatives) but must never emit a pair
+    below threshold (all candidates are exactly verified)."""
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-12
+
+
+def test_simhash_pairs_hamming_bound(spark, sf_dir):
+    pairs = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).collect()
+    assert all(0 <= r.hamming <= 3 for r in pairs)
+    # banding guarantee: hamming <= bands-1 pairs are all found; here we
+    # just check ids are ordered and unique
+    keys = [(r.id_a, r.id_b) for r in pairs]
+    assert all(a < b for a, b in keys)
+    assert len(keys) == len(set(keys))
+
+
+def test_lsh_topk_subset_and_exact_scores(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    lsh = similarity.cosine_topk_lsh(emb, queries, k=5, n_planes=4).collect()
+    # every LSH hit is a real corpus vector with an exactly-computed
+    # cosine: cross-check against the brute-force full score map
+    full = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=10**9).collect()
+    }
+    for r in lsh:
+        assert abs(full[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-12
+    assert len(brute) == 8 * 5
+
+
+def test_sessionize_gap_law(spark, sf_dir):
+    """Within a session consecutive gaps ≤ 30min; session boundaries
+    have gap > 30min."""
+    s = sessionize.sessionize(_events(spark, sf_dir), gap_seconds=1800)
+    rows = sorted(
+        s.select("user_id", "ts", "session_seq").collect(),
+        key=lambda r: (r.user_id, r.ts),
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        if prev.user_id != cur.user_id:
+            continue
+        gap = (cur.ts - prev.ts).total_seconds()
+        if cur.session_seq == prev.session_seq:
+            assert gap <= 1800
+        else:
+            assert gap > 1800
+            assert cur.session_seq == prev.session_seq + 1
+
+
+def test_asof_join_matches_argmax(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = {
+        r.event_id: (r.right_ts, r.right_event_id)
+        for r in sessionize.asof_join(
+            purchases, clicks, on="user_id", right_cols=["event_id"]
+        ).collect()
+    }
+    # reference: join + max_by
+    ref_df = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("c.user_id") == F.col("p.user_id")) & (F.col("c.ts") <= F.col("p.ts")),
+            "left",
+        )
+        .groupBy(F.col("p.event_id").alias("pid"))
+        .agg(
+            F.max(F.col("c.ts")).alias("mts"),
+            F.max_by(F.col("c.event_id"), F.col("c.ts")).alias("mid"),
+        )
+    )
+    ref = {r.pid: (r.mts, r.mid) for r in ref_df.collect()}
+    assert set(out) == set(ref)
+    for k in out:
+        assert out[k] == ref[k], f"purchase {k}: {out[k]} != {ref[k]}"
+
+
+def test_asof_tolerance(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = sessionize.asof_join(
+        purchases, clicks, on="user_id", right_cols=["event_id"], tolerance_seconds=600
+    ).collect()
+    for r in out:
+        if r.right_ts is not None:
+            assert (r.ts - r.right_ts).total_seconds() <= 600
+
+
+def test_exact_dedup_generic(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    assert dedup.exact_dedup(d, ["lang"]).count() == d.select("lang").distinct().count()
