@@ -13,22 +13,30 @@ from etl_utils_spark.operators.sessionize import asof_join, session_stats
 from etl_utils_spark.queries.registry import query
 from etl_utils_spark.sources.tables import load_table
 
+_TUMBLING_ORACLE = """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+_SLIDING_ORACLE = """
+    SELECT make_timestamp(
+               ((epoch_us(ts) // 300000000) * 300000000 - k.k * 300000000)::BIGINT
+           ) AS window_start,
+           count(*) AS n_events
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1
+"""
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-@query(
-    "stream_tumbling_counts",
-    oracle="""
-        SELECT date_trunc('hour', ts) AS hour_start,
-               event_type,
-               count(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY 1, 2
-    """,
-)
+@query("stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling window aggregate — the batch analog of the
     streaming groupBy(window(...)); F.window keeps the same semantics
@@ -100,3 +108,69 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     out = asof_join(purchases, clicks, on="user_id", right_cols=["event_id"])
     return out.select("event_id", "user_id", "right_ts", "right_event_id")
+
+
+@query(
+    "sliding_window_counts",
+    oracle=_SLIDING_ORACLE,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (10 min / 5 min) event counts — batch analog of
+    the streaming sliding window (C10b); each event lands in
+    width/slide = 2 windows."""
+    from etl_utils_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(_t(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------ streaming execution
+# These run REAL Structured Streaming (readStream → AvailableNow →
+# memory sink) and return the final state as a batch DataFrame — so
+# the driver hash-checks streaming execution against the same DuckDB
+# oracles as the batch analogs.
+
+@query("stream_tumbling_counts_live", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10a executed as a stream: same oracle as the batch analog —
+    the final complete-mode state must hash-match DuckDB."""
+    from etl_utils_spark.streaming import windows as W
+
+    return W.run_stream_to_batch(spark, W.tumbling_counts(W.read_events_stream(spark, sf_dir)))
+
+
+@query("stream_sliding_counts_live", oracle=_SLIDING_ORACLE)
+def stream_sliding_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10b executed as a stream."""
+    from etl_utils_spark.streaming import windows as W
+
+    return W.run_stream_to_batch(spark, W.sliding_counts(W.read_events_stream(spark, sf_dir)))
+
+
+@query("stream_session_window_live", oracle=None)
+def stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10c executed as a stream with native session_window (rows-only:
+    session merge semantics are checked against the batch
+    gaps-and-islands analog in tests/test_streaming.py)."""
+    from etl_utils_spark.streaming import windows as W
+
+    return W.run_stream_to_batch(
+        spark, W.session_window_stats(W.read_events_stream(spark, sf_dir))
+    )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10d+C10e executed as a stream: watermark + stateful dedup on a
+    deliberately DOUBLED input stream (events ∪ events) — the dedup
+    must reduce it back to exactly the distinct event set."""
+    from etl_utils_spark.streaming import windows as W
+
+    s = W.read_events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    out = W.dedup_within_watermark(doubled, delay="10 minutes").select(
+        "event_id", "user_id", "event_type"
+    )
+    return W.run_stream_to_batch(spark, out, output_mode="append")

@@ -1,0 +1,84 @@
+"""Registered queries for the UDF surface (C7) and multimodal
+plumbing — oracle-checked where the arithmetic is engine-stable,
+rows-only where the computation is Python-side by design."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators import multimodal, udfs
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "udf_embedding_norm",
+    oracle="""
+        SELECT vec_id,
+               ROUND(sqrt(list_aggregate(
+                   list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
+                   AS l2_norm
+        FROM embeddings
+    """,
+)
+def udf_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7a: Arrow-vectorized scalar pandas UDF computing L2 norms —
+    hash-checked against DuckDB's sequential list reduction (round-6
+    absorbs numpy pairwise-summation vs sequential-sum ulps)."""
+    return udfs.embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "udf_grouped_mean_value",
+    oracle="""
+        SELECT event_type, ROUND(AVG(value), 6) AS mean_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def udf_grouped_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7b: grouped-aggregate pandas UDF (mean per event_type)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(udfs.mean_value("value"), 6).alias("mean_value")
+    )
+
+
+@query("udf_grouped_zscore", oracle=None)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7c: applyInPandas grouped-map — per-event-type z-scores
+    (rows-only: Python-side two-pass std by design; invariants in
+    tests/test_udf_multimodal.py)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return udfs.zscore_per_group(e, "event_type", "value")
+
+
+@query("multimodal_image_features", oracle=None)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary payload + metadata → mapInPandas feature
+    extraction (deterministic byte-level fake decode; real decode is
+    env-gated — operators/multimodal.py)."""
+    media = multimodal.attach_fake_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+@query("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: metadata-only frame-sampling plan (pure Catalyst)."""
+    media = multimodal.attach_fake_payload(_t(spark, sf_dir, "documents"))
+    media = media.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video/fake").alias("kind"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+            F.lit(24.0).alias("fps"),
+            (F.col("media_meta.width") / 8.0).alias("duration_s"),
+        ),
+    )
+    return multimodal.frame_sample_plan(media, n_frames=4)

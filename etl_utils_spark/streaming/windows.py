@@ -1,0 +1,125 @@
+"""Streaming window operators over the events schema.
+
+Each builder takes a (possibly streaming) events DataFrame with columns
+(event_id, ts, user_id, event_type, value, props) and returns the
+transformed DataFrame; ``run_stream_to_batch`` executes a streaming
+pipeline to completion (Trigger.AvailableNow) into a memory sink and
+returns the final result as a batch DataFrame — which is how the
+correctness harness hash-checks STREAMING execution against the same
+DuckDB oracle as the batch analog.
+
+Scale posture: all aggregations are keyed by (window, type) or
+session_window — state per key is O(1); watermarks bound state size;
+AvailableNow is the batch-backfill trigger a production pipeline would
+use for reprocessing.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the events fixture as a file-source stream (the same
+    ns→µs timestamp normalization as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory: stream the fixture dir with
+    # a glob filter selecting only the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """C10a: tumbling-window count/sum per event_type."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """C10b: sliding-window event counts."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """C10c: native session windows per user."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """C10d: bound lateness/state (no-op on batch frames)."""
+    return events.withWatermark("ts", delay) if events.isStreaming else events
+
+
+def dedup_within_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """C10e: stateful stream dedup on event_id within the watermark."""
+    w = with_watermark(events, delay)
+    if events.isStreaming:
+        return w.dropDuplicatesWithinWatermark(["event_id"])
+    return w.dropDuplicates(["event_id"])
+
+
+def run_stream_to_batch(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into
+    a memory sink; return the sink contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

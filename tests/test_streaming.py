@@ -1,0 +1,55 @@
+"""Streaming semantics: streamed execution must converge to the batch
+analog's result (C10a-C10e)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_utils_spark.sources.tables import load_table
+from etl_utils_spark.streaming import windows as W
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    live = W.run_stream_to_batch(spark, W.tumbling_counts(W.read_events_stream(spark, sf_dir)))
+    batch = W.tumbling_counts(load_table(spark, sf_dir, "events"))
+    assert _norm(live.collect()) == _norm(batch.collect())
+
+
+def test_stream_session_window_equals_batch_sessionize(spark, sf_dir):
+    """Native session_window (stream) vs gaps-and-islands (batch) must
+    agree on session bounds and sizes."""
+    from etl_utils_spark.operators.sessionize import session_stats
+
+    live = W.run_stream_to_batch(
+        spark, W.session_window_stats(W.read_events_stream(spark, sf_dir))
+    )
+    batch = session_stats(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+    live_n = _norm(
+        live.select("user_id", "session_start", "n_events", "sum_value").collect()
+    )
+    batch_n = _norm(
+        batch.select("user_id", "session_start", "n_events", "sum_value").collect()
+    )
+    assert live_n == batch_n
+
+
+def test_stream_dedup_removes_duplicates(spark, sf_dir):
+    s = W.read_events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    out = W.run_stream_to_batch(
+        spark,
+        W.dedup_within_watermark(doubled).select("event_id"),
+        output_mode="append",
+    )
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.distinct().count() == n_events
+
+
+def test_watermark_is_noop_on_batch(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    assert W.with_watermark(e).count() == e.count()
