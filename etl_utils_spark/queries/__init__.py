@@ -13,5 +13,6 @@ from etl_utils_spark.queries import scalar_funcs  # noqa: E402,F401
 from etl_utils_spark.queries import llm  # noqa: E402,F401
 from etl_utils_spark.queries import events_analytics  # noqa: E402,F401
 from etl_utils_spark.queries import udf_multimodal  # noqa: E402,F401
+from etl_utils_spark.queries import wrapper_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

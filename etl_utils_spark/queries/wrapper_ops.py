@@ -1,0 +1,136 @@
+"""Wrapper-surface queries (SURVEY.md §2 A6/A8/A15, B11/B13/B16):
+each runs QueryWrapper machinery end-to-end and returns the observable
+state as a DataFrame, so the driver's harness exercises the harness
+itself — params-from-table, identifier binding, prepared bulk DML, the
+job_log status lifecycle, catalog introspection, DDL.
+
+All entries are idempotent (temp dirs / temp views per invocation).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_utils_spark.logtables import LogTables
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import TABLES, load_table, register_views
+from etl_utils_spark.wrapper import QueryWrapper
+
+
+@query("scan_params_kv", oracle=None)
+def scan_params_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 load_params_from_table: first column = name, second = value
+    (query_wrapper.sql:211-224); returns the loaded param state."""
+    spark.createDataFrame(
+        [("SEGMENT", "BUILDING"), ("MIN_BAL", "1000"), ("REGION", "ASIA")],
+        "param_name string, param_value string",
+    ).createOrReplaceTempView("job_params_kv")
+    w = QueryWrapper(spark, script_name="params_kv")
+    w.load_params_from_table("job_params_kv")
+    rows = sorted((k, str(v)) for k, v in w.params.items() if k != "PARAMETERS_TABLE")
+    return spark.createDataFrame(rows, "param_name string, param_value string")
+
+
+@query("ident_param_count", oracle=None)
+def ident_param_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 identifier binding ``::NAME`` + value binding ``:NAME`` in
+    one statement (query_wrapper.sql:97-98 semantics)."""
+    register_views(spark, sf_dir, ("customer",))
+    w = QueryWrapper(spark, script_name="ident_param")
+    w.set_param("T", "customer")
+    w.set_param("SEG", "BUILDING")
+    ok, info = w.query("SELECT COUNT(*) AS n FROM ::T WHERE c_mktsegment = :SEG")
+    assert ok
+    return info.df
+
+
+@query("ps_insert_batch", oracle=None)
+def ps_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/B6 prepared bulk INSERT: ``?`` placeholders, set-based
+    execution (ONE distributed append instead of the reference's
+    row-at-a-time loop, query_wrapper.sql:285-301)."""
+    loc = tempfile.mkdtemp(prefix="ps_batch_")
+    spark.sql("DROP TABLE IF EXISTS ps_batch_target")
+    spark.sql(
+        f"CREATE TABLE ps_batch_target (k INT, label STRING) USING parquet LOCATION '{loc}'"
+    )
+    w = QueryWrapper(spark, script_name="ps_batch")
+    stmt = w.prepare("INSERT INTO ps_batch_target VALUES (?, ?)")
+    ok, _ = stmt.execute([[i, f"row{i}"] for i in range(10)])
+    assert ok
+    out = spark.table("ps_batch_target").orderBy("k")
+    rows = out.collect()
+    spark.sql("DROP TABLE IF EXISTS ps_batch_target")
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query("update_joblog_status", oracle=None)
+def update_joblog_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/B7 job_log lifecycle: RUNNING → FINISHED (successfully /
+    with error) point update (query_wrapper.sql:163-175), returned
+    with run ids normalized for stability."""
+    log_dir = tempfile.mkdtemp(prefix="joblog_q_")
+    register_views(spark, sf_dir, ("region",))
+
+    w_ok = QueryWrapper(spark, log_dir=log_dir, script_name="job_ok")
+    w_ok.query("SELECT COUNT(*) AS c FROM region")
+    w_ok.finish()
+
+    w_bad = QueryWrapper(spark, log_dir=log_dir, script_name="job_bad")
+    w_bad.on_error = "continue"
+    w_bad.query("SELECT * FROM missing_table_for_status_test")
+    w_bad.finish()
+
+    log = LogTables(spark, log_dir).job_log()
+    return log.select(
+        "script_name",
+        "status",
+        F.col("end_time").isNotNull().alias("has_end_time"),
+    ).orderBy("script_name")
+
+
+@query(
+    "catalog_list_tables",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('customer'), ('documents'), ('embeddings'), ('events'),
+            ('lineitem'), ('nation'), ('orders'), ('part'),
+            ('region'), ('supplier')
+        ) AS t(table_name)
+    """,
+)
+def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 catalog introspection as a relation (README.md:41
+    exa_all_tables pattern): list the session catalog, as a DataFrame,
+    restricted to the fixture tables — hash-checked against the static
+    expected inventory."""
+    register_views(spark, sf_dir)
+    names = sorted(t.name for t in spark.catalog.listTables() if t.name in TABLES)
+    return spark.createDataFrame([(n,) for n in names], "table_name string")
+
+
+@query("ddl_create_schema_table", oracle=None)
+def ddl_create_schema_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13/B15 DDL + session-schema surface: CREATE DATABASE/TABLE IF
+    NOT EXISTS, current-database snapshot/restore
+    (query_wrapper.sql:1,4,189,452)."""
+    loc = tempfile.mkdtemp(prefix="ddl_q_")
+    w = QueryWrapper(spark, script_name="ddl_demo")
+    start_db = spark.catalog.currentDatabase()
+    w.query(f"CREATE DATABASE IF NOT EXISTS etl_demo LOCATION '{loc}/db'")
+    w.query(
+        "CREATE TABLE IF NOT EXISTS etl_demo.demo_log (id INT, note STRING) "
+        f"USING parquet LOCATION '{loc}/t'"
+    )
+    spark.catalog.setCurrentDatabase("etl_demo")
+    tables_in_db = sorted(t.name for t in spark.catalog.listTables("etl_demo"))
+    w.finish()  # restores the starting database
+    restored = spark.catalog.currentDatabase() == start_db
+    spark.sql("DROP TABLE IF EXISTS etl_demo.demo_log")
+    spark.sql("DROP DATABASE IF EXISTS etl_demo")
+    return spark.createDataFrame(
+        [(",".join(tables_in_db), restored)], "tables string, db_restored boolean"
+    )

@@ -1,0 +1,98 @@
+"""Plan-quality gates: the physical plans must be the ones that
+survive a 100× scale-up — pushdown, pruning, broadcast, top-k
+compilation, no accidental cartesians. These tests pin the .explain
+output, not just the results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_utils_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    has_cartesian_or_bnl,
+    pushed_filters,
+    read_schema_columns,
+)
+from etl_utils_spark.queries import REGISTRY
+from etl_utils_spark.sources.tables import load_table
+
+
+def _q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = _q("filter_conj_events", spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "event_type" in pf and "value" in pf, pf
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = _q("project_orders_cols", spark, sf_dir)
+    schemas = read_schema_columns(df)
+    assert schemas and schemas[0] == {"o_orderkey", "o_custkey", "o_totalprice"}, schemas
+
+
+def test_count_star_prunes_all_columns(spark, sf_dir):
+    df = _q("scan_count_lineitem", spark, sf_dir)
+    schemas = read_schema_columns(df)
+    assert schemas and all(len(s) == 0 for s in schemas), schemas
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(_q("join_broadcast_nation_region", spark, sf_dir))
+    assert has_broadcast_join(_q("agg_rollup_nation_region", spark, sf_dir))
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    plan = formatted_plan(_q("topk_orders_by_price", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_window_rank_uses_group_limit(spark, sf_dir):
+    plan = formatted_plan(_q("window_rank_orders_by_price", spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:800]
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    """The equi-key must make the range join a hash/sort-merge join
+    with the range as post-condition — NOT BroadcastNestedLoopJoin."""
+    df = _q("join_range_events", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan[:1200]
+
+
+def test_no_accidental_cartesians_across_registry(spark, sf_dir):
+    """Only the explicitly-cross queries may contain a cartesian/BNL
+    operator (topk_cosine brute force is an intentional broadcast NLJ)."""
+    allowed = {"join_cross_region_nation", "topk_cosine_neighbors", "topk_cosine_neighbors_lsh"}
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if name in allowed or name.startswith("stream_"):
+            continue  # streaming plans need execution to materialize
+        df = q.fn(spark, sf_dir)
+        if has_cartesian_or_bnl(df):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_semi_join_prunes_probe_columns(spark, sf_dir):
+    df = _q("join_semi_customer_with_orders", spark, sf_dir)
+    schemas = read_schema_columns(df)
+    # the orders-side scan must read ONLY the join key
+    assert {"o_custkey"} in schemas, schemas
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union-and-carry as-of join must shuffle once on the key,
+    not create a join explosion."""
+    df = _q("asof_purchase_last_click", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan[:1200]
+    n_exchanges = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_exchanges == 1 and "hashpartitioning" in plan, plan[:1500]
