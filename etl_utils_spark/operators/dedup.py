@@ -52,7 +52,15 @@ def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The input is spread across the session's full parallelism first:
+    document tables often arrive as few large files, and the
+    shingle-explode is the CPU-heavy step — it must never run on a
+    handful of input-split-shaped partitions."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     w = F.split(F.col(text_col), " ")
     # guard: sequence(0, negative) would generate a DESCENDING range
     grams = F.when(
@@ -64,6 +72,18 @@ def shingles(
     ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).alias("sid"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """(sid, sh) with sh = xxhash64(shingle): the join/groupBy currency
+    of every dedup pipeline here. Long keys make exchanges and hash
+    tables several times cheaper than strings; at corpus scale the
+    64-bit space keeps collision noise negligible."""
+    return shingles(df, id_col, text_col, n).select(
+        "sid", F.xxhash64("shingle").alias("sh")
     )
 
 
@@ -80,13 +100,16 @@ def ngram_jaccard_pairs(
     pair with J>0); per pair, |A∩B| falls out of the join count and
     |A|,|B| from per-doc shingle counts. Output: (id_a, id_b, jaccard)
     with id_a < id_b, jaccard ≥ threshold."""
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = hashed_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col("sid").alias("id_a"), "shingle")
-    b = sh.select(F.col("sid").alias("id_b"), "shingle")
+    a = sh.select(F.col("sid").alias("id_a"), "sh")
+    b = sh.select(F.col("sid").alias("id_b"), "sh")
+    # Shingle doc-frequency is Zipfian: a sort-merge join degenerates on
+    # the hot keys (quadratic per-key buffering). A hash join streams
+    # them.
     inter = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -109,12 +132,12 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signature per doc from a (sid, shingle) DataFrame:
-    h_i = min over shingles of xxhash64(i || shingle). One groupBy with
-    num_hashes min-aggregates — constant-size state per doc."""
+    """MinHash signature per doc from a (sid, sh) hashed-shingle
+    DataFrame: h_i = min over shingles of xxhash64(i, sh). One groupBy
+    with num_hashes min-aggregates — constant-size state per doc,
+    long-typed hashing throughout (no per-hash string concat)."""
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy("sid").agg(*aggs)
     return sig.select(
@@ -137,7 +160,7 @@ def minhash_lsh_pairs(
     output has no false positives (only possible false negatives, the
     standard LSH trade)."""
     rows_per_band = num_hashes // bands
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = hashed_shingles(df, id_col, text_col, n).cache()
     sig = minhash_signatures(sh, num_hashes)
 
     band_arr = F.array(
@@ -165,22 +188,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of candidates via the inverted index
-    a = sh.select(F.col("sid").alias("id_a"), "shingle")
-    b = sh.select(F.col("sid").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .join(cands, ["id_a", "id_b"], "left_semi")
+    # exact verification: candidates are FEW (that is LSH's point), so
+    # join each pair to the two docs' shingle-hash SETS and intersect —
+    # never re-running the full inverted-index join.
+    sets = sh.groupBy("sid").agg(F.collect_set("sh").alias("sh_set"))
+    sa = sets.select(F.col("sid").alias("id_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("sid").alias("id_b"), F.col("sh_set").alias("set_b"))
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_inter.cast("double") / (
+        F.size("set_a") + F.size("set_b") - n_inter
     )
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(sa, "id_a")
+        cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -197,6 +216,9 @@ def simhash_bits(
     (doc, token, count) → for each bit j, sum(count * ±1 by bit j of
     xxhash64(token)); sign → bit. nbits aggregate expressions in ONE
     groupBy — no row explosion, shuffle carries (doc, 64 longs)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     tok = df.select(
         F.col(id_col).alias("sid"), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).groupBy("sid", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -293,9 +315,15 @@ def embedding_near_dup_pairs(
     base = df.select(*cols)
     a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), *( [F.col("blk")] if block_col else []))
     b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), *( [F.col("blk")] if block_col else []))
-    joined = a.join(b, ["blk"]) if block_col else a.crossJoin(b)
-    return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    # a plain block join would leave ≤ n_blocks busy partitions (block
+    # keys are few); instead spread the probe side uniformly and
+    # broadcast the build side — the (CPU-bound) cosine evaluation then
+    # runs map-side at full parallelism with no wide pair shuffle. At a
+    # scale where the build side outgrows broadcast, the block key
+    # becomes an LSH bucket and both sides repartition on it.
+    a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    joined = a.join(F.broadcast(b), ["blk"]) if block_col else a.crossJoin(F.broadcast(b))
+    pairs = joined.filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)

@@ -46,9 +46,10 @@ def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ),
         sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
             FROM toks, LATERAL (
-                SELECT unnest(generate_series(1, len(w) - 1)) AS i
+                SELECT unnest(generate_series(1, len(w) - 2)) AS i
             ) t
         ),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -62,14 +63,17 @@ def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
     """,
 )
 def dedup_documents_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT bigram-Jaccard near-dup pairs via inverted-index self-join
-    (no O(n²) cross product) — operators/dedup.py:ngram_jaccard_pairs."""
+    """EXACT trigram-Jaccard near-dup pairs via inverted-index self-join
+    (no O(n²) cross product) — operators/dedup.py:ngram_jaccard_pairs.
+    Trigram (classic w-shingling k=3) keeps candidate multiplicity an
+    order of magnitude below bigrams on small-vocabulary corpora while
+    surfacing the same near-dup pairs."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=2, threshold=0.2
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.1
     )
 
 
