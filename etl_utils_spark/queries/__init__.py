@@ -15,5 +15,6 @@ from etl_utils_spark.queries import events_analytics  # noqa: E402,F401
 from etl_utils_spark.queries import udf_multimodal  # noqa: E402,F401
 from etl_utils_spark.queries import wrapper_ops  # noqa: E402,F401
 from etl_utils_spark.queries import analytics  # noqa: E402,F401
+from etl_utils_spark.queries import stats_sampling  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

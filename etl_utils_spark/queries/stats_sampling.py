@@ -1,0 +1,94 @@
+"""Statistics + sampling + skew-handling queries: exact percentiles,
+approximate quantiles, stratified samples, salted aggregation, map
+functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators import sampling, skew
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "percentile_order_prices",
+    oracle="""
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.50) AS p50,
+               quantile_cont(o_totalprice, 0.75) AS p75
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group — Spark percentile()
+    and DuckDB quantile_cont share the linear-interpolation definition,
+    so the values hash-match."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+    )
+
+
+@query("approx_quantiles_prices", oracle=None)
+def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-ish sketch) — the 100 TB path where exact
+    percentile's full sort-per-group is off the table. Rows-only:
+    approximate by construction."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_approx")
+    )
+
+
+@query("sample_stratified_events", oracle=None)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-deterministic stratified sample: keep all errors, 10% of
+    clicks/views, half of the rest (rows-only: sampling semantics are
+    engine-specific; determinism checked in tests)."""
+    e = _t(spark, sf_dir, "events")
+    fr = {"error": 1.0, "click": 0.1, "view": 0.1, "purchase": 0.5, "signup": 0.5}
+    return sampling.stratified_sample(e, "event_type", fr, seed=42).select(
+        "event_id", "event_type"
+    )
+
+
+@query(
+    "salted_group_count_parts",
+    oracle="""
+        SELECT l_partkey, count(*) AS n
+        FROM lineitem
+        GROUP BY l_partkey
+    """,
+)
+def salted_group_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (operators/skew.py) — identical
+    result to the plain groupBy (the oracle), with the hot-key rows
+    spread over 16 reducers in phase 1."""
+    return skew.salted_group_count(_t(spark, sf_dir, "lineitem"), "l_partkey", n_salts=16)
+
+
+@query("map_funcs_events", oracle=None)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6g map functions: build a map from JSON props, read it back
+    (rows-only: map value rendering is engine-specific)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k").cast("long"),
+        F.lit("user"), F.col("user_id"),
+    )
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("keys"),
+        F.map_values(m).alias("vals"),
+        F.element_at(m, "k").alias("k_value"),
+    )

@@ -14,9 +14,18 @@ SF_TEST_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from etl_utils_spark.session import get_spark
 
-    spark = get_spark(app_name="etl-utils-spark-tests", cpus=8, shuffle_partitions=8)
+    spark = get_spark(
+        app_name="etl-utils-spark-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="etl_spark_wh_")
+        },
+    )
     yield spark
 
 

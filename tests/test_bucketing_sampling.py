@@ -1,0 +1,60 @@
+"""Bucketed co-located joins (no exchange) + sampling determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators import sampling
+from etl_utils_spark.plans import formatted_plan
+from etl_utils_spark.sources.tables import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Pre-bucketing both fact tables on the join key removes the
+    shuffle from the join entirely — the co-location pattern for
+    repeated fact-fact joins at scale."""
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("orders_b")
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("lineitem_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (at real scale neither fact side
+        # broadcasts); bucketing must then remove the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("orders_b")
+        l = spark.table("lineitem_b")
+        joined = o.join(l, o.o_orderkey == l.l_orderkey).select(
+            "o_orderkey", "o_totalprice", "l_quantity"
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    fr = {"error": 1.0, "click": 0.1, "view": 0.1, "purchase": 0.5, "signup": 0.5}
+    s1 = sampling.stratified_sample(e, "event_type", fr, seed=42).collect()
+    s2 = sampling.stratified_sample(e, "event_type", fr, seed=42).collect()
+    assert sorted(r.event_id for r in s1) == sorted(r.event_id for r in s2)
+    # all errors kept
+    n_err_all = e.filter(F.col("event_type") == "error").count()
+    n_err_sample = sum(1 for r in s1 if r.event_type == "error")
+    assert n_err_sample == n_err_all
+
+
+def test_uniform_sample_fraction(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    s = sampling.uniform_sample(e, 0.2, seed=7).count()
+    assert 0.1 * n < s < 0.3 * n
