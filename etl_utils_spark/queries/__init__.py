@@ -16,5 +16,6 @@ from etl_utils_spark.queries import udf_multimodal  # noqa: E402,F401
 from etl_utils_spark.queries import wrapper_ops  # noqa: E402,F401
 from etl_utils_spark.queries import analytics  # noqa: E402,F401
 from etl_utils_spark.queries import stats_sampling  # noqa: E402,F401
+from etl_utils_spark.queries import etl_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]
