@@ -1,0 +1,55 @@
+"""Data-profiling queries over the fixtures (one-pass column stats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_utils_spark.operators.profile import profile_table
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+_ORDERS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS "column",
+           count(*) AS n_rows,
+           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM orders
+    """
+    for c in _ORDERS_COLS
+)
+
+
+@query("profile_orders_columns", oracle=_PROFILE_ORACLE)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of orders (nulls, exact distinct,
+    min/max) — operators/profile.py; the oracle recomputes each
+    column's stats independently."""
+    return profile_table(load_table(spark, sf_dir, "orders"), exact_distinct=True)
+
+
+@query("profile_all_tables_rowcounts", oracle=None)
+def profile_all_tables_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet profile: approximate column stats for every fixture table
+    (rows-only: HLL-approximate by design)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for t in ("region", "nation", "customer", "supplier"):
+        parts.append(
+            profile_table(load_table(spark, sf_dir, t)).withColumn("table", F.lit(t))
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1,0 +1,129 @@
+"""Extended window-function surface: ntile, percent_rank, cume_dist,
+first/last value frames, range frames, and fuzzy string matching —
+rounding out C3 and C6 (SURVEY.md §2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "window_ntile_percentrank",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS price_quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist/rank/dense_rank over a total order
+    (price, key) — deterministic across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_order,
+               nth_value(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit frames (the default frame's
+    last_value trap is exactly why the frame is explicit)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@query(
+    "window_range_frame_spend",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 365 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spend_trailing_year
+        FROM orders
+    """,
+)
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over epoch-days: trailing-365-day spend per
+    customer — the value-based frame ROWS cannot express. Integer day
+    arithmetic keeps it timezone-free on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    epoch_day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(epoch_day).rangeBetween(-365, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_trailing_year"),
+    )
+
+
+@query(
+    "fuzzy_match_part_names",
+    oracle="""
+        SELECT p_partkey,
+               levenshtein(p_brand, 'Brand#33') AS brand_dist
+        FROM part
+        WHERE levenshtein(p_brand, 'Brand#33') <= 2
+    """,
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching via Levenshtein distance (C6a-adjacent) — the
+    string-similarity primitive for entity resolution."""
+    p = _t(spark, sf_dir, "part")
+    dist = F.levenshtein("p_brand", F.lit("Brand#33"))
+    return p.select("p_partkey", dist.alias("brand_dist")).filter(dist <= 2)
