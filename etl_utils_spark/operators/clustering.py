@@ -1,0 +1,70 @@
+"""Connected components over a pair graph — turning near-dup PAIRS into
+dedup CLUSTERS (every production dedup ends here: the kept document is
+the cluster representative, everything else drops).
+
+Algorithm: iterative minimum-label propagation (the simplified
+large-star operation): every vertex repeatedly adopts the smallest id
+among itself and its neighbors until fixpoint. Convergence is
+O(graph diameter) rounds; near-dup graphs are unions of small cliques,
+so 2-4 rounds in practice. Each round is ONE join + ONE aggregate —
+pure DataFrame ops; the driver only counts changed labels (a scalar
+per round), which is the canonical Spark pattern for iterative
+algorithms (GraphFrames/GraphX do the same under the hood).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) from an undirected edge list; component id =
+    min node id in the component."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_changed"),
+            )
+            .cache()
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Cluster summary: (comp, n_members, keep_id) — keep_id is the
+    minimum member (the deterministic representative)."""
+    cc = connected_components(pairs, src, dst)
+    return cc.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("keep_id"),
+    )

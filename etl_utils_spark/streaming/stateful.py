@@ -1,0 +1,57 @@
+"""Custom stateful streaming (SURVEY.md §2 C10 'custom stateful
+operators'): applyInPandasWithState — arbitrary per-key state the
+built-in windows can't express.
+
+The example operator keeps a running per-user event count + value sum.
+State is O(1) per key (two numbers); the same code processes a live
+stream incrementally and a backfill (AvailableNow) identically — which
+is exactly why its single-batch result can be hash-checked against a
+plain batch aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
+STATE_SCHEMA = "n long, s double"
+
+
+def _update_user_counts(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]})
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) via custom state. On a
+    batch DataFrame falls back to the equivalent aggregate (same
+    output contract)."""
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_counts,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

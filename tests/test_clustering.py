@@ -1,0 +1,61 @@
+"""Connected-components clustering invariants."""
+
+from __future__ import annotations
+
+from etl_utils_spark.operators.clustering import connected_components, dedup_clusters
+
+
+def _bfs_components(edges):
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, comps = set(), {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        stack, comp = [start], []
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            stack.extend(adj[v] - seen)
+        for v in comp:
+            comps[v] = min(comp)
+    return comps
+
+
+def test_cc_matches_bfs_reference(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4), (40, 41)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == _bfs_components(edges)
+
+
+def test_cc_on_real_pairs(spark, sf_dir):
+    from etl_utils_spark.operators.dedup import ngram_jaccard_pairs
+    from etl_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    edge_list = [(r.id_a, r.id_b) for r in pairs.collect()]
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == _bfs_components(edge_list)
+    clusters = dedup_clusters(pairs).collect()
+    # representative is the component id and the component minimum
+    assert all(r.keep_id == r.comp for r in clusters)
+    assert sum(r.n_members for r in clusters) == len(got)
+
+
+def test_stateful_stream_matches_batch(spark, sf_dir):
+    from etl_utils_spark.sources.tables import load_table
+    from etl_utils_spark.streaming import windows as W
+    from etl_utils_spark.streaming.stateful import running_user_counts
+
+    live = W.run_stream_to_batch(
+        spark, running_user_counts(W.read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    batch = running_user_counts(load_table(spark, sf_dir, "events"))
+    assert sorted(tuple(r) for r in live.collect()) == sorted(tuple(r) for r in batch.collect())
