@@ -26,6 +26,10 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) from an undirected edge list; component id =
     min node id in the component."""
+    # cache the (possibly expensive) pair source FIRST: the symmetric
+    # union below reads it twice, and every propagation round reads
+    # the edges
+    pairs = pairs.cache()
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
