@@ -1,0 +1,72 @@
+"""Streaming sinks: checkpointed file sinks and the foreachBatch
+upsert pattern.
+
+- ``to_parquet_sink`` — append-mode parquet file sink with a
+  checkpoint: exactly-once per file-commit, the standard landing-zone
+  topology.
+- ``foreach_batch_merge`` — per-micro-batch MERGE into a dimension
+  table (streaming upsert): the canonical CDC-apply pattern; each
+  micro-batch reuses the engine's batch merge_upsert, so streaming
+  and batch mutation semantics are one code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from etl_utils_spark.operators.upsert import merge_upsert
+
+
+def to_parquet_sink(
+    stream_df: DataFrame, path: str, checkpoint: str, available_now: bool = True
+):
+    """Write a stream to a parquet directory sink; returns the started
+    query (caller awaits)."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def foreach_batch_merge(
+    stream_df: DataFrame,
+    target_path: str,
+    key: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Apply each micro-batch as a MERGE into ``target_path``.
+
+    The batch function deduplicates the micro-batch on the key first
+    (last-writer-wins within a batch via max precedence is arbitrary
+    here: keep max key order) so the merge input is key-unique."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = batch_df.dropDuplicates([key])
+        import os
+
+        if not os.path.isdir(target_path) or not any(
+            f.endswith(".parquet") for f in os.listdir(target_path)
+        ):
+            src.write.mode("overwrite").parquet(target_path)
+            return
+        target = spark.read.parquet(target_path)
+        merged = merge_upsert(target, src.select(*target.columns), key)
+        tmp = target_path.rstrip("/") + f".__batch{batch_id}__"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    w = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

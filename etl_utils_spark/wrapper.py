@@ -298,9 +298,50 @@ class QueryWrapper:
 
     def rollback(self) -> None:
         """Spark cannot roll back multi-statement work; record the
-        intent (semantic delta from query_wrapper.sql:138-144)."""
+        intent (semantic delta from query_wrapper.sql:138-144). Real
+        rollback of table writes is available via ``staging()``."""
         self.log("INFO", "rollback requested (storage-level rollback not applicable)")
         self.write_log_details()
+
+    def staging(self, target_path: str):
+        """Stage-and-promote write transaction — the engine's concrete
+        substitute for the reference's ROLLBACK over DML
+        (query_wrapper.sql:138-144): the job writes into a staging
+        directory; on success it is promoted over the target, on any
+        exception it is discarded and the target is untouched.
+
+        Usage::
+
+            with wrapper.staging("/data/dim_customer") as stage:
+                df.write.mode("overwrite").parquet(stage)
+        """
+        import contextlib
+        import shutil
+
+        wrapper = self
+
+        @contextlib.contextmanager
+        def _ctx():
+            stage = target_path.rstrip("/") + ".__staging__"
+            shutil.rmtree(stage, ignore_errors=True)
+            try:
+                yield stage
+            except Exception:
+                shutil.rmtree(stage, ignore_errors=True)
+                wrapper.log("INFO", f"staging for {target_path} discarded (rollback)")
+                raise
+            import os
+
+            if os.path.isdir(stage):
+                old = target_path.rstrip("/") + ".__old__"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(target_path):
+                    os.rename(target_path, old)
+                os.rename(stage, target_path)
+                shutil.rmtree(old, ignore_errors=True)
+                wrapper.log("INFO", f"staging promoted to {target_path}")
+
+        return _ctx()
 
     # -------------------------------------------------------------- run
 
