@@ -36,4 +36,32 @@ def flagship_job(spark: SparkSession, sf_dir: str, log_dir: str | None = None) -
         if ok:
             w.log("MY_LOG", f"counted table {name}", info.rows)
 
+    # value-parameterized analytical step (the README's quoted-vs-
+    # unquoted param usage, README.md:43-58)
+    w.set_param("SEG", "BUILDING")
+    ok, info = w.query(
+        "SELECT COUNT(*) AS cnt FROM customer WHERE c_mktsegment = :SEG"
+    )
+    if ok:
+        w.log("MY_LOG", "segment BUILDING customers", info.rows)
+
+    # procedural step dispatch (query_wrapper.sql:226-243 run())
+    w.run(_steps, "revenue_summary")
+
     return w.finish()
+
+
+class _steps:
+    """Flagship job steps dispatched through wrapper.run()."""
+
+    @staticmethod
+    def revenue_summary(w: QueryWrapper) -> None:
+        ok, info = w.query(
+            "SELECT l_returnflag, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+            logging=False,
+        )
+        if ok:
+            for flag, revenue in w.query_values(info):
+                w.log("REVENUE", f"returnflag {flag} revenue {revenue:.2f}")

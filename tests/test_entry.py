@@ -11,9 +11,11 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["run_id", "msg_time", "msg_type", "message", "rowcount"]
-    # one MY_LOG line per fixture table
+    # one MY_LOG line per fixture table + the segment-count step
     my = [r for r in rows if r.msg_type == "MY_LOG"]
-    assert len(my) == 10
+    assert len(my) == 11
+    # the run() dispatch step logged its revenue lines
+    assert sum(1 for r in rows if r.msg_type == "REVENUE") == 3
 
 
 def test_contract_consistency():
