@@ -32,3 +32,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_TEST_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias for hypothesis-driven tests (session-scoped reuse is the
+    point — health checks for function-scoped fixtures are suppressed
+    at the test site)."""
+    return spark
