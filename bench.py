@@ -30,6 +30,11 @@ def main() -> None:
 
     from etl_utils_spark.queries import REGISTRY
 
+    # Self-measuring diagnostics re-run other operators on purpose;
+    # excluding them keeps the bench set stable and un-double-counted
+    # across rounds. Everything else in the registry is timed.
+    EXCLUDE = {"diag_lsh_recall", "profile_all_tables_rowcounts"}
+
     # Warm the JVM + parquet footers once so per-query times measure
     # execution, not first-touch session costs.
     from etl_utils_spark.sources.tables import TABLES, load_table
@@ -38,7 +43,7 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
+    for name in sorted(set(REGISTRY) - EXCLUDE):
         q = REGISTRY[name]
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)

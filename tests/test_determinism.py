@@ -1,0 +1,31 @@
+"""Partition-count independence: the engine's results must be
+IDENTICAL under different parallelism — the property that makes AQE
+re-planning and cluster resizing safe. Decimal money math is what
+guarantees it for aggregates."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_utils_spark.queries import REGISTRY
+
+SAMPLE = [
+    "agg_pricing_summary",
+    "window_running_sum_orders",
+    "q5_local_supplier_volume",
+    "dedup_documents_exact",
+    "sessionize_events",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_result_independent_of_shuffle_partitions(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = sorted(tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        high = sorted(tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert low == high
