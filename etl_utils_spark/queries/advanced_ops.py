@@ -42,6 +42,38 @@ def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_JOIN_ORACLE = """
+    SELECT p.event_id  AS event_id,
+           p.user_id   AS user_id,
+           p.ts        AS ts,
+           c.event_id  AS r_event_id,
+           c.ts        AS r_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+     AND epoch_us(c.ts) > epoch_us(p.ts) - 600000000
+"""
+
+
+@query("stream_interval_join_live", oracle=_INTERVAL_JOIN_ORACLE)
+def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (purchases ↔ same-user clicks within
+    the prior 10 minutes) with watermarks bounding both sides' state —
+    executed as a real stream; the single-batch result hash-matches
+    the batch join oracle (streaming/joins.py)."""
+    from etl_utils_spark.streaming import windows as W
+    from etl_utils_spark.streaming.joins import interval_join
+
+    s = W.read_events_stream(spark, sf_dir)
+    purchases = s.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = s.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    joined = interval_join(purchases, clicks, on="user_id", lookback="10 minutes")
+    return W.run_stream_to_batch(spark, joined, output_mode="append")
+
+
 @query(
     "stream_stateful_user_counts",
     oracle="""

@@ -111,6 +111,20 @@ def test_finish_statuses(spark, sf_dir, tmp_path):
     assert ids == sorted(set(ids))
 
 
+def test_verbosity_gates_auto_logging(wrapper):
+    # verbosity < 2 suppresses the per-statement INFO logging
+    # (query_wrapper.sql:61-65); explicit log() still works
+    wrapper.verbosity = 1
+    n_before = len(wrapper.messages)
+    ok, _ = wrapper.query("SELECT COUNT(*) AS c FROM region")
+    assert ok and len(wrapper.messages) == n_before
+    wrapper.log("MANUAL", "still logs")
+    assert len(wrapper.messages) == n_before + 1
+    wrapper.verbosity = 2
+    ok, _ = wrapper.query("SELECT COUNT(*) AS c FROM region")
+    assert ok and len(wrapper.messages) == n_before + 2
+
+
 def test_run_dispatch(wrapper):
     class Steps:
         @staticmethod
