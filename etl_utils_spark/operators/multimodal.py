@@ -116,6 +116,41 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_fake_decode_features, FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio-shaped sibling of extract_features: interpret the payload
+    as int8 PCM samples and compute RMS + zero-crossing count — the
+    deterministic stand-in for a librosa/ffmpeg decode (same
+    mapInPandas contract, swap the body on a deployment with audio
+    libs)."""
+
+    def _fake_audio(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+                n = a.size
+                rms = float(np.sqrt(np.mean(a * a))) if n else 0.0
+                zc = int(np.sum(np.signbit(a[:-1]) != np.signbit(a[1:]))) if n > 1 else 0
+                rows.append((int(doc_id), n, rms, zc))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "rms", "zero_crossings"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_fake_audio, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame-sampling PLAN: which frame indices to decode, from
     metadata only (no payload access — pure Catalyst arithmetic). The

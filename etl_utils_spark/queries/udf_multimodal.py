@@ -67,6 +67,15 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+@query("multimodal_audio_features", oracle=None)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: payload as PCM samples → RMS / zero-crossings
+    via mapInPandas (deterministic fake decode; same Arrow-batch
+    contract as a real librosa path)."""
+    media = multimodal.attach_fake_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(media)
+
+
 @query("multimodal_frame_sample", oracle=None)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: metadata-only frame-sampling plan (pure Catalyst)."""
