@@ -24,5 +24,6 @@ from etl_utils_spark.queries import advanced_ops  # noqa: E402,F401
 from etl_utils_spark.queries import misc_funcs  # noqa: E402,F401
 from etl_utils_spark.queries import setops_catalog  # noqa: E402,F401
 from etl_utils_spark.queries import ml_prep  # noqa: E402,F401
+from etl_utils_spark.queries import timeseries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

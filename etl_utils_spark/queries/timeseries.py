@@ -1,0 +1,133 @@
+"""Time-series utilities: cube aggregation with GROUPING()
+disambiguation, advanced array ops, and gap-fill + forward-fill —
+the resample/interpolate surface of event analytics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle="""
+        SELECT GROUPING(o_orderstatus)   AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               COALESCE(o_orderstatus, 'ALL')   AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() flags (C2d): the flags distinguish genuine
+    NULL group values from subtotal rows — the portable way to label
+    rollup levels across engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "g_status",
+            "g_priority",
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@query(
+    "array_advanced_ops",
+    oracle="""
+        SELECT doc_id,
+               list_sort(string_split(text, ' '))[1:5] AS first5_sorted,
+               list_contains(string_split(text, ' '), 'data') AS has_data,
+               array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+                   AS top3_csv
+        FROM documents
+    """,
+)
+def array_advanced_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_array/slice/contains/join — the higher-order array toolkit
+    beyond explode (C6f)."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.slice(F.sort_array(w), 1, 5).alias("first5_sorted"),
+        F.array_contains(w, "data").alias("has_data"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(w)), 1, 3), ",").alias("top3_csv"),
+    )
+
+
+@query(
+    "gap_fill_forward_events",
+    oracle="""
+        WITH bounds AS (
+            SELECT user_id,
+                   date_trunc('hour', min(ts)) AS t0,
+                   date_trunc('hour', max(ts)) AS t1
+            FROM events WHERE user_id < 20 GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+            FROM bounds
+        ),
+        hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS slot,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+            FROM events WHERE user_id < 20 GROUP BY 1, 2
+        )
+        SELECT g.user_id, g.slot,
+               (h.v IS NULL) AS was_gap,
+               last_value(h.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.slot
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v_filled
+        FROM grid g LEFT JOIN hourly h
+          ON h.user_id = g.user_id AND h.slot = g.slot
+    """,
+)
+def gap_fill_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to an hourly grid and forward-fill gaps: per-user
+    sequence() grid → explode → left join hourly aggregates →
+    last(ignorenulls) carry — the classic time-series densification,
+    all Catalyst (sequence/explode generate the grid data-locally)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("slot"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("slot"),
+    )
+    joined = grid.join(hourly, ["user_id", "slot"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "slot",
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
