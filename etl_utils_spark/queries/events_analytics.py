@@ -65,10 +65,10 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sess AS (
             SELECT user_id, ts, value,
-                   SUM(is_new) OVER (
+                   CAST(SUM(is_new) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
+                   ) AS BIGINT) AS session_seq
             FROM ordered
         )
         SELECT user_id, session_seq,

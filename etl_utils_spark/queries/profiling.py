@@ -21,7 +21,7 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
     f"""
     SELECT '{c}' AS "column",
            count(*) AS n_rows,
-           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT {c}) AS n_distinct,
            CAST(min({c}) AS VARCHAR) AS min_str,
            CAST(max({c}) AS VARCHAR) AS max_str

@@ -35,6 +35,120 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# --------------------------------------------------------------- type parity
+# The driver's value-hash is TYPE-sensitive in ways the value compare
+# below is not: DuckDB SUM(int) yields HUGEINT (Arrow decimal128(38,0))
+# which hashes differently from Spark's bigint even when every value is
+# equal (r1 `sessionize_events` red row).  Empirically (r1 green rows)
+# int WIDTH does not matter (Spark int vs DuckDB BIGINT hashed equal,
+# `string_funcs_part`), nor does timestamp unit — but decimal-vs-int,
+# decimal-vs-float, and date-vs-timestamp do.  We therefore compare
+# type FAMILIES: int | float32 | float64 | decimal(p,s) | string |
+# date | timestamp | bool | binary | list<fam> | struct | map.
+
+_DUCK_INTS = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def duck_type_family(t: str):
+    t = t.strip()
+    u = t.upper()
+    if u.endswith("[]"):
+        return ("list", duck_type_family(t[:-2]))
+    if u.startswith("DECIMAL"):
+        inner = u[u.index("(") + 1 : u.index(")")] if "(" in u else "38,0"
+        p, s = (int(x) for x in inner.split(","))
+        return ("decimal", p, s)
+    if u in ("HUGEINT", "UHUGEINT"):
+        return ("decimal", 38, 0)
+    if u in _DUCK_INTS:
+        return "int"
+    if u == "DOUBLE":
+        return "float64"
+    if u in ("FLOAT", "REAL"):
+        return "float32"
+    if u in ("VARCHAR", "TEXT", "STRING"):
+        return "string"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u == "DATE":
+        return "date"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "BLOB":
+        return "binary"
+    if u.startswith("STRUCT"):
+        return "struct"
+    if u.startswith("MAP"):
+        return "map"
+    return u
+
+
+_SPARK_INTS = {"tinyint", "smallint", "int", "bigint"}
+
+
+def spark_type_family(t: str):
+    t = t.strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return ("list", spark_type_family(t[6:-1]))
+    if t.startswith("decimal"):
+        inner = t[t.index("(") + 1 : t.index(")")] if "(" in t else "10,0"
+        p, s = (int(x) for x in inner.split(","))
+        return ("decimal", p, s)
+    if t in _SPARK_INTS:
+        return "int"
+    if t == "double":
+        return "float64"
+    if t == "float":
+        return "float32"
+    if t == "string":
+        return "string"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t == "boolean":
+        return "bool"
+    if t == "binary":
+        return "binary"
+    if t.startswith("struct"):
+        return "struct"
+    if t.startswith("map"):
+        return "map"
+    return t
+
+
+def compare_types(spark, sf_dir: str, name: str):
+    """Plan-only type-family parity: Spark schema (lazy, no execution)
+    vs DuckDB DESCRIBE of the oracle (plans, does not run).  Returns
+    (ok, message); rows-only queries pass vacuously."""
+    from etl_utils_spark.queries import REGISTRY
+
+    q = REGISTRY[name]
+    if q.oracle is None:
+        return (True, "rows-only")
+    sdf = q.fn(spark, sf_dir)
+    s_types = {f.name: spark_type_family(f.dataType.simpleString()) for f in sdf.schema.fields}
+
+    con = duckdb_connect(sf_dir)
+    try:
+        desc = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+    finally:
+        con.close()
+    d_types = {row[0]: duck_type_family(row[1]) for row in desc}
+
+    if set(s_types) != set(d_types):
+        return (False, f"column mismatch: spark={sorted(s_types)} duckdb={sorted(d_types)}")
+    bad = {
+        c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types[c]
+    }
+    if bad:
+        return (False, f"type-family mismatch: {bad}")
+    return (True, "types ok")
+
+
 def _norm(v):
     if v is None:
         return None
