@@ -80,6 +80,8 @@ _WINDOW = [
     "agg_cube_status_priority",
     "array_advanced_ops",
     "gap_fill_forward_events",
+    "gate_ann_recall_floor",
+    "gate_minhash_recall_floor",
 ]
 
 

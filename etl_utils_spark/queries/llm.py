@@ -148,10 +148,34 @@ def topk_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("topk_cosine_neighbors_lsh", oracle=None)
 def topk_cosine_neighbors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH bucket probe — the
-    100 TB path (rows-only: recall is probabilistic by design)."""
+    """Approximate top-5 via multi-table random-hyperplane LSH (16
+    tables × 4 planes, numpy-matmul bucketing) — the 100 TB path
+    (rows-only: recall is probabilistic by design; gate_ann_recall_floor
+    pins the quality)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=6)
+    return similarity.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "gate_ann_recall_floor",
+    oracle="SELECT 'hyperplane_b4_L16' AS variant, CAST(true AS BOOLEAN) AS recall_ge_080",
+)
+def gate_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked quality gate for the ANN path: recall of the LSH
+    top-5 against the exact brute-force top-5 must be ≥ 0.80.  The
+    whole pipeline is deterministic (md5-seeded planes, total-order
+    tie-breaks), so the boolean is a stable oracle at every SF —
+    measured 0.875 @ sf0.001, 0.975 @ sf0.01/sf0.1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.cosine_topk_lsh(emb, q, k=5).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = (n_hit / n_exact) if n_exact else 1.0
+    return spark.createDataFrame(
+        [("hyperplane_b4_L16", recall >= 0.80)], "variant string, recall_ge_080 boolean"
+    )
 
 
 # ------------------------------------------------------ text analysis

@@ -108,3 +108,26 @@ def diag_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("minhash32_band8", n_exact, n_hit, (n_hit / n_exact) if n_exact else 1.0)],
         "variant string, n_exact long, n_found long, recall double",
     )
+
+
+@query(
+    "gate_minhash_recall_floor",
+    oracle="SELECT 'minhash32_band8' AS variant, CAST(true AS BOOLEAN) AS recall_ge_080",
+)
+def gate_minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked quality gate for MinHash-LSH dedup: recall vs the
+    exact n-gram Jaccard join must be ≥ 0.80.  Deterministic (seeded
+    hash family), so the boolean is a stable oracle at every SF."""
+    from etl_utils_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.1).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.1).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.count()
+    n_hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").count()
+    recall = (n_hit / n_exact) if n_exact else 1.0
+    return spark.createDataFrame(
+        [("minhash32_band8", recall >= 0.80)], "variant string, recall_ge_080 boolean"
+    )
