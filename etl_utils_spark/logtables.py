@@ -3,14 +3,15 @@
 Schemas mirror the reference DDL (query_wrapper.sql:4-19):
 job_log is one row per run, job_details one row per log message.
 
-Storage: Parquet directories under a base path. Appends are atomic at
-file granularity (each flush writes new files); the single UPDATE the
+Storage: Parquet directories under a base path, written driver-side
+with pyarrow (the tables are metadata-scale — one row per run / per
+message — so a Spark job per write is pure overhead even on a
+1000-executor cluster; Spark only ever READS them as DataFrames).
+Appends publish one file via atomic rename; the single UPDATE the
 reference performs (finish → status/end_time, query_wrapper.sql:168-175)
-is implemented as read-modify-overwrite of the tiny job_log table. On a
+is a single-write recoverable directory swap (see finish_run). On a
 deployment with Delta Lake the same class would use a Delta ``UPDATE``
-and identity columns; the log tables are metadata-scale (one row per
-run / per message), never data-scale, so driver-side handling is
-appropriate even on a 1000-executor cluster.
+and identity columns.
 
 run_id allocation: max(run_id)+1 under a single-writer assumption —
 the reference has the same race and papers over it with an early COMMIT
@@ -21,10 +22,13 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import shutil
+import uuid
 from decimal import Decimal
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 JOB_LOG_SCHEMA = T.StructType(
@@ -52,6 +56,59 @@ STATUS_RUNNING = "RUNNING"
 STATUS_OK = "FINISHED SUCCESSFULLY"
 STATUS_ERROR = "FINISHED WITH ERROR"
 
+# Arrow twins of the Spark schemas — the log tables are metadata-scale
+# (one row per run / per message), so all writes happen driver-side via
+# pyarrow: a single parquet file per flush, no Spark job launch, and
+# published atomically (write hidden ".name.tmp", os.replace to final —
+# Spark and our reader both ignore dot-prefixed files, so a crash
+# mid-write never corrupts the table).
+_PA_JOB_LOG = pa.schema(
+    [
+        pa.field("run_id", pa.int64(), nullable=False),
+        pa.field("script_name", pa.string(), nullable=False),
+        pa.field("status", pa.string()),
+        pa.field("start_time", pa.timestamp("us")),
+        pa.field("end_time", pa.timestamp("us")),
+    ]
+)
+
+_PA_JOB_DETAILS = pa.schema(
+    [
+        pa.field("detail_id", pa.int64(), nullable=False),
+        pa.field("run_id", pa.int64(), nullable=False),
+        pa.field("log_time", pa.timestamp("us")),
+        pa.field("log_level", pa.string()),
+        pa.field("log_message", pa.string()),
+        pa.field("rowcount", pa.decimal128(18, 0)),
+    ]
+)
+
+
+def _publish_file(dir_path: str, table: pa.Table) -> None:
+    """Append one parquet file to ``dir_path`` atomically: write under a
+    dot-prefixed temp name (invisible to readers), then os.replace to
+    the final name — a single filesystem rename."""
+    os.makedirs(dir_path, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(dir_path, "." + name + ".tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(dir_path, name))
+
+
+def _read_arrow(dir_path: str, schema: pa.Schema) -> pa.Table:
+    files = (
+        [
+            os.path.join(dir_path, f)
+            for f in os.listdir(dir_path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if os.path.isdir(dir_path)
+        else []
+    )
+    if not files:
+        return schema.empty_table()
+    return pa.concat_tables(pq.read_table(f, schema=schema) for f in files)
+
 
 class LogTables:
     """Parquet-backed job_log / job_details pair."""
@@ -64,7 +121,16 @@ class LogTables:
 
     # ------------------------------------------------------------ reads
 
+    def _recover(self, path: str) -> None:
+        """Crash recovery for the finish_run directory swap: if a crash
+        landed between 'rename target aside' and 'promote stage', the
+        previous table is still intact under .__old__ — restore it."""
+        old = path + ".__old__"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
+
     def _read_or_empty(self, path: str, schema: T.StructType) -> DataFrame:
+        self._recover(path)
         if os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path) if not f.startswith(("_", "."))
         ):
@@ -79,57 +145,94 @@ class LogTables:
 
     # ----------------------------------------------------------- writes
 
+    def _max_of(self, path: str, schema: pa.Schema, col: str) -> int:
+        self._recover(path)
+        tbl = _read_arrow(path, schema)
+        if tbl.num_rows == 0:
+            return 0
+        import pyarrow.compute as pc
+
+        return int(pc.max(tbl.column(col)).as_py() or 0)
+
     def register_run(self, script_name: str) -> int:
         """INSERT a RUNNING row and return the new run_id
-        (query_wrapper.sql:246-283 register/get_unique_run_id)."""
-        prev = self.job_log().agg(F.max("run_id")).collect()[0][0]
-        run_id = int(prev or 0) + 1
-        row = [(run_id, script_name, STATUS_RUNNING, dt.datetime.now(), None)]
-        self.spark.createDataFrame(row, JOB_LOG_SCHEMA).write.mode("append").parquet(
-            self.job_log_path
+        (query_wrapper.sql:246-283 register/get_unique_run_id).
+        Driver-side pyarrow append — no Spark job for a 1-row insert."""
+        run_id = self._max_of(self.job_log_path, _PA_JOB_LOG, "run_id") + 1
+        table = pa.Table.from_pylist(
+            [
+                {
+                    "run_id": run_id,
+                    "script_name": script_name,
+                    "status": STATUS_RUNNING,
+                    "start_time": dt.datetime.now(),
+                    "end_time": None,
+                }
+            ],
+            schema=_PA_JOB_LOG,
         )
+        _publish_file(self.job_log_path, table)
         return run_id
 
     def finish_run(self, run_id: int, ok: bool) -> None:
         """UPDATE the run's row to its final status + end_time
-        (query_wrapper.sql:163-175) via read-modify-overwrite."""
+        (query_wrapper.sql:163-175).
+
+        Single write + recoverable directory swap: the updated table is
+        written ONCE into a stage directory, the live directory is moved
+        aside (not deleted), the stage is promoted, and only then is the
+        old copy removed.  A crash at any step leaves either the old or
+        the new table readable — _recover() restores the aside copy if
+        the crash hit between the two renames.  (r1 shipped a
+        double-write with a deleted-but-not-rewritten window; this also
+        drops the two Spark jobs it paid — the update is driver-side
+        pyarrow on a metadata-scale table.)  Local-POSIX rename
+        semantics; on HDFS/S3 deployments route through the cluster's
+        atomic-commit primitive instead."""
+        self._recover(self.job_log_path)
         status = STATUS_OK if ok else STATUS_ERROR
         end = dt.datetime.now()
-        rows = [list(r) for r in self.job_log().collect()]
+        rows = _read_arrow(self.job_log_path, _PA_JOB_LOG).to_pylist()
         for r in rows:
-            if r[0] == run_id:
-                r[2] = status
-                r[4] = end
-        df = self.spark.createDataFrame([tuple(r) for r in rows], JOB_LOG_SCHEMA)
-        tmp = self.job_log_path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.schema(JOB_LOG_SCHEMA).parquet(tmp)
-        final.write.mode("overwrite").parquet(self.job_log_path)
+            if r["run_id"] == run_id:
+                r["status"] = status
+                r["end_time"] = end
+        table = pa.Table.from_pylist(rows, schema=_PA_JOB_LOG)
+
+        stage = self.job_log_path + ".__stage__"
+        old = self.job_log_path + ".__old__"
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        pq.write_table(table, os.path.join(stage, "part-00000.parquet"))
+        if os.path.isdir(self.job_log_path):
+            os.rename(self.job_log_path, old)
+        os.rename(stage, self.job_log_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def append_details(self, run_id: int, messages: list[tuple]) -> None:
         """Flush the whole message buffer in ONE append — the engine
         replacement for the reference's 100-row prepared-INSERT batching
-        (query_wrapper.sql:87-125): a Spark append is a single atomic
-        job regardless of row count."""
+        (query_wrapper.sql:87-125): one parquet file published with a
+        single atomic rename, regardless of row count."""
         if not messages:
             return
-        prev = self.job_details().agg(F.max("detail_id")).collect()[0][0]
-        base = int(prev or 0)
+        base = self._max_of(self.job_details_path, _PA_JOB_DETAILS, "detail_id")
         rows = [
-            (
-                base + i + 1,
-                run_id,
-                (
+            {
+                "detail_id": base + i + 1,
+                "run_id": run_id,
+                "log_time": (
                     dt.datetime.strptime(msg_time, "%Y-%m-%d %H:%M:%S")
                     if isinstance(msg_time, str)
                     else msg_time
                 ),
-                msg_type,
-                msg_text,
-                None if rowcount is None else Decimal(int(rowcount)),
-            )
+                "log_level": msg_type,
+                "log_message": msg_text,
+                "rowcount": None if rowcount is None else Decimal(int(rowcount)),
+            }
             for i, (msg_time, msg_type, msg_text, rowcount) in enumerate(messages)
         ]
-        self.spark.createDataFrame(rows, JOB_DETAILS_SCHEMA).write.mode("append").parquet(
-            self.job_details_path
+        _publish_file(
+            self.job_details_path, pa.Table.from_pylist(rows, schema=_PA_JOB_DETAILS)
         )

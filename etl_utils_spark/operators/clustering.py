@@ -40,14 +40,19 @@ def connected_components(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
             .agg(F.min("comp").alias("nmin"))
         )
+        # localCheckpoint TRUNCATES lineage every round — without it the
+        # plan doubles per iteration (r1 scale-killer on high-diameter
+        # chain graphs: round N's plan replays rounds 1..N-1).  Eager,
+        # so the round materializes here and the superseded round's
+        # blocks can be dropped immediately.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
@@ -55,9 +60,11 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
                 (F.col("nmin") < F.col("comp")).alias("_changed"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # superseded rounds' checkpoint blocks are released by the
+        # ContextCleaner as soon as this rebind drops the last reference
         labels = new_labels.drop("_changed")
         if changed == 0:
             break

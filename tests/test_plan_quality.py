@@ -96,3 +96,20 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert "Join" not in plan, plan[:1200]
     n_exchanges = plan.count("+- Exchange") + plan.count("   Exchange")
     assert n_exchanges == 1 and "hashpartitioning" in plan, plan[:1500]
+
+
+def test_connected_components_plan_depth_constant(spark):
+    """CC lineage must be truncated per round (localCheckpoint): on a
+    chain graph forcing many propagation rounds, the final plan must be
+    a scan of the checkpointed RDD — not a replay of every join round
+    (r1's plan doubled per iteration)."""
+    from etl_utils_spark.operators.clustering import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    labels = connected_components(chain)
+    plan = formatted_plan(labels)
+    assert "Join" not in plan, plan
+    comps = {r.comp for r in labels.collect()}
+    assert comps == {0}
