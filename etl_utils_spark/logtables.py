@@ -125,9 +125,9 @@ class LogTables:
         """Crash recovery for the finish_run directory swap: if a crash
         landed between 'rename target aside' and 'promote stage', the
         previous table is still intact under .__old__ — restore it."""
-        old = path + ".__old__"
-        if not os.path.isdir(path) and os.path.isdir(old):
-            os.rename(old, path)
+        from etl_utils_spark.fsutil import recover_dir
+
+        recover_dir(path)
 
     def _read_or_empty(self, path: str, schema: T.StructType) -> DataFrame:
         self._recover(path)
@@ -199,16 +199,13 @@ class LogTables:
                 r["end_time"] = end
         table = pa.Table.from_pylist(rows, schema=_PA_JOB_LOG)
 
+        from etl_utils_spark.fsutil import promote_dir
+
         stage = self.job_log_path + ".__stage__"
-        old = self.job_log_path + ".__old__"
         shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         pq.write_table(table, os.path.join(stage, "part-00000.parquet"))
-        if os.path.isdir(self.job_log_path):
-            os.rename(self.job_log_path, old)
-        os.rename(stage, self.job_log_path)
-        shutil.rmtree(old, ignore_errors=True)
+        promote_dir(stage, self.job_log_path)
 
     def append_details(self, run_id: int, messages: list[tuple]) -> None:
         """Flush the whole message buffer in ONE append — the engine

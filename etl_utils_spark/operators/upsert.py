@@ -42,16 +42,22 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
 
 
 def merge_write(target_path: str, source: DataFrame, key: str, fmt: str = "parquet") -> None:
-    """Materialized MERGE: read target, merge, staged overwrite.
-    Parquet has no ACID — the staged write keeps the window of
-    inconsistency to a single rename-ish overwrite (Delta/Iceberg
-    replace this with a real transaction)."""
+    """Materialized MERGE: read target, merge, write ONCE to a stage
+    directory, promote with a recoverable rename (fsutil.promote_dir —
+    no second Spark job, no leftover tmp dir, crash leaves old or new
+    table intact; Delta/Iceberg replace this with a real MERGE INTO)."""
+    from etl_utils_spark.fsutil import promote_dir, recover_dir
+
     spark = source.sparkSession
+    recover_dir(target_path)
     target = spark.read.format(fmt).load(target_path)
     merged = merge_upsert(target, source, key)
-    tmp = target_path.rstrip("/") + ".__merge_tmp__"
-    merged.write.format(fmt).mode("overwrite").save(tmp)
-    spark.read.format(fmt).load(tmp).write.format(fmt).mode("overwrite").save(target_path)
+    stage = target_path.rstrip("/") + ".__merge_stage__"
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    merged.write.format(fmt).mode("overwrite").save(stage)
+    promote_dir(stage, target_path)
 
 
 def scd2_intervals(

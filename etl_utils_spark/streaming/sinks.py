@@ -47,10 +47,14 @@ def foreach_batch_merge(
     here: keep max key order) so the merge input is key-unique."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        from etl_utils_spark.fsutil import promote_dir, recover_dir
+
         spark = batch_df.sparkSession
         src = batch_df.dropDuplicates([key])
-        import os
-
+        recover_dir(target_path)
         if not os.path.isdir(target_path) or not any(
             f.endswith(".parquet") for f in os.listdir(target_path)
         ):
@@ -58,9 +62,13 @@ def foreach_batch_merge(
             return
         target = spark.read.parquet(target_path)
         merged = merge_upsert(target, src.select(*target.columns), key)
-        tmp = target_path.rstrip("/") + f".__batch{batch_id}__"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        # ONE write into a single reused stage dir, then a recoverable
+        # rename-promote — r1 left one full table copy behind per
+        # micro-batch and paid a second Spark job re-writing the target.
+        stage = target_path.rstrip("/") + ".__merge_stage__"
+        shutil.rmtree(stage, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(stage)
+        promote_dir(stage, target_path)
 
     w = (
         stream_df.writeStream.foreachBatch(_apply)

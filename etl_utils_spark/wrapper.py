@@ -54,6 +54,14 @@ _INSERT_VALUES = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# The set-based fast path is only sound for a bare positional insert:
+# no column list (insertInto is positional) and a VALUES tuple that is
+# EXACTLY (?, ?, ..., ?) — any expression among the placeholders
+# ('VALUES (?, ? + 1)') must go through real SQL binding.
+_PURE_VALUES_TAIL = re.compile(
+    r"VALUES\s*\(\s*\?(?:\s*,\s*\?)*\s*\)\s*;?\s*$", re.IGNORECASE
+)
+
 
 class WrapperError(RuntimeError):
     pass
@@ -90,17 +98,32 @@ class Prepared:
         """Execute over a value matrix (slice [start_index:end_index],
         0-based).
 
-        Set-based fast path: a bare ``INSERT INTO t VALUES (?,...)``
-        becomes ONE DataFrame append of the whole slice. Anything else
-        falls back to per-row binding (still the reference's semantics,
-        query_wrapper.sql:287-301, early-abort on first failure)."""
+        Set-based fast path: a bare ``INSERT INTO t VALUES (?,...,?)``
+        (no column list, placeholders only) becomes ONE DataFrame
+        append of the whole slice. Anything else — column lists,
+        expressions among the placeholders, non-INSERT statements —
+        goes through per-row binding (the reference's semantics,
+        query_wrapper.sql:287-301, early-abort on first failure).
+
+        An empty value matrix with placeholders is a NO-OP returning
+        success (the reference's wrap_ps_execute loops zero times,
+        query_wrapper.sql:287-301) — common in incremental/CDC jobs;
+        only a statement with no placeholders runs once."""
         rows = (values or [])[start_index:end_index]
         if not rows:
+            if self.n_params > 0:
+                return True, []
             ok, info = self.wrapper.query(self.sql, logging=logging)
             return ok, [info]
 
-        m = _INSERT_VALUES.match(self.original_sql or self.sql)
-        if m and all(len(r) == self.n_params for r in rows):
+        src = self.original_sql or self.sql
+        m = _INSERT_VALUES.match(src)
+        if (
+            m
+            and m.group("cols") is None
+            and _PURE_VALUES_TAIL.search(src)
+            and all(len(r) == self.n_params for r in rows)
+        ):
             return self._execute_insert_batch(m.group("table"), rows, logging)
 
         results: list[QueryInfo] = []
@@ -251,9 +274,14 @@ class QueryWrapper:
         try:
             if "count" in sql_text.lower() and len(df.columns) == 1:
                 rows = df.take(2)
-                if len(rows) == 1 and isinstance(rows[0][0], (int, Decimal)):
+                if (
+                    len(rows) == 1
+                    and isinstance(rows[0][0], (int, Decimal))
+                    and not isinstance(rows[0][0], bool)
+                ):
                     return int(rows[0][0])
-                return len(rows)
+                # not a 1×1 numeric result → the heuristic does not
+                # apply; log the TRUE row count (query_wrapper.sql:51-59)
             return df.count()
         except Exception:  # noqa: BLE001 — logging must never kill the job
             return None
@@ -314,14 +342,25 @@ class QueryWrapper:
 
             with wrapper.staging("/data/dim_customer") as stage:
                 df.write.mode("overwrite").parquet(stage)
+
+        Crash-safety: the promote keeps the previous table aside until
+        the new one is live (fsutil.promote_dir); a death mid-promote
+        is repaired by fsutil.recover_dir on the next access.  The
+        renames are LOCAL-POSIX primitives — on HDFS/S3 deployments the
+        promote must route through the platform committer or a
+        Delta/Iceberg transactional replace (see fsutil docstring).
         """
         import contextlib
+        import os
         import shutil
+
+        from etl_utils_spark.fsutil import promote_dir, recover_dir
 
         wrapper = self
 
         @contextlib.contextmanager
         def _ctx():
+            recover_dir(target_path)
             stage = target_path.rstrip("/") + ".__staging__"
             shutil.rmtree(stage, ignore_errors=True)
             try:
@@ -330,15 +369,9 @@ class QueryWrapper:
                 shutil.rmtree(stage, ignore_errors=True)
                 wrapper.log("INFO", f"staging for {target_path} discarded (rollback)")
                 raise
-            import os
 
             if os.path.isdir(stage):
-                old = target_path.rstrip("/") + ".__old__"
-                shutil.rmtree(old, ignore_errors=True)
-                if os.path.isdir(target_path):
-                    os.rename(target_path, old)
-                os.rename(stage, target_path)
-                shutil.rmtree(old, ignore_errors=True)
+                promote_dir(stage, target_path)
                 wrapper.log("INFO", f"staging promoted to {target_path}")
 
         return _ctx()

@@ -135,3 +135,62 @@ def test_run_dispatch(wrapper):
     assert ok and res == 42
     with pytest.raises(WrapperError):
         wrapper.run(Steps, "no_such_fn")
+
+
+def test_prepared_insert_column_list_binds_by_name(wrapper, spark, tmp_path):
+    """'INSERT INTO t (b, a) VALUES (?, ?)' must honor the column list
+    — r1's fast path ignored it and wrote positionally-swapped values."""
+    spark.sql("DROP TABLE IF EXISTS tmp_ps_cols")
+    spark.sql(
+        "CREATE TABLE tmp_ps_cols (a INT, b STRING) USING parquet "
+        f"LOCATION '{tmp_path}/ps_cols'"
+    )
+    stmt = wrapper.prepare("INSERT INTO tmp_ps_cols (b, a) VALUES (?, ?)")
+    ok, _ = stmt.execute([["x", 1], ["y", 2]])
+    assert ok
+    got = sorted(tuple(r) for r in spark.table("tmp_ps_cols").collect())
+    assert got == [(1, "x"), (2, "y")]
+    spark.sql("DROP TABLE IF EXISTS tmp_ps_cols")
+
+
+def test_prepared_insert_expression_not_dropped(wrapper, spark, tmp_path):
+    """'VALUES (?, ? + 1)' must evaluate the expression — r1's fast
+    path silently dropped it."""
+    spark.sql("DROP TABLE IF EXISTS tmp_ps_expr")
+    spark.sql(
+        "CREATE TABLE tmp_ps_expr (a INT, b INT) USING parquet "
+        f"LOCATION '{tmp_path}/ps_expr'"
+    )
+    stmt = wrapper.prepare("INSERT INTO tmp_ps_expr VALUES (?, ? + 1)")
+    ok, _ = stmt.execute([[1, 10], [2, 20]])
+    assert ok
+    got = sorted(tuple(r) for r in spark.table("tmp_ps_expr").collect())
+    assert got == [(1, 11), (2, 21)]
+    spark.sql("DROP TABLE IF EXISTS tmp_ps_expr")
+
+
+def test_prepared_empty_batch_is_noop(wrapper, spark, tmp_path):
+    """Empty value matrix + placeholders → success without executing
+    (the reference loops zero times) — common in incremental jobs."""
+    spark.sql("DROP TABLE IF EXISTS tmp_ps_empty")
+    spark.sql(
+        "CREATE TABLE tmp_ps_empty (a INT) USING parquet "
+        f"LOCATION '{tmp_path}/ps_empty'"
+    )
+    stmt = wrapper.prepare("INSERT INTO tmp_ps_empty VALUES (?)")
+    ok, results = stmt.execute([])
+    assert ok and results == []
+    assert spark.table("tmp_ps_empty").count() == 0
+    spark.sql("DROP TABLE IF EXISTS tmp_ps_empty")
+
+
+def test_infer_rowcount_multirow_count_column(wrapper, spark):
+    """A multi-row single-column result whose text contains 'count'
+    must log the TRUE row count, not len(take(2)) == 2."""
+    ok, info = wrapper.query(
+        "SELECT c_custkey AS c_count FROM customer WHERE c_custkey <= 5"
+    )
+    assert ok
+    expected = spark.table("customer").filter("c_custkey <= 5").count()
+    assert expected > 2  # the buggy r1 path would have logged exactly 2
+    assert info.rows == expected
