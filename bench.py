@@ -25,15 +25,27 @@ def main() -> None:
 
     from etl_utils_spark.session import get_spark
 
-    spark = get_spark(app_name="etl-utils-spark-bench", cpus=cpus)
+    spark = get_spark(
+        app_name="etl-utils-spark-bench",
+        cpus=cpus,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from etl_utils_spark.queries import REGISTRY
 
-    # Self-measuring diagnostics re-run other operators on purpose;
-    # excluding them keeps the bench set stable and un-double-counted
-    # across rounds. Everything else in the registry is timed.
-    EXCLUDE = {"diag_lsh_recall", "profile_all_tables_rowcounts"}
+    # Self-measuring diagnostics/gates re-run other operators on
+    # purpose; excluding them keeps the bench set stable and
+    # un-double-counted across rounds. Everything else is timed.
+    EXCLUDE = {
+        "diag_lsh_recall",
+        "profile_all_tables_rowcounts",
+        "gate_ann_recall_floor",
+        "gate_minhash_recall_floor",
+    }
 
     # Warm the JVM + parquet footers once so per-query times measure
     # execution, not first-touch session costs.
@@ -52,17 +64,23 @@ def main() -> None:
         del n
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "declared_query_set_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    # Persist a copy, stop Spark BEFORE printing (so no JVM shutdown
+    # noise lands after it), and flush — the driver parses the LAST
+    # stdout line (r1's BENCH had parsed=null from truncated output).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+        f.write(payload + "\n")
+    spark.stop()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

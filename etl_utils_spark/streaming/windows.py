@@ -108,18 +108,30 @@ def run_stream_to_batch(
     output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into
-    a memory sink; return the sink contents as a batch DataFrame."""
+    a memory sink; return the sink contents as a batch DataFrame.
+
+    The stream runs with a LOW shuffle-partition count: every stateful
+    operator keeps one state store per shuffle partition, and on these
+    micro-batch harness runs the per-store open/commit/maintenance cost
+    dwarfs the data — 32 stores of a few KB each was measurable
+    seconds of pure overhead in r1's bench.  A production continuous
+    stream sizes this to its key cardinality instead."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.awaitTermination(timeout=300)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
