@@ -45,6 +45,8 @@ def main() -> None:
         "profile_all_tables_rowcounts",
         "gate_ann_recall_floor",
         "gate_minhash_recall_floor",
+        "gate_approx_quantiles_tolerance",
+        "gate_approx_distinct_tolerance",
     }
 
     # Warm the JVM + parquet footers once so per-query times measure

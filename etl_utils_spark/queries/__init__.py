@@ -35,17 +35,22 @@ from etl_utils_spark.queries import timeseries  # noqa: E402,F401
 # ones, plus sessionize_events whose r1 red row is fixed); everything
 # else keeps its registration order behind them.
 _WINDOW = [
+    # r1's one red row, value-correct, oracle type fixed — prove it first
     "sessionize_events",
-    "asof_purchase_last_click",
-    "sliding_window_counts",
-    "stream_tumbling_counts_live",
-    "stream_sliding_counts_live",
-    "stream_dedup_within_watermark",
-    "udf_embedding_norm",
-    "udf_grouped_mean_value",
+    # wrapper surface (cheap, no driver row in r1, all newly oracle-backed)
+    "scan_params_kv",
+    "ident_param_count",
+    "ps_insert_batch",
+    "update_joblog_status",
+    "ddl_create_schema_table",
     "catalog_list_tables",
+    "catalog_list_columns",
+    # analytics / relational surface with no driver row in r1 (cheap batch)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q2_min_balance_per_nation",
+    "q7_nation_pair_volume",
+    "q17_small_quantity_revenue",
     "subq_scalar_above_avg_price",
     "subq_in_top_nations",
     "subq_exists_multi_order_days",
@@ -63,25 +68,37 @@ _WINDOW = [
     "window_range_frame_spend",
     "fuzzy_match_part_names",
     "profile_orders_columns",
-    "q17_small_quantity_revenue",
-    "q2_min_balance_per_nation",
-    "q7_nation_pair_volume",
-    "stream_interval_join_live",
-    "stream_stateful_user_counts",
     "string_pad_case_split",
     "json_struct_parse",
     "null_handling_join_fill",
     "set_except_all_returnflags",
     "set_intersect_all_status",
-    "catalog_list_columns",
     "split_train_test_docs",
     "vocab_top_tokens",
     "pack_sequences_docs",
     "agg_cube_status_priority",
     "array_advanced_ops",
     "gap_fill_forward_events",
+    "asof_purchase_last_click",
+    "sliding_window_counts",
+    # UDF/UDTF + iterative surface (newly oracle-backed)
+    "udf_embedding_norm",
+    "udf_grouped_mean_value",
+    "udf_grouped_zscore",
+    "udtf_tokenize_docs",
+    "dedup_cluster_documents",
+    # approximate-operator quality gates (VERDICT #3/#7)
     "gate_ann_recall_floor",
     "gate_minhash_recall_floor",
+    "gate_approx_quantiles_tolerance",
+    "gate_approx_distinct_tolerance",
+    # live streaming (slowest per query — last inside the window)
+    "stream_dedup_within_watermark",
+    "stream_session_window_live",
+    "stream_tumbling_counts_live",
+    "stream_sliding_counts_live",
+    "stream_interval_join_live",
+    "stream_stateful_user_counts",
 ]
 
 

@@ -11,12 +11,48 @@ from etl_utils_spark.queries.registry import query
 from etl_utils_spark.sources.tables import load_table
 
 
-@query("dedup_cluster_documents", oracle=None)
+@query(
+    "dedup_cluster_documents",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        cc AS (
+            SELECT u AS node, u AS comp FROM edges
+            UNION
+            SELECT e.u, c.comp FROM edges e JOIN cc c ON e.v = c.node
+            WHERE c.comp < e.u
+        ),
+        labels AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+        SELECT comp, CAST(count(*) AS BIGINT) AS n_members, min(node) AS keep_id
+        FROM labels GROUP BY comp
+    """,
+)
 def dedup_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → dedup CLUSTERS via iterative min-label
     connected components (operators/clustering.py); output one row per
-    cluster with the kept representative (rows-only: iterative
-    fixpoint; invariants in tests/test_clustering.py)."""
+    cluster with the kept representative — hash-checked against a
+    DuckDB recursive-CTE transitive closure over the same exact-Jaccard
+    pair set."""
     from etl_utils_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -24,11 +60,23 @@ def dedup_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-@query("udtf_tokenize_docs", oracle=None)
+@query(
+    "udtf_tokenize_docs",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE n_chars < 150
+        )
+        SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, toks[g.i] AS token
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+        WHERE toks[g.i] != ''
+    """,
+)
 def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7c Python UDTF in LATERAL position: per-doc (pos, token) rows
-    for the shortest documents (rows-only: Python-side generator; the
-    built-in split/explode pipeline is the JVM fast path)."""
+    for the shortest documents — hash-checked against DuckDB's
+    unnest-with-index (the built-in split/explode pipeline remains the
+    JVM fast path)."""
     from etl_utils_spark.operators.py_udtf import register_udtfs
 
     register_udtfs(spark)

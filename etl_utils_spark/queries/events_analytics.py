@@ -146,11 +146,40 @@ def stream_sliding_counts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_stream_to_batch(spark, W.sliding_counts(W.read_events_stream(spark, sf_dir)))
 
 
-@query("stream_session_window_live", oracle=None)
+@query(
+    "stream_session_window_live",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS seq
+            FROM ordered
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sess
+        GROUP BY user_id, seq
+    """,
+)
 def stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10c executed as a stream with native session_window (rows-only:
-    session merge semantics are checked against the batch
-    gaps-and-islands analog in tests/test_streaming.py)."""
+    """C10c executed as a stream with native session_window —
+    hash-checked against the DuckDB gaps-and-islands analog (a merged
+    session window is [min ts, max ts + gap); windows merge only on
+    STRICT overlap, so a gap of exactly 30 min starts a new session —
+    hence >= in the oracle's is_new, vs > in sessionize_events)."""
     from etl_utils_spark.streaming import windows as W
 
     return W.run_stream_to_batch(

@@ -50,6 +50,55 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gate_approx_quantiles_tolerance",
+    oracle="SELECT 'approx_percentile_p50' AS variant, CAST(true AS BOOLEAN) AS within_2pct",
+)
+def gate_approx_quantiles_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked accuracy gate for the percentile sketch: every
+    per-priority approx p50 must land within 2% of the exact
+    percentile_approx-free median.  Deterministic (the sketch is
+    deterministic for a fixed input + accuracy), so the boolean is a
+    stable oracle at every SF."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    approx = o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_a")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_e")
+    )
+    j = approx.join(exact, "o_orderpriority")
+    bad = j.filter(
+        (F.abs(F.col("p50_a") - F.col("p50_e")) / F.col("p50_e")) > 0.02
+    ).count()
+    return spark.createDataFrame(
+        [("approx_percentile_p50", bad == 0)], "variant string, within_2pct boolean"
+    )
+
+
+@query(
+    "gate_approx_distinct_tolerance",
+    oracle="SELECT 'hll_rsd02' AS variant, CAST(true AS BOOLEAN) AS within_5pct",
+)
+def gate_approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked accuracy gate for HyperLogLog++: the rsd=0.02
+    approximate distinct customer count must land within 5% of the
+    exact count (deterministic sketch → stable boolean at every SF)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
+        F.countDistinct("o_custkey").alias("e"),
+    ).collect()[0]
+    ok = abs(row.a - row.e) / row.e <= 0.05 if row.e else True
+    return spark.createDataFrame(
+        [("hll_rsd02", ok)], "variant string, within_5pct boolean"
+    )
+
+
 @query("sample_stratified_events", oracle=None)
 def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-deterministic stratified sample: keep all errors, 10% of

@@ -49,13 +49,25 @@ def udf_grouped_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_grouped_zscore", oracle=None)
+@query(
+    "udf_grouped_zscore",
+    oracle="""
+        SELECT event_id, event_type, value,
+               CASE WHEN stddev_pop(value) OVER w > 0
+                    THEN ROUND((value - avg(value) OVER w)
+                               / stddev_pop(value) OVER w, 6)
+                    ELSE 0.0 END AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+    """,
+)
 def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7c: applyInPandas grouped-map — per-event-type z-scores
-    (rows-only: Python-side two-pass std by design; invariants in
-    tests/test_udf_multimodal.py)."""
+    """C7c: applyInPandas grouped-map — per-event-type population
+    z-scores, hash-checked against DuckDB window aggregates (round-6
+    absorbs numpy-vs-SQL summation ulps)."""
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return udfs.zscore_per_group(e, "event_type", "value")
+    z = udfs.zscore_per_group(e, "event_type", "value")
+    return z.withColumn("zscore", F.round("zscore", 6))
 
 
 @query("multimodal_image_features", oracle=None)

@@ -20,7 +20,14 @@ from etl_utils_spark.sources.tables import TABLES, load_table, register_views
 from etl_utils_spark.wrapper import QueryWrapper
 
 
-@query("scan_params_kv", oracle=None)
+@query(
+    "scan_params_kv",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('MIN_BAL', '1000'), ('REGION', 'ASIA'), ('SEGMENT', 'BUILDING')
+        ) AS t(param_name, param_value)
+    """,
+)
 def scan_params_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 load_params_from_table: first column = name, second = value
     (query_wrapper.sql:211-224); returns the loaded param state."""
@@ -34,7 +41,10 @@ def scan_params_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "param_name string, param_value string")
 
 
-@query("ident_param_count", oracle=None)
+@query(
+    "ident_param_count",
+    oracle="SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'",
+)
 def ident_param_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 identifier binding ``::NAME`` + value binding ``:NAME`` in
     one statement (query_wrapper.sql:97-98 semantics)."""
@@ -47,7 +57,15 @@ def ident_param_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return info.df
 
 
-@query("ps_insert_batch", oracle=None)
+@query(
+    "ps_insert_batch",
+    oracle="""
+        SELECT * FROM (VALUES
+            (0, 'row0'), (1, 'row1'), (2, 'row2'), (3, 'row3'), (4, 'row4'),
+            (5, 'row5'), (6, 'row6'), (7, 'row7'), (8, 'row8'), (9, 'row9')
+        ) AS t(k, label)
+    """,
+)
 def ps_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/B6 prepared bulk INSERT: ``?`` placeholders, set-based
     execution (ONE distributed append instead of the reference's
@@ -67,7 +85,15 @@ def ps_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
-@query("update_joblog_status", oracle=None)
+@query(
+    "update_joblog_status",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('job_bad', 'FINISHED WITH ERROR', true),
+            ('job_ok', 'FINISHED SUCCESSFULLY', true)
+        ) AS t(script_name, status, has_end_time)
+    """,
+)
 def update_joblog_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15/B7 job_log lifecycle: RUNNING → FINISHED (successfully /
     with error) point update (query_wrapper.sql:163-175), returned
@@ -112,7 +138,10 @@ def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,) for n in names], "table_name string")
 
 
-@query("ddl_create_schema_table", oracle=None)
+@query(
+    "ddl_create_schema_table",
+    oracle="SELECT 'demo_log' AS tables, true AS db_restored",
+)
 def ddl_create_schema_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13/B15 DDL + session-schema surface: CREATE DATABASE/TABLE IF
     NOT EXISTS, current-database snapshot/restore
@@ -126,7 +155,11 @@ def ddl_create_schema_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"USING parquet LOCATION '{loc}/t'"
     )
     spark.catalog.setCurrentDatabase("etl_demo")
-    tables_in_db = sorted(t.name for t in spark.catalog.listTables("etl_demo"))
+    # listTables(db) also returns session TEMP views — exclude them or
+    # any previously-registered fixture view leaks into the inventory
+    tables_in_db = sorted(
+        t.name for t in spark.catalog.listTables("etl_demo") if not t.isTemporary
+    )
     w.finish()  # restores the starting database
     restored = spark.catalog.currentDatabase() == start_db
     spark.sql("DROP TABLE IF EXISTS etl_demo.demo_log")
