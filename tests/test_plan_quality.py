@@ -113,3 +113,33 @@ def test_connected_components_plan_depth_constant(spark):
     assert "Join" not in plan, plan
     comps = {r.comp for r in labels.collect()}
     assert comps == {0}
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    df = _q("q6_forecast_revenue", spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_quantity" in pf and "l_discount" in pf, pf
+
+
+def test_q8_dimension_joins_broadcast(spark, sf_dir):
+    df = _q("q8_market_share", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert not has_cartesian_or_bnl(df), plan
+
+
+def test_q4_uses_semi_join(spark, sf_dir):
+    plan = formatted_plan(_q("q4_order_priority", spark, sf_dir))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
+
+
+def test_q22_anti_join_no_cartesian(spark, sf_dir):
+    df = _q("q22_sales_opportunity", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan or "left_anti" in plan.lower(), plan
+    assert not has_cartesian_or_bnl(df), plan
+
+
+def test_q10_topk_compiles_to_take_ordered(spark, sf_dir):
+    plan = formatted_plan(_q("q10_returned_items", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
