@@ -18,11 +18,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Below this many edges the graph is collected and solved driver-side
+# with union-find: near-dup graphs at any corpus size are SPARSE (edges
+# ≈ duplicate pairs, a tiny fraction of documents), so even a 100 TB
+# corpus usually lands here — and union-find is O(E α(E)) with zero job
+# launches, vs 2 Spark jobs per propagation round.  The distributed
+# loop remains the fallback for genuinely huge pair sets.
+DRIVER_SIDE_EDGE_LIMIT = 1_000_000
+
+
+def _union_find(edges: list[tuple], nodes: list) -> dict:
+    parent: dict = {n: n for n in nodes}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-label union keeps component id = min node id
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {n: find(n) for n in nodes}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_side_limit: int = DRIVER_SIDE_EDGE_LIMIT,
 ) -> DataFrame:
     """(node, component) from an undirected edge list; component id =
     min node id in the component."""
@@ -30,6 +61,22 @@ def connected_components(
     # union below reads it twice, and every propagation round reads
     # the edges
     pairs = pairs.cache()
+
+    n_edges = pairs.count()
+    if n_edges <= driver_side_limit:
+        from pyspark.sql import types as T
+
+        rows = pairs.select(src, dst).collect()
+        nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+        comp = _union_find([(r[0], r[1]) for r in rows], nodes)
+        spark = pairs.sparkSession
+        id_type = pairs.schema[src].dataType
+        schema = T.StructType(
+            [T.StructField("node", id_type), T.StructField("comp", id_type)]
+        )
+        out = spark.createDataFrame([(n, comp[n]) for n in nodes], schema)
+        pairs.unpersist()
+        return out
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))

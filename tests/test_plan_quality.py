@@ -108,7 +108,10 @@ def test_connected_components_plan_depth_constant(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long"
     )
-    labels = connected_components(chain)
+    # driver_side_limit=0 forces the DISTRIBUTED propagation loop —
+    # this test pins ITS lineage; the driver-side union-find path has
+    # no lineage to bound
+    labels = connected_components(chain, driver_side_limit=0)
     plan = formatted_plan(labels)
     assert "Join" not in plan, plan
     comps = {r.comp for r in labels.collect()}
