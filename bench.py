@@ -47,6 +47,7 @@ def main() -> None:
         "gate_minhash_recall_floor",
         "gate_approx_quantiles_tolerance",
         "gate_approx_distinct_tolerance",
+        "gate_ivf_recall_floor",
     }
 
     # Warm the JVM + parquet footers once so per-query times measure

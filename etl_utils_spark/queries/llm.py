@@ -156,6 +156,42 @@ def topk_cosine_neighbors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query("topk_cosine_neighbors_ivf", oracle=None)
+def topk_cosine_neighbors_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index (16-cell spherical-k-means
+    quantizer, 6-cell probe) — the no-replication ANN scale path
+    (rows-only: recall is probabilistic; gate_ivf_recall_floor pins
+    the quality)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=6
+    )
+
+
+@query(
+    "gate_ivf_recall_floor",
+    oracle="SELECT 'ivf_c16_p6' AS variant, CAST(true AS BOOLEAN) AS recall_ge_060",
+)
+def gate_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked quality gate for the IVF path: recall of the
+    probed top-5 against exact brute force must be ≥ 0.60 (the fixture
+    embeddings are near-uniform random — a hostile corpus for any ANN;
+    measured 0.675 @ sf0.001/0.01, 0.825 @ sf0.1).  Deterministic
+    (md5-picked init, fixed Lloyd rounds) → stable boolean oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.cosine_topk_ivf(emb, q, k=5, n_cells=16, n_probe=6).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = (n_hit / n_exact) if n_exact else 1.0
+    return spark.createDataFrame(
+        [("ivf_c16_p6", recall >= 0.60)], "variant string, recall_ge_060 boolean"
+    )
+
+
 @query(
     "gate_ann_recall_floor",
     oracle="SELECT 'hyperplane_b4_L16' AS variant, CAST(true AS BOOLEAN) AS recall_ge_080",

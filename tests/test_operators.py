@@ -61,6 +61,46 @@ def test_lsh_topk_subset_and_exact_scores(spark, sf_dir):
     assert len(brute) == 8 * 5
 
 
+def test_ivf_topk_exact_scores_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = similarity.cosine_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    b = similarity.cosine_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    full = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=10**9).collect()
+    }
+    for r in a:
+        assert abs(full[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-12
+    # each (query, neighbor) appears at most once (single-cell corpus
+    # assignment → no candidate duplication)
+    keys = [(r.query_id, r.neighbor_id) for r in a]
+    assert len(keys) == len(set(keys))
+
+
+def test_ivf_more_probes_more_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.cosine_topk_ivf(
+                emb, queries, k=5, n_cells=16, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_full = recall(16)  # probing every cell == exact
+    assert r_full == 1.0
+    assert recall(2) <= recall(6) <= 1.0
+
+
 def test_sessionize_gap_law(spark, sf_dir):
     """Within a session consecutive gaps ≤ 30min; session boundaries
     have gap > 30min."""
