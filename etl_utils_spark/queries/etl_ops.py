@@ -1,18 +1,74 @@
-"""ETL mutation-shaped queries: MERGE/upsert and SCD2 — expressed as
-pure transformations so the DuckDB oracle can check them exactly."""
+"""ETL mutation-shaped queries (MERGE/upsert, SCD2) and source/sink
+format round-trips — expressed as pure transformations (or
+write-then-read cycles over temp dirs) so the DuckDB oracle can check
+them exactly."""
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_utils_spark.operators.upsert import merge_upsert, scd2_intervals
 from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.io import read_any, write_any
 from etl_utils_spark.sources.tables import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+@query("io_csv_roundtrip", oracle="SELECT r_regionkey, r_name FROM region")
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink surface: parquet → CSV sink → CSV source (explicit
+    schema, header) must be lossless — hash-checked against the
+    original table."""
+    out = tempfile.mkdtemp(prefix="io_csv_") + "/region"
+    df = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    write_any(df, out, fmt="csv", mode="overwrite")
+    return read_any(spark, out, fmt="csv", schema=df.schema)
+
+
+@query(
+    "io_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source round-trip with explicit schema."""
+    out = tempfile.mkdtemp(prefix="io_json_") + "/nation"
+    df = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    write_any(df, out, fmt="json", mode="overwrite")
+    return read_any(spark, out, fmt="json", schema=df.schema)
+
+
+@query(
+    "io_partitioned_prune",
+    oracle="""
+        SELECT year(o_orderdate) AS order_year,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        GROUP BY order_year
+    """,
+)
+def io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink (partitionBy year) → scan with a
+    partition filter: the 100 TB layout pattern where a year filter
+    reads ~1/Nth of the files.  The aggregate over the pruned read is
+    hash-checked against the unpartitioned source."""
+    out = tempfile.mkdtemp(prefix="io_part_") + "/orders"
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_any(o, out, fmt="parquet", mode="overwrite", partition_by=["order_year"])
+    back = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    return back.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
 
 
 @query(

@@ -146,3 +146,9 @@ def test_q22_anti_join_no_cartesian(spark, sf_dir):
 def test_q10_topk_compiles_to_take_ordered(spark, sf_dir):
     plan = formatted_plan(_q("q10_returned_items", spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_io_partitioned_scan_prunes_partitions(spark, sf_dir):
+    df = _q("io_partitioned_prune", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters", 1)[1][:200], plan
