@@ -57,10 +57,12 @@ def shingles(
     The input is spread across the session's full parallelism first:
     document tables often arrive as few large files, and the
     shingle-explode is the CPU-heavy step — it must never run on a
-    handful of input-split-shaped partitions."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    handful of input-split-shaped partitions.  The repartition is
+    UNCONDITIONAL: probing df.rdd.getNumPartitions() compiles the
+    physical plan twice for a number AQE coalescing makes moot, and
+    the pre-explode rows are the smallest this pipeline will ever be —
+    one cheap shuffle before a 10-100× amplification step."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     w = F.split(F.col(text_col), " ")
     # guard: sequence(0, negative) would generate a DESCENDING range
     grams = F.when(
@@ -215,10 +217,9 @@ def simhash_bits(
 
     (doc, token, count) → for each bit j, sum(count * ±1 by bit j of
     xxhash64(token)); sign → bit. nbits aggregate expressions in ONE
-    groupBy — no row explosion, shuffle carries (doc, 64 longs)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    groupBy — no row explosion, shuffle carries (doc, 64 longs).
+    Unconditional pre-explode repartition (see shingles)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tok = df.select(
         F.col(id_col).alias("sid"), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).groupBy("sid", "token").agg(F.count(F.lit(1)).alias("cnt"))

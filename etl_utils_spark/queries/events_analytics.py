@@ -123,6 +123,70 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH stage1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        stage2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN stage1 s ON s.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > s.t1
+            GROUP BY e.user_id
+        ),
+        stage3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN stage2 s ON s.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s.t2
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, count(*) AS n_users FROM stage1
+        UNION ALL
+        SELECT '2_click_after' AS stage, count(*) AS n_users FROM stage2
+        UNION ALL
+        SELECT '3_purchase_after' AS stage, count(*) AS n_users FROM stage3
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → later click → later purchase):
+    per-stage first-event times via keyed aggregates + semi-ish joins —
+    each stage is one shuffle on user_id, no window over the full event
+    stream, no row explosion; the three stage tables shrink
+    monotonically."""
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        _count(s1, "1_view")
+        .unionByName(_count(s2, "2_click_after"))
+        .unionByName(_count(s3, "3_purchase_after"))
+    )
+
+
 # ------------------------------------------------ streaming execution
 # These run REAL Structured Streaming (readStream → AvailableNow →
 # memory sink) and return the final state as a batch DataFrame — so

@@ -84,3 +84,54 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_prep.pack_sequences(
         _t(spark, sf_dir, "documents"), budget=2048, part_col="lang"
     )
+
+
+@query(
+    "tokenize_docs_to_ids",
+    oracle="""
+        WITH counts AS (
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ) WHERE token != ''
+            GROUP BY token
+        ),
+        vocab AS (
+            SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+            FROM counts
+            QUALIFY token_id < 50
+        ),
+        exploded AS (
+            SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, toks[g.i] AS token
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE doc_id < 50) d,
+            LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+            WHERE toks[g.i] != ''
+        )
+        SELECT e.doc_id, e.pos,
+               CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
+        FROM exploded e LEFT JOIN vocab v ON v.token = e.token
+    """,
+)
+def tokenize_docs_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-apply step of a training pipeline: map every token
+    to its vocabulary id (top-50 frequency vocab, OOV → -1) via a
+    BROADCAST join — the vocab is model-scale, so tokenization is
+    map-side at any corpus size; no shuffle touches the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ml_prep.build_vocab(docs, top_k=50).select("token", "token_id")
+    toks = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("token_id"), F.lit(-1)).cast("long").alias("token_id"),
+        )
+    )
