@@ -252,6 +252,65 @@ def stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cdc_merge_live",
+    oracle="""
+        WITH target AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'
+        ),
+        updates AS (
+            SELECT user_id, event_id, ts FROM (
+                SELECT user_id, event_id, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        )
+        SELECT user_id, event_id, ts FROM updates
+        UNION ALL
+        SELECT t.user_id, t.event_id, t.ts FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.user_id = t.user_id)
+    """,
+)
+def stream_cdc_merge_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply executed as a REAL stream: a purchase stream merges
+    into a signup-seeded dimension via foreachBatch (deterministic
+    last-writer-wins per user on (ts, event_id)); the final target
+    parquet hash-matches the batch MERGE oracle.  Per-signup rows
+    survive only for users with no purchases — exactly MERGE
+    semantics (streaming/sinks.py:foreach_batch_merge)."""
+    import tempfile
+
+    from etl_utils_spark.streaming import windows as W
+    from etl_utils_spark.streaming.sinks import foreach_batch_merge
+
+    base = tempfile.mkdtemp(prefix="cdc_merge_")
+    target_path = base + "/dim_user_last_event"
+    e = _t(spark, sf_dir, "events")
+    e.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    ).write.mode("overwrite").parquet(target_path)
+
+    s = W.read_events_stream(spark, sf_dir)
+    purchases = s.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    q = foreach_batch_merge(
+        purchases,
+        target_path,
+        key="user_id",
+        checkpoint=base + "/ckpt",
+        order_cols=["ts", "event_id"],
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(target_path)
+
+
+@query(
     "stream_dedup_within_watermark",
     oracle="SELECT event_id, user_id, event_type FROM events",
 )

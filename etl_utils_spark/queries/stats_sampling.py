@@ -141,3 +141,89 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_values(m).alias("vals"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+@query(
+    "agg_grouping_sets_region_segment",
+    oracle="""
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment))
+    """,
+)
+def agg_grouping_sets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube):
+    per-region, per-segment, and per-(region, segment) aggregates in
+    one pass — Catalyst expands to a single Expand + hash aggregate,
+    not three scans."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    j.createOrReplaceTempView("gs_cust_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM gs_cust_v
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment))
+        """
+    )
+
+
+@query(
+    "histogram_order_prices",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+               count(*) AS n_orders,
+               CAST(min(o_totalprice) AS DOUBLE) AS lo,
+               CAST(max(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+        GROUP BY bucket
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order prices — the profiling primitive
+    for choosing partition bounds / detecting skew; one hash aggregate
+    on a computed bucket key."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
+@query(
+    "stats_corr_price_quantity",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(corr(l_extendedprice, l_quantity), 6)       AS corr_pq,
+               ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq,
+               ROUND(stddev_samp(l_quantity), 6)                 AS std_qty,
+               ROUND(var_samp(l_quantity), 6)                    AS var_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def stats_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: corr / covar_samp / stddev_samp /
+    var_samp per group — single-pass moment aggregates (rounded so the
+    two engines' summation orders agree)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_pq"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    )

@@ -39,21 +39,35 @@ def foreach_batch_merge(
     key: str,
     checkpoint: str,
     available_now: bool = True,
+    order_cols: list[str] | None = None,
 ):
     """Apply each micro-batch as a MERGE into ``target_path``.
 
-    The batch function deduplicates the micro-batch on the key first
-    (last-writer-wins within a batch via max precedence is arbitrary
-    here: keep max key order) so the merge input is key-unique."""
+    The batch function deduplicates the micro-batch on the key first so
+    the merge input is key-unique.  With ``order_cols`` the winner per
+    key is the row with the MAXIMUM order tuple (deterministic
+    last-writer-wins — what a CDC apply wants); without it the pick is
+    arbitrary (Spark dropDuplicates)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         import os
         import shutil
 
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         from etl_utils_spark.fsutil import promote_dir, recover_dir
 
         spark = batch_df.sparkSession
-        src = batch_df.dropDuplicates([key])
+        if order_cols:
+            w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+            src = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            src = batch_df.dropDuplicates([key])
         recover_dir(target_path)
         if not os.path.isdir(target_path) or not any(
             f.endswith(".parquet") for f in os.listdir(target_path)
