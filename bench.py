@@ -48,6 +48,7 @@ def main() -> None:
         "gate_approx_quantiles_tolerance",
         "gate_approx_distinct_tolerance",
         "gate_ivf_recall_floor",
+        "gate_stratified_fractions",
     }
 
     # Warm the JVM + parquet footers once so per-query times measure

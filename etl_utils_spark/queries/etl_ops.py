@@ -72,6 +72,57 @@ def io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_orders_lineitem",
+    oracle="""
+        SELECT o_orderkey,
+               count(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderkey
+    """,
+)
+def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both tables written
+    bucketBy(8) + sortBy on the join key, then joined WITHOUT a
+    shuffle — the layout that turns the recurring orders⋈lineitem
+    exchange into a zero-exchange sort-merge join at 100 TB (bucket
+    count would be sized to cluster parallelism there).  The joined
+    aggregate hash-matches the plain-join oracle;
+    tests/test_plan_quality.py pins the no-Exchange plan."""
+    loc = tempfile.mkdtemp(prefix="bucketed_")
+    spark.sql("DROP TABLE IF EXISTS bq_orders")
+    spark.sql("DROP TABLE IF EXISTS bq_lineitem")
+    _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1997-01-01"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", loc + "/orders"
+    ).saveAsTable("bq_orders")
+    _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", loc + "/lineitem"
+    ).saveAsTable("bq_lineitem")
+    o = spark.table("bq_orders")
+    l = spark.table("bq_lineitem")
+    out = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    rows = out.collect()
+    schema = out.schema
+    spark.sql("DROP TABLE IF EXISTS bq_orders")
+    spark.sql("DROP TABLE IF EXISTS bq_lineitem")
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
     "merge_upsert_customers",
     oracle="""
         WITH target AS (

@@ -99,6 +99,36 @@ def gate_approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "gate_stratified_fractions",
+    oracle="SELECT 'sampleBy_seed42' AS variant, CAST(true AS BOOLEAN) AS fractions_ok",
+)
+def gate_stratified_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked gate for stratified sampling: every stratum's
+    realized sample rate must land within ±0.15 absolute of its
+    requested fraction (Bernoulli sampling concentration at fixture
+    sizes), and full-keep strata must be exactly complete.
+    Deterministic: sampleBy with a fixed seed."""
+    e = _t(spark, sf_dir, "events")
+    fr = {"error": 1.0, "click": 0.1, "view": 0.1, "purchase": 0.5, "signup": 0.5}
+    sampled = sampling.stratified_sample(e, "event_type", fr, seed=42)
+    base = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r.event_type: r.n
+        for r in sampled.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    ok = True
+    for etype, frac in fr.items():
+        realized = got.get(etype, 0) / base[etype] if base.get(etype) else 0.0
+        if frac == 1.0:
+            ok &= realized == 1.0
+        else:
+            ok &= abs(realized - frac) <= 0.15
+    return spark.createDataFrame(
+        [("sampleBy_seed42", bool(ok))], "variant string, fractions_ok boolean"
+    )
+
+
 @query("sample_stratified_events", oracle=None)
 def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-deterministic stratified sample: keep all errors, 10% of
@@ -126,10 +156,21 @@ def salted_group_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.salted_group_count(_t(spark, sf_dir, "lineitem"), "l_partkey", n_salts=16)
 
 
-@query("map_funcs_events", oracle=None)
+@query(
+    "map_funcs_events",
+    oracle="""
+        SELECT event_id,
+               ['k', 'user'] AS keys,
+               [CAST(json_extract_string(props, '$.k') AS BIGINT), user_id] AS vals,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        FROM events
+    """,
+)
 def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6g map functions: build a map from JSON props, read it back
-    (rows-only: map value rendering is engine-specific)."""
+    """C6g map functions: build a map from JSON props, read it back via
+    map_keys/map_values/element_at — hash-checked through the map's
+    array projections (map literals keep insertion order, so the key
+    and value arrays are deterministic)."""
     e = _t(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("k"), F.get_json_object("props", "$.k").cast("long"),
