@@ -31,11 +31,50 @@ def split_train_test_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_prep.train_test_split(d, "doc_id", test_buckets=2, n_buckets=10)
 
 
-@query("split_leakage_safe_docs", oracle=None)
+@query(
+    "split_leakage_safe_docs",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        cc AS (
+            SELECT u AS node, u AS comp FROM edges
+            UNION
+            SELECT e.u, c.comp FROM edges e JOIN cc c ON e.v = c.node
+            WHERE c.comp < e.u
+        ),
+        labels AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+        SELECT d.doc_id, d.lang,
+               CASE WHEN
+                   (('0x' || substr(md5(CAST(COALESCE(l.comp, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 10) >= 8
+               THEN 'test' ELSE 'train' END AS split
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    """,
+)
 def split_leakage_safe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split: near-dup clusters (trigram Jaccard →
     connected components) travel together — no train/test
-    contamination (rows-only: iterative CC; invariants tested)."""
+    contamination.  Hash-checked end-to-end against a DuckDB
+    recursive-CTE closure + the same md5 bucket rule."""
     from etl_utils_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
