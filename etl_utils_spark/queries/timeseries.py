@@ -131,3 +131,39 @@ def gap_fill_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_gap"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@query(
+    "resample_ohlc_15min",
+    oracle="""
+        SELECT user_id,
+               make_timestamp(((epoch_us(ts) // 900000000) * 900000000)::BIGINT)
+                   AS bucket_start,
+               arg_min(value, ts)  AS open,
+               max(value)          AS high,
+               min(value)          AS low,
+               arg_max(value, ts)  AS close,
+               count(*)            AS n_ticks
+        FROM events
+        GROUP BY user_id, bucket_start
+    """,
+)
+def resample_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (open/high/low/close per 15-min bucket per
+    user) — the canonical time-series resample: min_by/max_by pick the
+    first/last tick WITHOUT a window sort, one hash aggregate total.
+
+    Tie-break note: min_by/arg_min on duplicate timestamps is
+    engine-arbitrary; the fixture's (user_id, ts) pairs are unique so
+    the comparison is exact."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.timestamp_micros(
+        ((F.unix_micros("ts") / 900000000).cast("long") * 900000000)
+    )
+    return e.groupBy("user_id", bucket.alias("bucket_start")).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
