@@ -124,6 +124,46 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_cohorts_weekly",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('week',
+                    CAST(f.cohort_week AS DATE),
+                    CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted distinct in each subsequent week — two shuffles total (the
+    firsts aggregate, then the cohort×offset count-distinct); the
+    firsts table joins back broadcast-or-shuffle per AQE."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    week_offset = (
+        F.datediff(
+            F.date_trunc("week", F.col("ts")).cast("date"),
+            F.col("cohort_week").cast("date"),
+        )
+        / 7
+    ).cast("long")
+    return (
+        e.join(firsts, "user_id")
+        .groupBy("cohort_week", week_offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
     "funnel_view_click_purchase",
     oracle="""
         WITH stage1 AS (
