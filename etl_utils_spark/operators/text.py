@@ -103,6 +103,67 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _alpha_tokens(text_col: str | Column) -> Column:
+    """Lowercased alphabetic tokens (regex split, empties dropped)."""
+    return F.filter(F.split(F.lower(text_col), "[^a-z]+"), lambda t: t != "")
+
+
+def bigram_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus bigram counts without a per-document window sort: the
+    adjacent-pair list is built array-side (slice + zip_with, all
+    whole-stage codegen), then a single explode + hash aggregate.  At
+    100 TB this is one shuffle on the bigram key — no doc-partitioned
+    window state."""
+    toks = _alpha_tokens(text_col)
+    n = F.size(toks)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, pair_len),
+        F.slice(toks, 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_ratio: float = 0.2
+) -> DataFrame:
+    """Gopher-style repetition quality filter: fraction of a document's
+    tokens taken by its single most frequent token; documents above
+    ``max_ratio`` are flagged for drop.  Two hash aggregates (per
+    (doc, token), then per doc) — map-side partials keep the shuffle
+    proportional to vocabulary, not corpus size."""
+    tok = df.select(id_col, F.explode(_alpha_tokens(text_col)).alias("tok"))
+    per_tok = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    ratio = F.max("c").cast("double") / F.sum("c")
+    return per_tok.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(ratio, 6).alias("top_token_ratio"),
+        (ratio < F.lit(max_ratio)).alias("keep"),
+    )
+
+
+def redact_numbers(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII-scrub shape: replace digit runs with a placeholder and count
+    redactions — the pattern generalizes to email/phone/SSN regexes.
+    Pure regexp_replace/regexp_extract_all, stays in codegen."""
+    return df.select(
+        id_col,
+        F.regexp_replace(F.col(text_col), r"[0-9]+", "<NUM>").alias("redacted"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[0-9]+"), F.lit(0))).alias(
+            "n_redactions"
+        ),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text — the exact-dedup key that is robust to spacing/case noise.

@@ -26,6 +26,7 @@ from etl_utils_spark.queries import setops_catalog  # noqa: E402,F401
 from etl_utils_spark.queries import ml_prep  # noqa: E402,F401
 from etl_utils_spark.queries import timeseries  # noqa: E402,F401
 from etl_utils_spark.queries import tpch_extra  # noqa: E402,F401
+from etl_utils_spark.queries import text_quality  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries

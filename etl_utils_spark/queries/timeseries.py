@@ -134,6 +134,39 @@ def gap_fill_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ewma_user_value",
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, event_id, value, rn, value AS ewma
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.value, s.rn,
+                   0.5 * s.value + 0.5 * r.ewma AS ewma
+            FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, value, ewma FROM r
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key sequential recurrence (EWMA, alpha=0.5) via an
+    Arrow-batched grouped-map — the stateful-op shape window frames
+    can't express.  Hash-checked against a DuckDB recursive CTE: both
+    engines evaluate ``0.5*x + 0.5*prev`` in the same IEEE order, so
+    the doubles are bit-identical (no rounding needed)."""
+    from etl_utils_spark.operators.recurrence import ewma
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return ewma(e, "user_id", "ts", "value", alpha=0.5).select(
+        "user_id", "event_id", "value", "ewma"
+    )
+
+
+@query(
     "resample_ohlc_15min",
     oracle="""
         SELECT user_id,

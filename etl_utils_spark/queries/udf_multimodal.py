@@ -79,6 +79,39 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+@query(
+    "multimodal_byte_stats",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents
+        ),
+        chars AS (
+            SELECT doc_id, i, ascii(substring(text, i, 1)) AS code FROM pos
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_bytes,
+               min(code)::INT   AS byte_min,
+               max(code)::INT   AS byte_max,
+               SUM(CASE WHEN i <= 16 THEN code ELSE 0 END)::BIGINT AS head_crc
+        FROM chars GROUP BY doc_id
+    """,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the multimodal decode path: the exact
+    integer features (byte count / min / max / 16-byte head checksum)
+    from the SAME mapInPandas fake-decode as multimodal_image_features,
+    recomputed char-by-char in SQL (the fixture text is pure ASCII, so
+    utf-8 bytes == ascii codes).  This pins the Arrow batch plumbing
+    end-to-end with a value hash, not just a row count; byte_mean stays
+    in the rows-only query (float summation-order differs by design)."""
+    media = multimodal.attach_fake_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).select(
+        "doc_id", "n_bytes", "byte_min", "byte_max", "head_crc"
+    )
+
+
 @query("multimodal_audio_features", oracle=None)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality: payload as PCM samples → RMS / zero-crossings
