@@ -180,3 +180,44 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(
         e, key="user_id", ts_col="ts", attr_cols=["event_type"], tiebreak="event_id"
     )
+
+
+@query(
+    "snapshot_time_travel",
+    oracle="""
+        SELECT 'v0' AS version, count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'latest', count(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-shaped versioned snapshots with time travel
+    (operators/snapshot.py): commit v0 (open orders), commit v1 (half
+    the rows), then read BOTH v0 (time travel past the newer commit)
+    and latest — each aggregate is hash-checked against the equivalent
+    filter on the source table, proving v0 is immutable under later
+    writes."""
+    from etl_utils_spark.operators.snapshot import SnapshotStore
+
+    store = SnapshotStore(tempfile.mkdtemp(prefix="snap_") + "/orders_snap")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice")
+    )
+    store.write_version(o)
+    store.write_version(o.filter(F.col("o_orderkey") % 2 == 0))
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        ).select(F.lit(label).alias("version"), "n_rows", "revenue")
+
+    return summarize(store.read_version(spark, 0), "v0").unionByName(
+        summarize(store.read_version(spark), "latest")
+    )

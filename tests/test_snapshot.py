@@ -1,0 +1,66 @@
+"""SnapshotStore: commit protocol, time travel, diff, crash orphans."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from etl_utils_spark.operators.snapshot import SnapshotStore
+
+
+def _store() -> SnapshotStore:
+    return SnapshotStore(tempfile.mkdtemp(prefix="snapstore_") + "/t")
+
+
+def test_versions_and_time_travel(spark):
+    s = _store()
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df1 = spark.createDataFrame([(1, "a"), (3, "c")], "id long, v string")
+    assert s.versions() == []
+    assert s.write_version(df0) == 0
+    assert s.write_version(df1) == 1
+    assert s.versions() == [0, 1]
+    # latest is v1; v0 unchanged by the later commit
+    assert {r.id for r in s.read_version(spark).collect()} == {1, 3}
+    assert {r.id for r in s.read_version(spark, 0).collect()} == {1, 2}
+
+
+def test_diff_between_versions(spark):
+    s = _store()
+    s.write_version(spark.createDataFrame([(1,), (2,), (2,)], "id long"))
+    s.write_version(spark.createDataFrame([(2,), (3,)], "id long"))
+    got = sorted((r.id, r.change) for r in s.diff(spark, 0, 1).collect())
+    # multiset semantics: one of the duplicate 2s was removed
+    assert got == [(1, "removed"), (2, "removed"), (3, "added")]
+
+
+def test_uncommitted_orphan_is_invisible(spark):
+    """A crash after the data rename but before the manifest commit
+    leaves an orphan vN that readers never see and the next writer
+    replaces."""
+    s = _store()
+    s.write_version(spark.createDataFrame([(1,)], "id long"))
+    # simulate the crash: v1 data lands, manifest never updated
+    spark.createDataFrame([(99,)], "id long").write.parquet(s._vdir(1))
+    assert s.versions() == [0]
+    assert [r.id for r in s.read_version(spark).collect()] == [1]
+    # next commit overwrites the orphan and becomes the real v1
+    s.write_version(spark.createDataFrame([(2,)], "id long"))
+    assert s.versions() == [0, 1]
+    assert [r.id for r in s.read_version(spark).collect()] == [2]
+
+
+def test_read_errors(spark):
+    s = _store()
+    try:
+        s.read_version(spark)
+        raise AssertionError("expected ValueError on empty store")
+    except ValueError:
+        pass
+    s.write_version(spark.createDataFrame([(1,)], "id long"))
+    try:
+        s.read_version(spark, 7)
+        raise AssertionError("expected ValueError on unknown version")
+    except ValueError:
+        pass
+    assert os.path.isdir(s._vdir(0))
