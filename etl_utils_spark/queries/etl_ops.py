@@ -221,3 +221,37 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(store.read_version(spark, 0), "v0").unionByName(
         summarize(store.read_version(spark), "latest")
     )
+
+
+@query(
+    "incremental_agg_refresh",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                   AS mean,
+               min(o_totalprice) AS min_value,
+               max(o_totalprice) AS max_value
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh
+    (operators/incremental.py): aggregate a base slice once, aggregate
+    only the delta slice, merge the mergeable partial states (decimal
+    sums — batch boundaries cannot perturb the result), finalize — and
+    the hash must equal a from-scratch aggregate over the full table.
+    At 100 TB the delta path touches only the new partition."""
+    from etl_utils_spark.operators.incremental import (
+        finalize,
+        merge_partials,
+        partial_aggs,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+    keys = ["o_orderstatus"]
+    base = partial_aggs(o.filter(F.col("o_orderdate") < cutoff), keys, "o_totalprice")
+    delta = partial_aggs(o.filter(F.col("o_orderdate") >= cutoff), keys, "o_totalprice")
+    return finalize(merge_partials(base, delta, keys), keys)

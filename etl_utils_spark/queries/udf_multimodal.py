@@ -121,9 +121,30 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_audio_features(media)
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, ((n_chars % 640) + 32)::INT AS width FROM documents
+        ),
+        t AS (
+            SELECT doc_id,
+                   greatest((24.0 * (width / 8.0))::BIGINT, 1) AS total
+            FROM m
+        ),
+        k AS (SELECT doc_id, total, unnest(generate_series(0, 3)) AS k FROM t)
+        SELECT doc_id, 'video/fake' AS kind,
+               floor(k * total / 4)::BIGINT AS frame_index
+        FROM k
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: metadata-only frame-sampling plan (pure Catalyst)."""
+    """Multimodal: metadata-only frame-sampling plan (pure Catalyst
+    arithmetic — no payload access), hash-checked by recomputing the
+    synthetic metadata and index formula in SQL.  floor() in the
+    oracle mirrors Spark's truncating cast-to-long (DuckDB's bare
+    double→BIGINT cast rounds; all values here are non-negative so
+    floor == truncate)."""
     media = multimodal.attach_fake_payload(_t(spark, sf_dir, "documents"))
     media = media.withColumn(
         "media_meta",

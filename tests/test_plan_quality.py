@@ -152,3 +152,32 @@ def test_io_partitioned_scan_prunes_partitions(spark, sf_dir):
     df = _q("io_partitioned_prune", spark, sf_dir)
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_ewma_single_shuffle_no_window(spark, sf_dir):
+    """The EWMA recurrence must be exactly one hash shuffle on the key
+    into the Arrow grouped-map — no window sort stage, no join."""
+    plan = formatted_plan(_q("ewma_user_value", spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan[:1200]
+    assert "Join" not in plan and "Window" not in plan, plan[:1200]
+    assert plan.count("Exchange (") == 1 and "hashpartitioning(user_id" in plan, plan[:1500]
+
+
+def test_bigrams_no_per_doc_window(spark, sf_dir):
+    """Bigram pairing is array-side (slice+zip_with): the plan must be
+    explode → hash aggregate with NO Window operator and NO join."""
+    plan = formatted_plan(_q("ngram_top_bigrams", spark, sf_dir))
+    assert "explode(zip_with" in plan, plan[:2500]
+    assert "Window" not in plan and "Join" not in plan, plan[:1200]
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_incremental_refresh_prunes_and_partials(spark, sf_dir):
+    """Both branch scans must push the date filter and read only the
+    three needed columns (at 100 TB the delta branch touches one
+    partition)."""
+    df = _q("incremental_agg_refresh", spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf, pf
+    for s in read_schema_columns(df):
+        assert s <= {"o_orderstatus", "o_orderdate", "o_totalprice"}, s
