@@ -140,3 +140,38 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = W.read_events_stream(spark, sf_dir)
     return W.run_stream_to_batch(spark, running_user_counts(s), output_mode="update")
+
+
+@query(
+    "stream_ewma_live",
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, event_id, value, rn, value AS ewma
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.value, s.rn,
+                   0.5 * s.value + 0.5 * r.ewma AS ewma
+            FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, value, ewma FROM r
+    """,
+)
+def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key EWMA executed as a REAL stream
+    (applyInPandasWithState, AvailableNow): O(1) carry state per user,
+    events folded in ts order within each micro-batch — the recurrence
+    shape Structured Streaming's built-in windows can't express.  The
+    result hash-matches the SAME recursive-CTE oracle as the batch
+    operator (streaming/stateful.py:running_ewma)."""
+    from etl_utils_spark.streaming import windows as W
+    from etl_utils_spark.streaming.stateful import running_ewma
+
+    s = W.read_events_stream(spark, sf_dir)
+    return W.run_stream_to_batch(spark, running_ewma(s), output_mode="update").select(
+        "user_id", "event_id", "value", "ewma"
+    )

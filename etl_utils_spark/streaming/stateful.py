@@ -33,6 +33,54 @@ def _update_user_counts(
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]})
 
 
+EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, value double, ewma double"
+EWMA_STATE_SCHEMA = "ew double"
+
+
+def _update_ewma(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    # state = last EWMA carried across micro-batches; absent until the
+    # key's first event.  Same literal op order as the batch operator
+    # (operators/recurrence.py) → bit-identical doubles.
+    seeded = state.exists
+    ew = state.get[0] if seeded else 0.0
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts", kind="mergesort")
+    out = []
+    for x in pdf["value"].to_numpy(dtype="float64"):
+        ew = (0.5 * x + 0.5 * ew) if seeded else float(x)
+        seeded = True
+        out.append(ew)
+    state.update((float(ew),))
+    pdf = pdf.assign(user_id=key[0], ewma=out)
+    yield pdf[["user_id", "event_id", "ts", "value", "ewma"]]
+
+
+def running_ewma(events: DataFrame) -> DataFrame:
+    """Streaming EWMA (alpha=0.5) per user: O(1) state per key (the
+    last average), each micro-batch's events folded in ts order.  On a
+    batch DataFrame falls back to the grouped-map recurrence operator
+    (same output contract)."""
+    if not events.isStreaming:
+        from etl_utils_spark.operators.recurrence import ewma
+
+        return ewma(
+            events.select("user_id", "event_id", "ts", "value"),
+            "user_id", "ts", "value", alpha=0.5,
+        )
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_user_counts(events: DataFrame) -> DataFrame:
     """Per-user running (count, value-sum) via custom state. On a
     batch DataFrame falls back to the equivalent aggregate (same

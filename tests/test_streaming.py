@@ -53,3 +53,42 @@ def test_stream_dedup_removes_duplicates(spark, sf_dir):
 def test_watermark_is_noop_on_batch(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     assert W.with_watermark(e).count() == e.count()
+
+
+def test_stream_ewma_state_carries_across_batches():
+    """The EWMA recurrence must continue from carried state when a
+    key's events arrive in separate micro-batches (the AvailableNow
+    harness runs a single batch, so this is the only coverage of the
+    cross-batch path)."""
+    import pandas as pd
+
+    from etl_utils_spark.streaming.stateful import _update_ewma
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    state = FakeState()
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+        return list(_update_ewma((7,), iter([pdf]), state))[0]
+
+    out1 = batch([(1, 100, 10.0), (2, 200, 20.0)])
+    assert list(out1["ewma"]) == [10.0, 15.0]
+    assert state.get == (15.0,)
+    # second micro-batch continues from the carried average
+    out2 = batch([(3, 300, 35.0)])
+    assert list(out2["ewma"]) == [0.5 * 35.0 + 0.5 * 15.0]
+    assert list(out2["user_id"]) == [7]
