@@ -255,3 +255,34 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = partial_aggs(o.filter(F.col("o_orderdate") < cutoff), keys, "o_totalprice")
     delta = partial_aggs(o.filter(F.col("o_orderdate") >= cutoff), keys, "o_totalprice")
     return finalize(merge_partials(base, delta, keys), keys)
+
+
+@query(
+    "io_compact_small_files",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+    """,
+)
+def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/maintenance.py): fragment the
+    events table into 32 files, compact to 4 with an atomic staged
+    promote, and aggregate the compacted copy — the hash proves the
+    rewrite is lossless.  At 100 TB this is the nightly job that keeps
+    scan task counts proportional to data, not to ingest cadence."""
+    from etl_utils_spark.sources.maintenance import compact_dir, file_count
+
+    out = tempfile.mkdtemp(prefix="compact_") + "/events"
+    e = _t(spark, sf_dir, "events")
+    e.repartition(32).write.parquet(out)
+    assert file_count(out) >= 32
+    n = compact_dir(spark, out, target_files=4)
+    assert n <= 4, n
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

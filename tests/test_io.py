@@ -38,3 +38,37 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters", 1)[1][:200]
     expected = orders.filter(F.col("order_year") == 1997).count()
     assert back.count() == expected
+
+
+def test_compact_dir_preserves_rows_and_shrinks_files(spark, tmp_path):
+    from etl_utils_spark.sources.maintenance import compact_dir, file_count
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    df.repartition(16).write.parquet(path)
+    assert file_count(path) >= 16
+    n = compact_dir(spark, path, target_files=2)
+    assert n <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg({"k": "sum"}).collect()[0][0] == 10000 * 9999 // 2
+
+
+def test_compact_dir_cluster_by_recluster(spark, tmp_path):
+    from etl_utils_spark.sources.maintenance import compact_dir
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id % 7 AS k", "id AS v")
+    df.repartition(8).write.parquet(path)
+    compact_dir(spark, path, target_files=3, cluster_by=["k"])
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    # every key lives in exactly one file after re-clustering
+    import pyspark.sql.functions as F
+
+    per_key = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("k")
+        .agg(F.countDistinct("f").alias("nf"))
+    )
+    assert per_key.agg(F.max("nf")).collect()[0][0] == 1
