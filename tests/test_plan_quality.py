@@ -156,9 +156,10 @@ def test_io_partitioned_scan_prunes_partitions(spark, sf_dir):
 
 def test_ewma_single_shuffle_no_window(spark, sf_dir):
     """The EWMA recurrence must be exactly one hash shuffle on the key
-    into the Arrow grouped-map — no window sort stage, no join."""
+    into a partition-local sort + mapInPandas scan (one Python call per
+    Arrow batch, NOT per key) — no window stage, no join."""
     plan = formatted_plan(_q("ewma_user_value", spark, sf_dir))
-    assert "FlatMapGroupsInPandas" in plan, plan[:1200]
+    assert "MapInPandas" in plan, plan[:1200]
     assert "Join" not in plan and "Window" not in plan, plan[:1200]
     assert plan.count("Exchange (") == 1 and "hashpartitioning(user_id" in plan, plan[:1500]
 
