@@ -93,14 +93,23 @@ def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     loc = tempfile.mkdtemp(prefix="bucketed_")
     spark.sql("DROP TABLE IF EXISTS bq_orders")
     spark.sql("DROP TABLE IF EXISTS bq_lineitem")
+    # repartition on the key into bucket-count partitions BEFORE the
+    # bucketed write: Spark's bucket hash is the same Murmur3 pmod, so
+    # each task then owns exactly one bucket — 8 files per table
+    # instead of (tasks × buckets) small files; prune to the columns
+    # the join needs before paying the write.
     _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "1997-01-01"
-    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+    ).select("o_orderkey").repartition(8, "o_orderkey").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").option(
         "path", loc + "/orders"
     ).saveAsTable("bq_orders")
     _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
-    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+    ).repartition(8, "l_orderkey").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).option(
         "path", loc + "/lineitem"
     ).saveAsTable("bq_lineitem")
     o = spark.table("bq_orders")
