@@ -406,3 +406,42 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS suppkey_r,
+                   SUM({_DISC}) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = suppkey_r
+        WHERE rev = (SELECT max(rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the scalar
+    max-subquery becomes a broadcast EQUI-join of the 1-row max
+    aggregate against the supplier-level revenue table (no nested-loop,
+    no global window sort), then a broadcast join to supplier names.
+    Ties on exact DECIMAL revenue are all kept, as the spec requires."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey_r"))
+        .agg(F.sum(_disc_price()).alias("rev"))
+    )
+    mx = rev.agg(F.max("rev").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.rev == mx.mx)
+    s = _t(spark, sf_dir, "supplier")
+    return top.join(s, top.suppkey_r == s.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue")
+    )

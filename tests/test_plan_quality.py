@@ -182,3 +182,11 @@ def test_incremental_refresh_prunes_and_partials(spark, sf_dir):
     assert "o_orderdate" in pf, pf
     for s in read_schema_columns(df):
         assert s <= {"o_orderstatus", "o_orderdate", "o_totalprice"}, s
+
+
+def test_q15_max_subquery_is_broadcast_hash_join(spark, sf_dir):
+    """The Q15 scalar-max filter must compile to broadcast HASH joins
+    (equi-join on the max value) — no nested-loop, no cartesian."""
+    df = _q("q15_top_supplier", spark, sf_dir)
+    assert not has_cartesian_or_bnl(df), formatted_plan(df)[:1500]
+    assert has_broadcast_join(df)
