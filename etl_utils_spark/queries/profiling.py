@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_utils_spark.operators.profile import profile_table
 from etl_utils_spark.queries.registry import query
@@ -53,3 +54,44 @@ def profile_all_tables_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             profile_table(load_table(spark, sf_dir, t)).withColumn("table", F.lit(t))
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
+    "table_fingerprint_orders",
+    oracle="""
+        WITH d AS (
+            SELECT md5(concat_ws('|',
+                CAST(o_orderkey AS VARCHAR),
+                CAST(o_custkey AS VARCHAR),
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                o_orderstatus,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR))) AS digest
+            FROM orders
+        )
+        SELECT count(*) AS n_rows,
+               count(DISTINCT digest) AS n_distinct_rows,
+               min(digest) AS min_digest,
+               max(digest) AS max_digest
+        FROM d
+    """,
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine reconciliation fingerprint
+    (operators/validation.py): order-independent count / distinct /
+    min-max over canonical per-row md5 digests — both engines derive
+    the digest from identical string renderings (floats via DECIMAL,
+    timestamps via DATE), so equal summaries certify a migrated copy
+    without moving data."""
+    from etl_utils_spark.operators.validation import table_fingerprint
+
+    o = load_table(spark, sf_dir, "orders")
+    return table_fingerprint(
+        o,
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_totalprice").cast("decimal(18,2)"),
+            F.col("o_orderstatus"),
+            F.col("o_orderdate").cast("date"),
+        ],
+    )

@@ -165,3 +165,21 @@ def test_asof_tolerance(spark, sf_dir):
 def test_exact_dedup_generic(spark, sf_dir):
     d = _docs(spark, sf_dir)
     assert dedup.exact_dedup(d, ["lang"]).count() == d.select("lang").distinct().count()
+
+
+def test_table_fingerprint_order_independent_and_null_safe(spark):
+    from etl_utils_spark.operators.validation import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "2"), (1, "a")], "k int, v string"
+    )
+    a = table_fingerprint(df, ["k", "v"]).collect()[0]
+    b = table_fingerprint(df.orderBy("v").repartition(5), ["k", "v"]).collect()[0]
+    assert a == b  # partitioning/order independent
+    assert a.n_rows == 4 and a.n_distinct_rows == 3
+    # (2, NULL) and (NULL, '2') must digest differently
+    mixed = spark.createDataFrame([(2, None)], "k int, v string")
+    swapped = spark.createDataFrame([(None, "2")], "k int, v string")
+    d1 = table_fingerprint(mixed, ["k", "v"]).collect()[0].min_digest
+    d2 = table_fingerprint(swapped, ["k", "v"]).collect()[0].min_digest
+    assert d1 != d2
