@@ -175,3 +175,32 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_stream_to_batch(spark, running_ewma(s), output_mode="update").select(
         "user_id", "event_id", "value", "ewma"
     )
+
+
+@query(
+    "stream_static_enrich_live",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join executed as a real stream: each
+    micro-batch broadcast-joins the static customer dimension (no
+    stream-side state, no watermark needed — the 100 TB pattern for
+    dimension lookup on an event firehose), then a keyed aggregate.
+    The final counts hash-match the batch join oracle."""
+    from etl_utils_spark.sources.tables import load_table
+    from etl_utils_spark.streaming import windows as W
+
+    s = W.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = s.join(F.broadcast(dim), s.user_id == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return W.run_stream_to_batch(spark, agg, output_mode="complete")

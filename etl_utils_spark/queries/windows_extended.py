@@ -127,3 +127,38 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     dist = F.levenshtein("p_brand", F.lit("Brand#33"))
     return p.select("p_partkey", dist.alias("brand_dist")).filter(dist <= 2)
+
+
+@query(
+    "window_rolling_median_spikes",
+    oracle="""
+        SELECT user_id, event_id, value,
+               round(median(value) OVER w, 6) AS rolling_med,
+               value > 2 * round(median(value) OVER w, 6) AS is_spike
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_median_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median (10-row trailing frame per user) with a
+    spike flag — the robust-statistics anomaly pattern.  Spark's exact
+    percentile(0.5) and DuckDB's median both linear-interpolate; the
+    probe over all sf0.01 rows showed round-6 equality, and the flag
+    compares against the ROUNDED median in both engines so the
+    boolean cannot straddle the rounding."""
+    e = _t(spark, sf_dir, "events")
+    med = F.round(
+        F.expr(
+            "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+        ),
+        6,
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        med.alias("rolling_med"),
+        (F.col("value") > 2 * med).alias("is_spike"),
+    )
