@@ -49,6 +49,7 @@ def main() -> None:
         "gate_approx_distinct_tolerance",
         "gate_ivf_recall_floor",
         "gate_stratified_fractions",
+        "gate_freq_items_contains_mode",
     }
 
     # Warm the JVM + parquet footers once so per-query times measure

@@ -6,7 +6,7 @@ etl_utils_spark/streaming/; these batch forms are their oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_utils_spark.operators.sessionize import asof_join, session_stats
@@ -366,3 +366,47 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id", "user_id", "event_type"
     )
     return W.run_stream_to_batch(spark, out, output_mode="append")
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT event_type, next_type, count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        )
+        SELECT event_type, next_type, n,
+               ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+        FROM pairs
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs adjacent events, one hash aggregate counts
+    transitions, a tiny window normalizes rows into probabilities —
+    the session-flow model behind next-action prediction.  The heavy
+    shuffle is the per-user window; the normalization window runs on
+    the aggregated (type × type) matrix, which is constant-size at any
+    data scale."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = (
+        e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )

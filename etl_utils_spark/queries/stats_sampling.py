@@ -268,3 +268,25 @@ def stats_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
     )
+
+
+@query("gate_freq_items_contains_mode", oracle="SELECT TRUE AS contains_true_mode")
+def gate_freq_items_contains_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for DataFrame.stat.freqItems (Karp heavy-hitter
+    sketch): the TRUE modal event_type (computed exactly in the same
+    query) must appear in the sketch's candidate list.  support=0.05
+    gives the sketch 20 slots against a 5-value domain, so the gate is
+    deterministic under any partitioning."""
+    e = _t(spark, sf_dir, "events")
+    candidates = set(
+        e.stat.freqItems(["event_type"], support=0.05).collect()[0][0]
+    )
+    mode_row = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(1)
+        .collect()[0]
+    )
+    ok = mode_row.event_type in candidates
+    return spark.createDataFrame([(bool(ok),)], "contains_true_mode boolean")
