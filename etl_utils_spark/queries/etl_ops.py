@@ -295,3 +295,58 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "point_in_time_join_purchases",
+    oracle="""
+        WITH dedup AS (
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            ) WHERE prev_type IS NULL OR event_type != prev_type
+        ),
+        hist AS (
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS valid_to
+            FROM dedup
+        ),
+        p AS (
+            SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id, p.event_id, p.ts, h.event_type AS state_at_ts
+        FROM p JOIN hist h
+          ON h.user_id = p.user_id
+         AND h.valid_from <= p.ts
+         AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def point_in_time_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase event looks up the
+    SCD2 interval valid at its timestamp — equi-join on the entity key
+    with the interval bounds as post-join range predicates (sort-merge
+    on user_id, never a cartesian).  The warehouse pattern for
+    'attribute as of the transaction time' against a type-2 dimension
+    (operators/upsert.py:scd2_intervals)."""
+    e = _t(spark, sf_dir, "events")
+    hist = scd2_intervals(
+        e, key="user_id", ts_col="ts", attr_cols=["event_type"], tiebreak="event_id"
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("state_at_ts"),
+        "valid_from",
+        "valid_to",
+    )
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    cond = (
+        (p.user_id == hist.h_user)
+        & (hist.valid_from <= p.ts)
+        & (hist.valid_to.isNull() | (p.ts < hist.valid_to))
+    )
+    return p.join(hist, cond).select("user_id", "event_id", "ts", "state_at_ts")

@@ -174,3 +174,38 @@ def tokenize_docs_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("token_id"), F.lit(-1)).cast("long").alias("token_id"),
         )
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                       / 127.0 AS scale
+            FROM embeddings
+        )
+        SELECT e.vec_id,
+               ROUND(s.scale, 9) AS scale,
+               list_transform(e.embedding::DOUBLE[],
+                              x -> CAST(floor(x / s.scale + 0.5) AS INTEGER)) AS q
+        FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scale) — the storage/bandwidth step before shipping vectors
+    to an ANN index; 4× smaller than float32, pure higher-order array
+    functions (no Python).  floor(x/scale + 0.5) is used on BOTH
+    engines instead of round() so half-way ties break identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xs, F.abs)) / 127.0
+    return (
+        emb.select("vec_id", xs.alias("xs"), scale.alias("scale"))
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            F.transform("xs", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")).alias("q"),
+        )
+    )
