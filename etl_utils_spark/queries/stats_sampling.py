@@ -290,3 +290,50 @@ def gate_freq_items_contains_mode(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     ok = mode_row.event_type in candidates
     return spark.createDataFrame([(bool(ok),)], "contains_true_mode boolean")
+
+
+@query(
+    "winsorized_order_prices",
+    oracle="""
+        WITH b AS (
+            SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+                   quantile_cont(o_totalprice, 0.99) AS p99
+            FROM orders
+        )
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS raw_mean,
+               CAST(SUM(CAST(CASE WHEN o_totalprice < p01 THEN p01
+                                  WHEN o_totalprice > p99 THEN p99
+                                  ELSE o_totalprice END
+                             AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS winsorized_mean,
+               CAST(SUM(CASE WHEN o_totalprice < p01 OR o_totalprice > p99
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM orders, b
+    """,
+)
+def winsorized_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean: clip prices at the exact p01/p99
+    percentiles, then compare raw vs clipped means.  Spark's
+    percentile() and DuckDB's quantile_cont are BIT-identical on this
+    data (verified), so the clip classification agrees row-for-row;
+    both means ride on decimal sums (summation order irrelevant).  The
+    two scalar bounds are fetched driver-side and embedded as literals
+    (the repo's scalar pattern — a 1-row joined frame folds into a
+    nested-loop join and would trip the no-cartesian plan gate)."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = o.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    ).collect()[0]
+    p01, p99 = F.lit(bounds.p01), F.lit(bounds.p99)
+    price = F.col("o_totalprice")
+    clipped = F.when(price < p01, p01).when(price > p99, p99).otherwise(price)
+    n = F.count(F.lit(1))
+    return o.agg(
+        (F.sum(price.cast("decimal(18,2)")).cast("double") / n).alias("raw_mean"),
+        (F.sum(clipped.cast("decimal(18,6)")).cast("double") / n).alias(
+            "winsorized_mean"
+        ),
+        F.sum(((price < p01) | (price > p99)).cast("long")).alias("n_clipped"),
+    )
