@@ -328,3 +328,70 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def cdc_chunk_digests(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mod: int = 61,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    the trailing ``window``-byte sum ≡ 0 (mod ``mod``) — boundaries
+    depend ONLY on local content, so an insertion early in a document
+    shifts at most one chunk (the property fixed-size chunking lacks),
+    and identical passages in different documents produce identical
+    chunk digests.  Expected chunk length ≈ ``mod`` bytes.
+
+    Sub-document dedup is what doc-level fingerprints miss: shared
+    boilerplate/quotes surface as duplicate chunk digests across
+    otherwise-distinct documents.
+
+    Each byte is mixed first (Knuth multiplicative hash mod a prime)
+    — a raw byte-sum boundary almost never fires on natural-language
+    alphabets (residues cluster); mixing restores ~1/mod boundary
+    density while staying position-independent.
+
+    Implementation is an Arrow-batched mapInPandas scan (numpy cumsum
+    for the sliding sums, md5 per chunk) — narrow, no shuffle; one
+    Python call per batch.  The arithmetic is exact integers over
+    ASCII bytes, so a SQL engine computing the same window sum and
+    md5(substring) reproduces the digests byte-for-byte (the DuckDB
+    oracle does exactly that)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("chunk_digest", T.StringType()),
+        ]
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            ids, digs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = text.encode("utf-8")
+                n = len(b)
+                if n == 0:
+                    continue
+                codes = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                mixed = (codes * 2654435761) % 1000003
+                cs = np.concatenate(([0], np.cumsum(mixed)))
+                # trailing-window sums for 1-based positions i >= window
+                wsum = cs[window:] - cs[:-window]
+                bpos = (np.nonzero(wsum % mod == 0)[0] + window).tolist()
+                starts = [1] + [p for p in bpos if p != 1]
+                starts = sorted(set(starts))
+                for k, s in enumerate(starts):
+                    e = starts[k + 1] if k + 1 < len(starts) else n + 1
+                    digs.append(hashlib.md5(b[s - 1 : e - 1]).hexdigest())
+                    ids.append(int(doc_id))
+            yield pd.DataFrame({id_col: ids, "chunk_digest": digs})
+
+    return df.select(id_col, text_col).mapInPandas(_run, schema)

@@ -337,3 +337,64 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content md5 fingerprint (operators/text.py)."""
     return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_chunks_cdc",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents
+        ),
+        chars AS (
+            SELECT doc_id, text, i,
+                   (ascii(substring(text, i, 1)) * 2654435761) % 1000003
+                       AS code
+            FROM pos
+        ),
+        rolled AS (
+            SELECT doc_id, text, i,
+                   SUM(code) OVER w AS h,
+                   count(*) OVER w AS wlen
+            FROM chars
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        ),
+        bounds AS (
+            SELECT doc_id, text, i AS bpos
+            FROM rolled WHERE (wlen = 8 AND h % 61 = 0) OR i = 1
+        ),
+        spans AS (
+            SELECT doc_id,
+                   md5(substring(text, bpos,
+                       COALESCE(lead(bpos) OVER (
+                                    PARTITION BY doc_id ORDER BY bpos),
+                                length(text) + 1) - bpos)) AS chunk_digest
+            FROM bounds
+        )
+        SELECT count(*) AS total_chunks,
+               count(DISTINCT chunk_digest) AS distinct_chunks,
+               ROUND(1.0 - count(DISTINCT chunk_digest)::DOUBLE / count(*), 6)
+                   AS dup_ratio
+        FROM spans
+    """,
+)
+def dedup_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup via content-defined chunking
+    (operators/dedup.py:cdc_chunk_digests): boundaries where the
+    trailing 8-byte MIXED sum ≡ 0 (mod 61), chunk digests md5'd, corpus
+    duplicate-chunk ratio reported — shared boilerplate across
+    otherwise-distinct documents, invisible to doc-level fingerprints.
+    The mapInPandas scan reproduces the SQL window-sum + md5(substring)
+    byte-for-byte (exact integer arithmetic on ASCII bytes)."""
+    from etl_utils_spark.operators.dedup import cdc_chunk_digests
+
+    chunks = cdc_chunk_digests(_t(spark, sf_dir, "documents"))
+    return chunks.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct("chunk_digest").alias("distinct_chunks"),
+        F.round(
+            1.0 - F.countDistinct("chunk_digest").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )

@@ -59,3 +59,20 @@ def test_redact_numbers(spark):
     got = {r.doc_id: r for r in redact_numbers(df).collect()}
     assert got[1].redacted == "call <NUM> <NUM> now" and got[1].n_redactions == 2
     assert got[2].redacted == "no digits" and got[2].n_redactions == 0
+
+
+def test_cdc_chunks_are_insertion_local(spark):
+    """Content-defined boundaries depend only on local bytes: editing
+    the head of a long document must leave most chunk digests intact
+    (fixed-size chunking would shift every subsequent chunk)."""
+    from etl_utils_spark.operators.dedup import cdc_chunk_digests
+
+    base = " ".join(f"tok{i}w{(i * 7) % 97}" for i in range(200))
+    edited = "X" + base
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    rows = cdc_chunk_digests(df).collect()
+    a = {r.chunk_digest for r in rows if r.doc_id == 1}
+    b = {r.chunk_digest for r in rows if r.doc_id == 2}
+    assert len(a) > 3
+    # the overwhelming majority of chunks survive the head edit
+    assert len(a & b) / len(a) > 0.7, (len(a), len(a & b))
