@@ -92,6 +92,29 @@ class SnapshotStore:
             raise ValueError(f"version {version} not committed (have {committed})")
         return spark.read.parquet(self._vdir(version))
 
+    def expire(self, keep_last: int) -> list[int]:
+        """Retention: drop all but the newest ``keep_last`` versions
+        (metadata first — a crash after the manifest commit leaves
+        orphan dirs that readers already cannot see; data dirs are
+        deleted only after the new manifest is durable).  Returns the
+        expired version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        committed = self.versions()
+        expired, kept = committed[:-keep_last], committed[-keep_last:]
+        if not expired:
+            return []
+        manifest = {"versions": kept}
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)
+        for v in expired:
+            shutil.rmtree(self._vdir(v), ignore_errors=True)
+        return expired
+
     def diff(self, spark: SparkSession, v_old: int, v_new: int) -> DataFrame:
         """Row-level diff between two snapshots: each row tagged
         'added' or 'removed' (multiset semantics via exceptAll)."""

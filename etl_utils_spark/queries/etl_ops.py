@@ -350,3 +350,44 @@ def point_in_time_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (hist.valid_to.isNull() | (p.ts < hist.valid_to))
     )
     return p.join(hist, cond).select("user_id", "event_id", "ts", "state_at_ts")
+
+
+@query(
+    "io_schema_evolution",
+    oracle="""
+        WITH unioned AS (
+            SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT COALESCE(o_orderstatus, '<legacy>') AS status,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM unioned GROUP BY 1
+    """,
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an old batch written
+    without a column, a newer batch with it, read together via
+    mergeSchema — legacy rows surface as NULLs, coalesced to a
+    sentinel.  The operational reality of a year-old 100 TB table
+    whose producers added fields along the way; the aggregate over the
+    merged read is hash-checked against an explicit NULL-padded
+    union."""
+    root = tempfile.mkdtemp(prefix="io_evo_") + "/orders"
+    o = _t(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.parquet(root + "/batch=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.parquet(root + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy(
+        F.coalesce("o_orderstatus", F.lit("<legacy>")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )

@@ -64,3 +64,17 @@ def test_read_errors(spark):
     except ValueError:
         pass
     assert os.path.isdir(s._vdir(0))
+
+
+def test_expire_keeps_newest_and_next_write_continues_numbering(spark):
+    s = _store()
+    for v in range(4):
+        s.write_version(spark.createDataFrame([(v,)], "id long"))
+    assert s.expire(keep_last=2) == [0, 1]
+    assert s.versions() == [2, 3]
+    assert not os.path.isdir(s._vdir(0)) and not os.path.isdir(s._vdir(1))
+    assert [r.id for r in s.read_version(spark, 2).collect()] == [2]
+    # numbering continues after the retained tail
+    assert s.write_version(spark.createDataFrame([(9,)], "id long")) == 4
+    assert s.versions() == [2, 3, 4]
+    assert s.expire(keep_last=5) == []
