@@ -398,3 +398,53 @@ def dedup_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("chunk_digest").cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_ratio"),
     )
+
+
+@query(
+    "dedup_graph_degree_hist",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 2)) AS i
+            ) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+        ),
+        deg AS (
+            SELECT doc_id, count(*) AS degree FROM (
+                SELECT id_a AS doc_id FROM pairs
+                UNION ALL
+                SELECT id_b AS doc_id FROM pairs
+            ) GROUP BY doc_id
+        )
+        SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+    """,
+)
+def dedup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-duplicate pair graph: how many
+    documents have k near-dup neighbors — the connectivity profile
+    checked BEFORE running connected components (a heavy-tailed degree
+    histogram warns of hub documents that would collapse clusters and
+    skew the CC shuffle).  Reuses the exact-Jaccard inverted-index
+    pair join; the histogram itself is two tiny aggregates."""
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -78,3 +78,26 @@ def test_expire_keeps_newest_and_next_write_continues_numbering(spark):
     assert s.write_version(spark.createDataFrame([(9,)], "id long")) == 4
     assert s.versions() == [2, 3, 4]
     assert s.expire(keep_last=5) == []
+
+
+def test_foreachbatch_commits_snapshot_versions(spark, sf_dir):
+    """Streaming → versioned-table integration: each micro-batch lands
+    as one committed snapshot version (the CDC-history pattern: time
+    travel across ingest batches)."""
+    from etl_utils_spark.sources.tables import load_table
+    from etl_utils_spark.streaming import windows as W
+
+    s = _store()
+    stream = W.read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: s.write_version(df))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="snap_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert s.versions(), "no snapshot version committed"
+    total = sum(
+        s.read_version(spark, v).count() for v in s.versions()
+    )
+    assert total == load_table(spark, sf_dir, "events").count()
