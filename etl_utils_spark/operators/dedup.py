@@ -369,12 +369,13 @@ def cdc_chunk_digests(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("chunk_digest", T.StringType()),
+            T.StructField("chunk_len", T.LongType()),
         ]
     )
 
     def _run(batches):
         for pdf in batches:
-            ids, digs = [], []
+            ids, digs, lens = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 b = text.encode("utf-8")
                 n = len(b)
@@ -392,6 +393,7 @@ def cdc_chunk_digests(
                     e = starts[k + 1] if k + 1 < len(starts) else n + 1
                     digs.append(hashlib.md5(b[s - 1 : e - 1]).hexdigest())
                     ids.append(int(doc_id))
-            yield pd.DataFrame({id_col: ids, "chunk_digest": digs})
+                    lens.append(e - s)
+            yield pd.DataFrame({id_col: ids, "chunk_digest": digs, "chunk_len": lens})
 
     return df.select(id_col, text_col).mapInPandas(_run, schema)

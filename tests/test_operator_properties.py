@@ -75,3 +75,88 @@ def test_merge_laws_random(spark_prop, target_kv, source_kv):
         ).collect()
     }
     assert merged2 == merged
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # key
+        st.integers(min_value=0, max_value=10_000),  # order (unique overall)
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(series_strategy)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ewma_laws_random(spark_prop, rows):
+    """EWMA invariants for ANY series: each output lies within the
+    running [min, max] of its key's prefix, and the first value per
+    key is the value itself."""
+    from etl_utils_spark.operators.recurrence import ewma
+
+    df = spark_prop.createDataFrame(rows, "k long, t long, value double")
+    out = sorted(
+        ((r.k, r.t, r.value, r.ewma) for r in ewma(df, "k", "t", "value").collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    prefix: dict[int, list[float]] = {}
+    for k, t, v, ew in out:
+        seen = prefix.setdefault(k, [])
+        if not seen:
+            assert ew == v
+        seen.append(v)
+        assert min(seen) - 1e-9 <= ew <= max(seen) + 1e-9
+
+
+money_kv_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        # DECIMAL(18,2) state: values must stay money-scaled
+        st.integers(min_value=-(10**9), max_value=10**9),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(money_kv_strategy, money_kv_strategy)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_incremental_merge_law_random(spark_prop, part_a, part_b):
+    """Incremental-refresh law: aggregating two arbitrary slices
+    separately and merging the partial states must equal aggregating
+    the union from scratch — for ANY split."""
+    from etl_utils_spark.operators.incremental import (
+        finalize,
+        merge_partials,
+        partial_aggs,
+    )
+
+    a = part_a or [(0, 1)]
+    b = part_b or [(1, 2)]
+    fa = spark_prop.createDataFrame(a, "k long, v long")
+    fb = spark_prop.createDataFrame(b, "k long, v long")
+    merged = finalize(
+        merge_partials(partial_aggs(fa, ["k"], "v"), partial_aggs(fb, ["k"], "v"), ["k"]),
+        ["k"],
+    )
+    scratch = finalize(partial_aggs(fa.unionByName(fb), ["k"], "v"), ["k"])
+    as_map = lambda df: {
+        r.k: (r.n_rows, r.total, r.min_value, r.max_value) for r in df.collect()
+    }
+    assert as_map(merged) == as_map(scratch)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=400))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cdc_chunks_partition_document(spark_prop, text):
+    """CDC chunking must PARTITION the document: chunk lengths sum to
+    the byte length for any ASCII text (no gaps, no overlaps)."""
+    from etl_utils_spark.operators.dedup import cdc_chunk_digests
+
+    df = spark_prop.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = cdc_chunk_digests(df).collect()
+    assert sum(r.chunk_len for r in rows) == len(text.encode())
+    assert all(r.chunk_len > 0 for r in rows)
