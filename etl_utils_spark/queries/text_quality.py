@@ -87,3 +87,59 @@ def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction count — pure regexp codegen, the template for
     email/phone scrubbing at corpus scale."""
     return text.redact_numbers(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "lm_bigram_doc_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t
+        ),
+        db AS (
+            SELECT doc_id, toks[i] AS w1,
+                   toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM idx
+        ),
+        B AS (SELECT bigram, count(*) AS nb FROM db GROUP BY bigram),
+        U AS (SELECT w1, count(*) AS nu FROM db GROUP BY w1)
+        SELECT doc_id, ROUND(AVG(ln(nb::DOUBLE / nu)), 6) AS avg_loglik
+        FROM db JOIN B USING (bigram) JOIN U USING (w1)
+        GROUP BY doc_id
+    """,
+)
+def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality score: per-document average
+    log-likelihood under the corpus's own MLE bigram model — the
+    classic fluency/outlier filter (documents whose transitions are
+    rare in the corpus score low).  Train and score in one pipeline:
+    bigram + unigram count tables (two hash aggregates on the same
+    exploded pairs, vocabulary-sized) joined back to the per-doc
+    pairs.  Probed: Spark's and DuckDB's ln() agree to round-6 over
+    every fixture document."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    n = F.size(toks)
+    pl = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, pl), F.slice(toks, 2, pl),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    db = d.select("doc_id", F.explode(bigrams).alias("bigram")).withColumn(
+        "w1", F.split("bigram", " ")[0]
+    )
+    big_counts = db.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
+    uni_counts = db.groupBy("w1").agg(F.count(F.lit(1)).alias("nu"))
+    joined = db.join(big_counts, "bigram").join(uni_counts, "w1")
+    return joined.groupBy("doc_id").agg(
+        F.round(F.avg(F.log(F.col("nb").cast("double") / F.col("nu"))), 6).alias(
+            "avg_loglik"
+        )
+    )
