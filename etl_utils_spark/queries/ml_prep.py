@@ -209,3 +209,42 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("xs", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")).alias("q"),
         )
     )
+
+
+@query(
+    "embedding_label_stats",
+    oracle="""
+        WITH dims AS (
+            SELECT label, g.i AS dim, embedding[g.i]::DOUBLE AS x
+            FROM embeddings, generate_series(1, 64) AS g(i)
+        ),
+        per_dim AS (
+            SELECT label, dim, AVG(x) AS mu, var_pop(x) AS v
+            FROM dims GROUP BY label, dim
+        )
+        SELECT label,
+               ROUND(SUM(v), 6) AS trace_var,
+               ROUND(SUM(CASE WHEN dim = 1 THEN mu ELSE 0 END), 6) AS mu_d1
+        FROM per_dim GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding statistics: variance trace (total spread
+    around the class centroid) and the centroid's first coordinate —
+    the drift/compactness monitor for a labeled vector corpus.  One
+    posexplode (64 rows per vector, all JVM) and two hash aggregates;
+    at 100 TB the shuffle key is (label, dim) — cardinality
+    classes × 64, independent of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x"))
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.avg("x").alias("mu"), F.var_pop("x").alias("v")
+    )
+    return per_dim.groupBy("label").agg(
+        F.round(F.sum("v"), 6).alias("trace_var"),
+        F.round(
+            F.sum(F.when(F.col("dim") == 1, F.col("mu")).otherwise(0.0)), 6
+        ).alias("mu_d1"),
+    )
