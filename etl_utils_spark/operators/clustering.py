@@ -126,3 +126,44 @@ def dedup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("keep_id"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over an undirected edge list (both directions added),
+    per-node form pr = (1-d) + d * Σ pr(u)/deg(u): ranks average 1, so
+    scores are comparable across graph sizes — the hub-importance
+    score for near-dup graphs (which documents anchor the most
+    duplicate mass).
+
+    Each iteration is one join + one aggregate on the edge partitioning;
+    lineage is truncated with localCheckpoint every ``checkpoint_every``
+    rounds (the same bound as connected_components — plan depth stays
+    constant no matter the iteration count).  Returns (node, pr)."""
+    und = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    und = und.repartition("src").localCheckpoint(eager=True)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    d = float(damping)
+    for i in range(iterations):
+        contribs = (
+            und.join(pr, und.src == pr.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("w"))
+        )
+        pr = contribs.groupBy("node").agg(
+            (F.lit(1.0 - d) + d * F.sum("w")).alias("pr")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            pr = pr.localCheckpoint(eager=True)
+    return pr

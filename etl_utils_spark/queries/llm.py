@@ -448,3 +448,17 @@ def dedup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query("pagerank_dedup_graph", oracle=None)
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub scores for the near-duplicate graph via PageRank
+    (operators/clustering.py:pagerank, 10 iterations, checkpointed
+    lineage) — which documents anchor the most duplicate mass; the
+    triage order for manual dedup review.  Rows-only by design
+    (iterative fixpoint — not SQL-expressible); invariants (rank sum,
+    symmetry, hub ordering) are pinned in tests/test_clustering.py."""
+    from etl_utils_spark.operators.clustering import pagerank
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    return pagerank(pairs.select("id_a", "id_b"))

@@ -59,3 +59,25 @@ def test_stateful_stream_matches_batch(spark, sf_dir):
     )
     batch = running_user_counts(load_table(spark, sf_dir, "events"))
     assert sorted(tuple(r) for r in live.collect()) == sorted(tuple(r) for r in batch.collect())
+
+
+def test_pagerank_star_and_invariants(spark):
+    from etl_utils_spark.operators.clustering import pagerank
+
+    # star: 0 is the hub of 1..4
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "id_a long, id_b long")
+    pr = {r.node: r.pr for r in pagerank(star, iterations=20).collect()}
+    assert pr[0] > pr[1] > 0
+    assert abs(pr[1] - pr[4]) < 1e-9  # leaves symmetric
+    assert abs(sum(pr.values()) - 5) < 1e-6  # per-node form: mean rank 1
+
+
+def test_pagerank_two_cliques_equal_within(spark):
+    from etl_utils_spark.operators.clustering import pagerank
+
+    edges = [(a, b) for grp in ([0, 1, 2], [10, 11, 12])
+             for i, a in enumerate(grp) for b in grp[i + 1:]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    pr = {r.node: r.pr for r in pagerank(df, iterations=5).collect()}
+    vals = set(round(v, 9) for v in pr.values())
+    assert vals == {1.0}  # regular graph → uniform rank
