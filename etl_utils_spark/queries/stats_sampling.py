@@ -337,3 +337,35 @@ def winsorized_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(((price < p01) | (price > p99)).cast("long")).alias("n_clipped"),
     )
+
+
+@query(
+    "skew_profile_events",
+    oracle="""
+        WITH per_key AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_keys,
+               SUM(cnt)::BIGINT AS total_rows,
+               max(cnt) AS max_cnt,
+               ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+               ROUND(max(cnt)::DOUBLE / SUM(cnt), 6) AS top_key_share
+        FROM per_key
+    """,
+)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew profile of a prospective groupBy/join key: key
+    cardinality, hottest-key row count, exact p99 of per-key counts,
+    and the hot key's share of all rows — the diagnostic that decides
+    between a plain hash shuffle, AQE skew splitting, or the salted
+    two-phase path (operators/skew.py).  Two aggregates; the second
+    runs on key-cardinality rows."""
+    e = _t(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_key_share"),
+    )
