@@ -50,6 +50,7 @@ def main() -> None:
         "gate_ivf_recall_floor",
         "gate_stratified_fractions",
         "gate_freq_items_contains_mode",
+        "gate_pagerank_mass",
     }
 
     # Warm the JVM + parquet footers once so per-query times measure

@@ -462,3 +462,23 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
     return pagerank(pairs.select("id_a", "id_b"))
+
+
+@query("gate_pagerank_mass", oracle="SELECT TRUE AS mass_conserved")
+def gate_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the iterative PageRank fixpoint: in per-node
+    form the ranks must average 1, so their sum must equal the node
+    count to fixed-point tolerance — a drifting sum means the
+    iteration is diverging or dropping mass.  Deterministic, so the
+    oracle is a literal boolean (same pattern as the recall gates)."""
+    from pyspark.sql import functions as FF
+
+    from etl_utils_spark.operators.clustering import pagerank
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    pr = pagerank(pairs.select("id_a", "id_b"))
+    row = pr.agg(
+        FF.count(FF.lit(1)).alias("n"), FF.sum("pr").alias("s")
+    ).collect()[0]
+    ok = abs(row.s - row.n) < 1e-4 * max(row.n, 1)
+    return spark.createDataFrame([(bool(ok),)], "mass_conserved boolean")
