@@ -167,3 +167,50 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def triangle_counts(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list.
+
+    Degree-ordered orientation (the classic compact-forward /
+    node-iterator++ trick): each edge points from its lower-degree
+    endpoint to the higher (ties by id), so every triangle is
+    enumerated exactly once as path u→v→w closed by u→w, and the join
+    fan-out per vertex is bounded by its ORIENTED out-degree — O(m^1.5)
+    total work even on power-law graphs, where the naive a<b<c
+    orientation degrades to hub-degree² blowups.  Per-node counts are
+    orientation-invariant, so an id-ordered SQL oracle matches.
+
+    Input: one row per undirected edge (a, b).  Output: (node, n_tri)
+    for every node in at least one triangle."""
+    e0 = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    ends = e0.select(F.col("a").alias("node")).unionAll(e0.select(F.col("b").alias("node")))
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    withdeg = e0.join(da, "a").join(db, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    paths = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("u"), F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w")
+    )
+    # edges are distinct, so the closing edge (u, w) is unique → a semi
+    # join closes each wedge at most once without duplicating rows
+    tri = paths.join(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "semi",
+    )
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -176,3 +176,30 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits).
+
+    Low entropy flags degenerate training text (repeated characters,
+    padding, single-token spam); the standard cheap companion to the
+    repetition-ratio filter.  Uses the aggregate identity
+    H = log2(n) - (Σ c·ln c) / (n·ln 2), so the whole thing is two
+    map-combined hash aggregates keyed by doc_id — no per-row
+    probability column, no window, all codegen.  The per-doc char
+    alphabet is bounded (≤ alphabet size), so second-stage frames are
+    constant-size regardless of corpus scale."""
+    ln2 = 0.6931471805599453
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").cast("double")
+    c = F.col("c").cast("double")
+    return per_char.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars_total"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(F.log2(n) - F.sum(c * F.log(c)) / (n * F.lit(ln2)), 6).alias(
+            "entropy_bits"
+        ),
+    )

@@ -410,3 +410,54 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'click', 'signup')
+        ),
+        purch AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        attr AS (
+            SELECT p.event_id, p.value, arg_max(t.event_type, t.ts) AS channel
+            FROM purch p LEFT JOIN touches t
+              ON t.user_id = p.user_id AND t.ts <= p.ts
+            GROUP BY p.event_id, p.value
+        )
+        SELECT coalesce(channel, 'direct') AS channel,
+               count(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS attributed_value
+        FROM attr GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the user's most recent preceding touch event (view /
+    click / signup), falling back to 'direct' when none precedes it.
+    Rides the union-and-carry as-of join (one shuffle on user_id, no
+    candidate-pair explosion — the oracle's join+argmax materializes
+    every touch≤purchase pair; this never does), then a
+    channel-cardinality hash aggregate.  (user_id, ts) is unique in
+    the fixture, so the carried last touch is deterministic."""
+    e = _t(spark, sf_dir, "events")
+    touches = e.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "ts", F.col("event_type").alias("channel"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(purchases, touches, on="user_id", right_cols=["channel"])
+    return j.groupBy(
+        F.coalesce("right_channel", F.lit("direct")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

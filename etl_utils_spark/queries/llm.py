@@ -482,3 +482,90 @@ def gate_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     ok = abs(row.s - row.n) < 1e-4 * max(row.n, 1)
     return spark.createDataFrame([(bool(ok),)], "mass_conserved boolean")
+
+
+@query(
+    "triangle_local_clustering",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 2)) AS i
+            ) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+        ),
+        tri AS (
+            SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e2.id_a = e1.id_b
+            JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        ),
+        tcnt AS (
+            SELECT doc_id, count(*) AS n_tri FROM (
+                SELECT a AS doc_id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY doc_id
+        ),
+        deg AS (
+            SELECT doc_id, count(*) AS degree FROM (
+                SELECT id_a AS doc_id FROM pairs
+                UNION ALL SELECT id_b AS doc_id FROM pairs
+            ) GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.degree,
+               coalesce(t.n_tri, 0) AS n_triangles,
+               ROUND(2.0 * coalesce(t.n_tri, 0)
+                     / (d.degree * (d.degree - 1)), 6) AS local_cc
+        FROM deg d LEFT JOIN tcnt t ON t.doc_id = d.doc_id
+        WHERE d.degree >= 2
+    """,
+)
+def triangle_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient per document in
+    the near-duplicate graph: distinguishes tight duplicate CLIQUES
+    (template spam, cc→1) from star-shaped hubs (boilerplate shared
+    across unrelated docs, cc→0) — the triage signal for which dup
+    clusters are safe to collapse wholesale.  Enumeration is
+    degree-ordered (operators/clustering.py:triangle_counts): each
+    edge oriented low-degree→high, wedges closed with a semi join, so
+    per-vertex fan-out is bounded by oriented out-degree — O(m^1.5)
+    on power-law graphs where the oracle's id-ordered a<b<c join would
+    blow up on hubs.  Per-node counts are orientation-invariant, so
+    both enumerations agree exactly."""
+    from etl_utils_spark.operators.clustering import triangle_counts
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    e = pairs.select("id_a", "id_b")
+    tc = triangle_counts(e)
+    ends = e.select(F.col("id_a").alias("doc_id")).unionAll(
+        e.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    out = deg.filter(F.col("degree") >= 2).join(
+        tc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        "degree",
+        n_tri.alias("n_triangles"),
+        F.round(
+            F.lit(2.0) * n_tri / (F.col("degree") * (F.col("degree") - 1)), 6
+        ).alias("local_cc"),
+    )

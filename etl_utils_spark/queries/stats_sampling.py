@@ -369,3 +369,60 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
         F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_key_share"),
     )
+
+
+@query(
+    "winsorized_prices_by_priority",
+    oracle="""
+        WITH b AS (
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.05) AS p05,
+                   quantile_cont(o_totalprice, 0.95) AS p95
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS raw_mean,
+               CAST(SUM(CAST(CASE WHEN o_totalprice < p05 THEN p05
+                                  WHEN o_totalprice > p95 THEN p95
+                                  ELSE o_totalprice END
+                             AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS winsorized_mean,
+               CAST(SUM(CASE WHEN o_totalprice < p05 OR o_totalprice > p95
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM orders o JOIN b ON b.o_orderpriority = o.o_orderpriority
+        GROUP BY o.o_orderpriority
+    """,
+)
+def winsorized_prices_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP winsorized mean: clip each order's price at its own
+    priority class's exact p05/p95, then mean within the class.  The
+    grouped variant can't use the driver-side-literal trick (bounds
+    are a per-group table, not two scalars), so the bounds frame —
+    group-cardinality, tiny at any scale — is BROADCAST equi-joined
+    back onto orders: no second shuffle of the fact table, no
+    nested-loop plan.  percentile()/quantile_cont are bit-identical
+    on this data (probed for the global variant), so clip
+    classification agrees row-for-row; means ride decimal sums."""
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    j = o.join(F.broadcast(bounds), "o_orderpriority")
+    price = F.col("o_totalprice")
+    clipped = (
+        F.when(price < F.col("p05"), F.col("p05"))
+        .when(price > F.col("p95"), F.col("p95"))
+        .otherwise(price)
+    )
+    n = F.count(F.lit(1))
+    return j.groupBy("o_orderpriority").agg(
+        (F.sum(price.cast("decimal(18,2)")).cast("double") / n).alias("raw_mean"),
+        (F.sum(clipped.cast("decimal(18,6)")).cast("double") / n).alias(
+            "winsorized_mean"
+        ),
+        F.sum(
+            ((price < F.col("p05")) | (price > F.col("p95"))).cast("long")
+        ).alias("n_clipped"),
+    )

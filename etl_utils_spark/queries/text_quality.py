@@ -5,7 +5,7 @@ in ``queries/llm.py``."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_utils_spark.operators import text
@@ -142,4 +142,98 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.log(F.col("nb").cast("double") / F.col("nu"))), 6).alias(
             "avg_loglik"
         )
+    )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, c, count(*) AS n FROM ch
+            WHERE c <> '' GROUP BY doc_id, c
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_chars_total,
+               count(*) AS n_distinct_chars,
+               ROUND(log2(SUM(n)::DOUBLE)
+                     - SUM(n::DOUBLE * ln(n::DOUBLE))
+                       / (SUM(n)::DOUBLE * 0.6931471805599453), 6)
+                   AS entropy_bits
+        FROM cnt GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    degenerate-text detector (padding runs, single-char spam score
+    near 0; natural prose lands ~4-4.5 bits).  Aggregate-identity
+    form, no per-row probabilities (operators/text.py:char_entropy);
+    ln()/log2() agree to round-6 across engines (probed, same policy
+    as lm_bigram_doc_score)."""
+    return text.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, term,
+                   ROUND(tf * ln(n.n::DOUBLE / df), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term), n
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword/topic
+    fingerprint used for corpus browsing and near-topic dedup.  tf and
+    df come from the SAME (doc, term) aggregate (df = tf's row count
+    per term — no second corpus scan, no count-distinct shuffle); the
+    corpus size N is a driver-side metadata scalar embedded as a
+    literal.  Ranking orders by the ROUND-6 score on both engines so
+    float ulp noise can't flip ranks (term asc breaks exact ties);
+    WindowGroupLimit prunes to 3 rows per doc before the final sort."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
     )
