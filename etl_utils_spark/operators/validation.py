@@ -45,3 +45,34 @@ def table_fingerprint(df: DataFrame, cols: list[str | Column]) -> DataFrame:
         F.min("digest").alias("min_digest"),
         F.max("digest").alias("max_digest"),
     )
+
+
+def expectations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Declarative data-quality gate: evaluate named violation-count
+    aggregates in ONE pass and return (check_name, n_violations,
+    passed) per check — the write-audit-publish pattern's audit step
+    (run between staging and promote; a failed row blocks the swap).
+
+    Each value in ``checks`` is an AGGREGATE Column counting
+    violations (e.g. ``F.sum((col < 0).cast("long"))`` or
+    ``F.count("*") - F.count_distinct(col)``), so uniqueness,
+    nullability, domain, and range checks all ride the same single
+    scan — no per-check job, no driver loop.  The 1×k result row is
+    exploded into k rows plan-side."""
+    agg = df.agg(*[c.cast("long").alias(k) for k, c in checks.items()])
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("check_name"), F.col(k).alias("n_violations")
+            )
+            for k in checks
+        ]
+    )
+    return (
+        agg.select(F.explode(packed).alias("x"))
+        .select(
+            "x.check_name",
+            "x.n_violations",
+            (F.col("x.n_violations") == 0).alias("passed"),
+        )
+    )

@@ -551,7 +551,10 @@ def triangle_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_utils_spark.operators.clustering import triangle_counts
 
     pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
-    e = pairs.select("id_a", "id_b")
+    # the edge list feeds SIX plan branches (degrees ×2, orientation
+    # joins, wedge join, closing semi) — materialize it once; at scale
+    # the pair list is tiny next to the corpus that produced it
+    e = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     tc = triangle_counts(e)
     ends = e.select(F.col("id_a").alias("doc_id")).unionAll(
         e.select(F.col("id_b").alias("doc_id"))

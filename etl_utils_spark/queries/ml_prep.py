@@ -248,3 +248,60 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("dim") == 1, F.col("mu")).otherwise(0.0)), 6
         ).alias("mu_d1"),
     )
+
+
+@query(
+    "binning_decile_prices",
+    oracle="""
+        WITH b AS (
+            SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+            FROM orders
+        ),
+        assigned AS (
+            SELECT o_totalprice,
+                   1 + (o_totalprice > q[1])::INT + (o_totalprice > q[2])::INT
+                     + (o_totalprice > q[3])::INT + (o_totalprice > q[4])::INT
+                     + (o_totalprice > q[5])::INT + (o_totalprice > q[6])::INT
+                     + (o_totalprice > q[7])::INT + (o_totalprice > q[8])::INT
+                     + (o_totalprice > q[9])::INT AS bucket
+            FROM orders, b
+        )
+        SELECT bucket, count(*) AS n,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM assigned GROUP BY bucket
+    """,
+)
+def binning_decile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of a numeric feature — the
+    standard quantile-bucket transform for feature engineering and
+    histogram-balanced sampling.  NOT ntile(): a global ntile needs a
+    single-partition total sort (dead at 100 TB).  Instead the nine
+    decile boundaries are computed by exact percentile (bit-identical
+    to DuckDB's quantile_cont — probed on this data), pulled to the
+    driver as nine metadata-scale literals, and bucket assignment is
+    nine codegen comparisons folded into the scan — no sort, no
+    window, one final group-by-bucket aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array({}))".format(
+                ", ".join(str(q) for q in qs)
+            )
+        ).alias("q")
+    ).collect()[0].q
+    price = F.col("o_totalprice")
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + (price > F.lit(float(b))).cast("int")
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(price).alias("min_price"),
+            F.max(price).alias("max_price"),
+        )
+    )

@@ -95,3 +95,66 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"),
         ],
     )
+
+
+@query(
+    "dq_expectations_orders",
+    oracle="""
+        WITH m AS (
+            SELECT count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS null_custkey,
+                   SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                       AS nonpositive_price,
+                   SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                            THEN 1 ELSE 0 END) AS status_out_of_domain,
+                   SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                              OR o_orderdate >= TIMESTAMP '2002-01-01'
+                            THEN 1 ELSE 0 END) AS date_out_of_range
+            FROM orders
+        )
+        SELECT 'orderkey_unique' AS check_name,
+               CAST(dup_keys AS BIGINT) AS n_violations,
+               dup_keys = 0 AS passed FROM m
+        UNION ALL
+        SELECT 'custkey_not_null', CAST(null_custkey AS BIGINT),
+               null_custkey = 0 FROM m
+        UNION ALL
+        SELECT 'totalprice_positive', CAST(nonpositive_price AS BIGINT),
+               nonpositive_price = 0 FROM m
+        UNION ALL
+        SELECT 'status_in_domain', CAST(status_out_of_domain AS BIGINT),
+               status_out_of_domain = 0 FROM m
+        UNION ALL
+        SELECT 'orderdate_in_range', CAST(date_out_of_range AS BIGINT),
+               date_out_of_range = 0 FROM m
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish quality gate over orders: uniqueness,
+    nullability, positivity, domain, and date-range checks evaluated
+    as ONE aggregate scan (operators/validation.py:expectations) and
+    exploded into a (check_name, n_violations, passed) report — the
+    audit step that sits between a staged write and its atomic
+    promote.  Five checks, one job, no driver loop; the distinct-count
+    for uniqueness is the only shuffle and everything else rides the
+    same map-side partial aggregate."""
+    from etl_utils_spark.operators.validation import expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    s = F.col("o_orderstatus")
+    return expectations(
+        o,
+        {
+            "orderkey_unique": F.count(F.lit(1)) - F.count_distinct("o_orderkey"),
+            "custkey_not_null": F.sum(F.col("o_custkey").isNull().cast("long")),
+            "totalprice_positive": F.sum((F.col("o_totalprice") <= 0).cast("long")),
+            "status_in_domain": F.sum((~s.isin("O", "F", "P")).cast("long")),
+            "orderdate_in_range": F.sum(
+                (
+                    (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                    | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp"))
+                ).cast("long")
+            ),
+        },
+    )

@@ -190,3 +190,71 @@ def test_q15_max_subquery_is_broadcast_hash_join(spark, sf_dir):
     df = _q("q15_top_supplier", spark, sf_dir)
     assert not has_cartesian_or_bnl(df), formatted_plan(df)[:1500]
     assert has_broadcast_join(df)
+
+
+def test_winsorize_by_group_broadcasts_bounds(spark, sf_dir):
+    """Per-group winsorize must broadcast the group-bounds frame back
+    onto the fact table — a shuffled join would re-exchange orders."""
+    df = _q("winsorized_prices_by_priority", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    """Top-3 per doc must prune via WindowGroupLimit before the final
+    sort — rank-then-filter over the full scored set would sort every
+    (doc, term) row."""
+    plan = formatted_plan(_q("tfidf_top_terms", spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:800]
+
+
+def test_attribution_single_shuffle_no_pairs(spark, sf_dir):
+    """Last-touch attribution rides the union-and-carry as-of join:
+    no cartesian/BNL, and at most the one user_id exchange plus the
+    final channel aggregate."""
+    df = _q("attribution_last_touch", spark, sf_dir)
+    assert not has_cartesian_or_bnl(df)
+    plan = formatted_plan(df)
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges\n{plan[:1200]}"
+
+
+def test_funnel_windows_share_one_exchange(spark, sf_dir):
+    """The three chained funnel windows all partition by user_id, so
+    the plan must contain ONE exchange for them (plus the final
+    single-row aggregate)."""
+    df = _q("funnel_view_click_purchase", spark, sf_dir)
+    plan = formatted_plan(df)
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges <= 1, f"{hash_exchanges} hash exchanges\n{plan[:1200]}"
+
+
+def test_binning_no_sort_no_window(spark, sf_dir):
+    """Equal-frequency binning must assign buckets via scan-side
+    comparisons against driver literals — a global ntile would show a
+    single-partition Sort + Window."""
+    plan = formatted_plan(_q("binning_decile_prices", spark, sf_dir))
+    assert "Window" not in plan, plan[:800]
+    assert "Exchange SinglePartition" not in plan.split("Aggregate")[0], plan[:800]
+
+
+def test_dq_expectations_single_scan(spark, sf_dir):
+    """All five quality checks must ride one scan of orders — five
+    separate jobs would read the table five times."""
+    import re
+
+    plan = formatted_plan(_q("dq_expectations_orders", spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"{n_scans} scans\n{plan[:1200]}"
+
+
+def test_triangle_join_no_cartesian(spark, sf_dir):
+    """Degree-oriented triangle enumeration must stay hash/sort-merge
+    joins — no BNL, no cartesian — and the closing edge must be a
+    (left)semi join so wedges are never duplicated."""
+    df = _q("triangle_local_clustering", spark, sf_dir)
+    assert not has_cartesian_or_bnl(df)
+    plan = formatted_plan(df)
+    assert "Semi" in plan, plan[:1200]
