@@ -391,3 +391,34 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "ingest_new_documents_only",
+    oracle="""
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE md5(d.text) NOT IN (
+            SELECT md5(text) FROM documents WHERE doc_id % 3 = 0
+        )
+    """,
+)
+def ingest_new_documents_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent incremental ingest: admit only incoming documents
+    whose CONTENT digest is not already loaded (every third doc plays
+    the already-loaded corpus).  Content-addressed anti join — the
+    at-least-once → exactly-once repair every ingestion pipeline
+    needs: re-delivered or re-crawled payloads drop out regardless of
+    their ids.  The join shuffles 16-byte digests, never document
+    bodies, and at production scale the loaded-digest side is
+    months-old and bucketed, so the anti join co-locates without
+    re-shuffling history."""
+    d = _t(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text"))
+    incoming = d.select("doc_id", "lang", "source", digest.alias("_dg"))
+    loaded = (
+        d.filter(F.col("doc_id") % 3 == 0).select(digest.alias("_dg")).distinct()
+    )
+    return incoming.join(loaded, "_dg", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

@@ -200,3 +200,58 @@ def resample_ohlc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+@query(
+    "rollup_time_grains_events",
+    oracle="""
+        SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+               event_type, count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts), event_type, count(*),
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'week', date_trunc('week', ts), event_type, count(*),
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        FROM events GROUP BY 2, 3
+    """,
+)
+def rollup_time_grains_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hour/day/week
+    rollups of the SAME event scan in one job via GROUPING SETS — one
+    table pass expanded 3× map-side, partial aggregation before the
+    single shuffle, versus the oracle's three scans.  At 100 TB the
+    coarser grains are nearly free because the expand rides the same
+    partial-agg pipeline; the result powers dashboard zoom levels
+    without re-reading facts.  Grain is made explicit (not NULL-coded
+    grouping ids) so downstream filters prune by string equality."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    week = F.date_trunc("week", F.col("ts"))
+    base = e.select(
+        hour.alias("hour"), day.alias("day"), week.alias("week"),
+        "event_type", "value",
+    )
+    gs = base.groupingSets(
+        [[F.col("hour"), F.col("event_type")],
+         [F.col("day"), F.col("event_type")],
+         [F.col("week"), F.col("event_type")]],
+        F.col("hour"), F.col("day"), F.col("week"), F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    grain = (
+        F.when(F.col("hour").isNotNull(), F.lit("hour"))
+        .when(F.col("day").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("week"))
+    )
+    bucket = F.coalesce(F.col("hour"), F.col("day"), F.col("week"))
+    return gs.select(
+        grain.alias("grain"), bucket.alias("bucket"), "event_type",
+        "n_events", "sum_value",
+    )

@@ -258,3 +258,38 @@ def test_triangle_join_no_cartesian(spark, sf_dir):
     assert not has_cartesian_or_bnl(df)
     plan = formatted_plan(df)
     assert "Semi" in plan, plan[:1200]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Spark's runtime bloom-filter join filter must inject a
+    might_contain() predicate on the fact side when the dim side is
+    selectively filtered and the join is shuffled — the row-level
+    runtime pruning that cuts shuffle volume on selective joins at
+    scale.  (Thresholds are lowered because the fixture is tiny; at
+    production scale the defaults fire on their own.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = formatted_plan(j)
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
