@@ -41,17 +41,11 @@ def main() -> None:
     # purpose; excluding them keeps the bench set stable and
     # un-double-counted across rounds. Everything else is timed.
     EXCLUDE = {
-        "diag_lsh_recall",
         "profile_all_tables_rowcounts",
-        "gate_ann_recall_floor",
-        "gate_minhash_recall_floor",
-        "gate_approx_quantiles_tolerance",
-        "gate_approx_distinct_tolerance",
-        "gate_ivf_recall_floor",
-        "gate_stratified_fractions",
-        "gate_freq_items_contains_mode",
-        "gate_pagerank_mass",
     }
+
+    def _excluded(name: str) -> bool:
+        return name in EXCLUDE or name.startswith(("gate_", "diag_"))
 
     # Warm the JVM + parquet footers once so per-query times measure
     # execution, not first-touch session costs.
@@ -61,7 +55,7 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
-    for name in sorted(set(REGISTRY) - EXCLUDE):
+    for name in sorted(n for n in REGISTRY if not _excluded(n)):
         q = REGISTRY[name]
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)

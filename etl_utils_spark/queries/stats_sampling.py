@@ -426,3 +426,40 @@ def winsorized_prices_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             ((price < F.col("p05")) | (price > F.col("p95"))).cast("long")
         ).alias("n_clipped"),
     )
+
+
+@query(
+    "gate_cms_overestimate",
+    oracle="""
+        SELECT CAST(true AS BOOLEAN) AS all_overestimate,
+               CAST(true AS BOOLEAN) AS mass_conserved
+    """,
+)
+def gate_cms_overestimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the Count-Min Sketch (operators/sketches.py):
+    two invariants that hold by THEOREM for any data, so the oracle is
+    a literal — (1) every point estimate ≥ the exact count (collisions
+    only add), and (2) each hash row's buckets sum to exactly the
+    total row count (mass conservation — a drop means rows were lost
+    building the sketch).  Probes every distinct user_id (~1.5k keys
+    against a 4×256 sketch, so collisions are real and the gate is not
+    vacuous)."""
+    from etl_utils_spark.operators.sketches import cms_point_estimates, count_min_sketch
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    sketch = count_min_sketch(e, "user_id", depth=4, width=256)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_point_estimates(sketch, exact.select("user_id"), "user_id", depth=4, width=256)
+    joined = est.join(exact, "user_id")
+    over_ok = joined.agg(
+        F.min((F.col("est") >= F.col("exact")).cast("int")).alias("ok")
+    ).collect()[0].ok == 1
+    total = e.count()
+    mass = sketch.groupBy("depth").agg(F.sum("cnt").alias("s"))
+    mass_ok = mass.agg(
+        F.min((F.col("s") == total).cast("int")).alias("ok")
+    ).collect()[0].ok == 1
+    return spark.createDataFrame(
+        [(bool(over_ok), bool(mass_ok))],
+        "all_overestimate boolean, mass_conserved boolean",
+    )

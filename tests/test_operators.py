@@ -183,3 +183,37 @@ def test_table_fingerprint_order_independent_and_null_safe(spark):
     d1 = table_fingerprint(mixed, ["k", "v"]).collect()[0].min_digest
     d2 = table_fingerprint(swapped, ["k", "v"]).collect()[0].min_digest
     assert d1 != d2
+
+
+def test_count_min_sketch_invariants(spark):
+    """CMS theorem checks on a skewed key set: estimates always
+    overestimate, are exact when width makes collisions impossible,
+    and each hash row conserves total mass."""
+    from etl_utils_spark.operators.sketches import (
+        cms_point_estimates,
+        count_min_sketch,
+    )
+
+    rows = [(k,) for k, n in [("a", 50), ("b", 30), ("c", 3)] for _ in range(n)]
+    df = spark.createDataFrame(rows, "k string")
+    exact = {"a": 50, "b": 30, "c": 3}
+
+    # tight sketch: collisions possible → overestimate only
+    sk = count_min_sketch(df, "k", depth=3, width=2)
+    keys = df.select("k").distinct()
+    est = {
+        r.k: r.est
+        for r in cms_point_estimates(sk, keys, "k", depth=3, width=2).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact), est
+    mass = {r.depth: r.s for r in sk.groupBy("depth").agg(F.sum("cnt").alias("s")).collect()}
+    assert set(mass.values()) == {83}, mass
+
+    # wide sketch: 3 keys into 4096 buckets → exact with overwhelming
+    # margin (deterministic hashes; verified no collision for this data)
+    sk2 = count_min_sketch(df, "k", depth=3, width=4096)
+    est2 = {
+        r.k: r.est
+        for r in cms_point_estimates(sk2, keys, "k", depth=3, width=4096).collect()
+    }
+    assert est2 == exact, est2
