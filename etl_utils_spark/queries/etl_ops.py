@@ -422,3 +422,107 @@ def ingest_new_documents_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(loaded, "_dg", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "io_dynamic_partition_overwrite",
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey, year(o_orderdate) AS order_year,
+                   CASE WHEN year(o_orderdate) = 1997
+                        THEN o_totalprice * 1.1 ELSE o_totalprice
+                   END AS o_totalprice
+            FROM orders
+        )
+        SELECT order_year, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM merged GROUP BY order_year
+    """,
+)
+def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — THE incremental-sink semantic for
+    partitioned fact tables: rewriting one day/year replaces ONLY the
+    partitions present in the incoming batch, leaving the other N-1
+    untouched (static overwrite mode would truncate the whole table;
+    append would duplicate).  Writes orders partitioned by year, then
+    overwrites just 1997 with restated prices under
+    partitionOverwriteMode=dynamic, reads the table back and
+    aggregates — the oracle computes the same restatement on the
+    source, so any cross-partition damage or duplication hash-fails.
+    At 100 TB the rewrite cost is one partition's files, not the
+    table."""
+    out = tempfile.mkdtemp(prefix="io_dpo_") + "/orders"
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    ).select("o_orderkey", "o_totalprice", "order_year")
+    o.write.partitionBy("order_year").mode("overwrite").parquet(out)
+    restated = (
+        o.filter(F.col("order_year") == 1997)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.partitionBy("order_year").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias(
+            "revenue"
+        ),
+    )
+
+
+def _zorder_oracle() -> str:
+    # mirror of operators/layout.py:zorder_value for n=2, bits=8:
+    # x-bit i at z-position 2i, y-bit i at 2i+1
+    terms = []
+    for i in range(8):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    zexpr = " + ".join(terms)
+    return f"""
+        WITH q AS (
+            SELECT o_custkey % 256 AS x,
+                   (year(o_orderdate) * 12 + month(o_orderdate)) % 256 AS y
+            FROM orders
+        ),
+        z AS (SELECT x, y, {zexpr} AS zval FROM q)
+        SELECT zval >> 8 AS zblock,
+               count(*) AS n_rows,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM z GROUP BY 1
+    """
+
+
+@query("zorder_block_locality", oracle=_zorder_oracle())
+def zorder_block_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering demo: quantize (custkey, order
+    month) to 8 bits each, interleave into a Z-value
+    (operators/layout.py — pure shift/and codegen), and report each
+    256-value Z-block's row count and per-dimension min/max span.
+    Because Morton blocks are axis-aligned boxes, BOTH spans stay
+    bounded (≤16 wide for a 2-dim 256-value block) — the file-level
+    min/max stats that make two-predicate scans prune; a
+    single-column sort would show one tight span and one full-range
+    span.  The quantized Z-math is mirrored bit-for-bit in the
+    oracle."""
+    from etl_utils_spark.operators.layout import zorder_value
+
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).alias("x")
+    y = ((F.year("o_orderdate") * 12 + F.month("o_orderdate")) % 256).alias("y")
+    q = o.select(x, y)
+    z = q.withColumn("zval", zorder_value([F.col("x"), F.col("y")], bits=8))
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 8).alias("zblock"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+    )

@@ -217,3 +217,17 @@ def test_count_min_sketch_invariants(spark):
         for r in cms_point_estimates(sk2, keys, "k", depth=3, width=4096).collect()
     }
     assert est2 == exact, est2
+
+
+def test_zorder_blocks_are_bounded_boxes(spark, sf_dir):
+    """Every 256-value Z-block must be an axis-aligned 16×16 box in
+    (x, y) space — the property that gives BOTH dimensions bounded
+    file-level min/max spans (single-column sort would leave one
+    dimension spanning the full range)."""
+    from etl_utils_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["zorder_block_locality"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_x - r.min_x <= 15, r
+        assert r.max_y - r.min_y <= 15, r
