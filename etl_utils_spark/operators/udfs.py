@@ -56,3 +56,49 @@ def embedding_norms(emb: DataFrame) -> DataFrame:
     """vec_id + L2 norm through the scalar pandas UDF (rounded so the
     numpy pairwise summation and a sequential SQL sum agree)."""
     return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
+
+
+def cogrouped_conversion_lag(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """C7 cogrouped-map (groupBy().cogroup().applyInPandas): the two
+    sides of a key arrive as a PAIR of pandas DataFrames — the API for
+    custom per-key two-table logic (merge_asof-style matching,
+    per-entity reconciliation) that a relational join would have to
+    materialize candidate pairs for.  Here: per user, count purchases
+    and clicks and average the purchase→latest-preceding-click lag via
+    a vectorized searchsorted — one co-shuffle on user_id, Arrow both
+    ways, no pair explosion."""
+    schema = (
+        "user_id long, n_purchases long, n_clicks long, avg_lag_s double"
+    )
+
+    def _lag(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        uid = left.user_id.iloc[0] if len(left) else right.user_id.iloc[0]
+        avg = None
+        if len(left) and len(right):
+            cts = np.sort(
+                right.ts.to_numpy(dtype="datetime64[us]").astype("int64")
+            )
+            pts = left.ts.to_numpy(dtype="datetime64[us]").astype("int64")
+            idx = np.searchsorted(cts, pts, side="right") - 1
+            ok = idx >= 0
+            if ok.any():
+                lags = (pts[ok] - cts[idx[ok]]) / 1e6
+                avg = round(float(np.mean(lags)), 6)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "n_purchases": len(left),
+                    "n_clicks": len(right),
+                    "avg_lag_s": avg,
+                }
+            ]
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(_lag, schema)
+    )

@@ -461,3 +461,64 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+@query(
+    "attribution_first_touch",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'click', 'signup')
+        ),
+        purch AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        attr AS (
+            SELECT p.event_id, p.value, arg_min(t.event_type, t.ts) AS channel
+            FROM purch p LEFT JOIN touches t
+              ON t.user_id = p.user_id AND t.ts <= p.ts
+            GROUP BY p.event_id, p.value
+        )
+        SELECT coalesce(channel, 'direct') AS channel,
+               count(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS attributed_value
+        FROM attr GROUP BY 1
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — the acquisition-credit counterpart of
+    attribution_last_touch: each purchase credits the user's EARLIEST
+    touch at or before it.  Same union-and-carry discipline, but the
+    carried value is a running first(ignorenulls) instead of last —
+    still one user_id exchange, no candidate pairs.  (user_id, ts)
+    unique in the fixture ⇒ deterministic."""
+    e = _t(spark, sf_dir, "events")
+    touches = e.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        "user_id", "ts", F.lit(0).alias("_side"), F.col("event_type").alias("_ch"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("_side"),
+        F.lit(None).cast("string").alias("_ch"), "value",
+    )
+    u = touches.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_first_ch", F.first("_ch", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("_side") == 1)
+        .groupBy(F.coalesce("_first_ch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

@@ -158,3 +158,65 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
+
+
+@query(
+    "dq_expectations_documents",
+    oracle="""
+        WITH m AS (
+            SELECT count(*) - count(DISTINCT doc_id) AS dup_ids,
+                   SUM(CASE WHEN text IS NULL OR len(text) = 0
+                            THEN 1 ELSE 0 END) AS empty_text,
+                   SUM(CASE WHEN n_chars <> len(text)
+                            THEN 1 ELSE 0 END) AS nchars_mismatch,
+                   SUM(CASE WHEN lang NOT IN ('en', 'fr', 'es', 'zh', 'de')
+                            THEN 1 ELSE 0 END) AS lang_out_of_domain,
+                   SUM(CASE WHEN source NOT LIKE 'src%'
+                            THEN 1 ELSE 0 END) AS source_malformed
+            FROM documents
+        )
+        SELECT 'docid_unique' AS check_name,
+               CAST(dup_ids AS BIGINT) AS n_violations,
+               dup_ids = 0 AS passed FROM m
+        UNION ALL
+        SELECT 'text_not_empty', CAST(empty_text AS BIGINT),
+               empty_text = 0 FROM m
+        UNION ALL
+        SELECT 'nchars_consistent', CAST(nchars_mismatch AS BIGINT),
+               nchars_mismatch = 0 FROM m
+        UNION ALL
+        SELECT 'lang_in_domain', CAST(lang_out_of_domain AS BIGINT),
+               lang_out_of_domain = 0 FROM m
+        UNION ALL
+        SELECT 'source_wellformed', CAST(source_malformed AS BIGINT),
+               source_malformed = 0 FROM m
+    """,
+)
+def dq_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-side audit: id uniqueness, non-empty payloads, a
+    CROSS-COLUMN consistency check (the stored n_chars must equal the
+    actual text length — stale derived columns are the classic silent
+    corruption in document pipelines), language domain, and source
+    naming.  Same one-scan expectations() evaluation as the orders
+    gate — check count doesn't change audit cost."""
+    from etl_utils_spark.operators.validation import expectations
+
+    d = load_table(spark, sf_dir, "documents")
+    return expectations(
+        d,
+        {
+            "docid_unique": F.count(F.lit(1)) - F.count_distinct("doc_id"),
+            "text_not_empty": F.sum(
+                (F.col("text").isNull() | (F.length("text") == 0)).cast("long")
+            ),
+            "nchars_consistent": F.sum(
+                (F.col("n_chars") != F.length("text")).cast("long")
+            ),
+            "lang_in_domain": F.sum(
+                (~F.col("lang").isin("en", "fr", "es", "zh", "de")).cast("long")
+            ),
+            "source_wellformed": F.sum(
+                (~F.col("source").startswith("src")).cast("long")
+            ),
+        },
+    )

@@ -157,3 +157,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return multimodal.frame_sample_plan(media, n_frames=4)
+
+
+@query(
+    "udf_cogrouped_conversion_lag",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        lagt AS (
+            SELECT p.user_id, p.ts, max(c.ts) AS cts
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id AND c.ts <= p.ts
+            GROUP BY p.user_id, p.ts
+        ),
+        pu AS (
+            SELECT user_id, count(*) AS n_purchases,
+                   ROUND(AVG(CASE WHEN cts IS NOT NULL THEN
+                       (epoch_us(ts) - epoch_us(cts)) / 1000000.0 END), 6)
+                       AS avg_lag_s
+            FROM lagt GROUP BY user_id
+        ),
+        cu AS (SELECT user_id, count(*) AS n_clicks FROM c GROUP BY user_id)
+        SELECT coalesce(pu.user_id, cu.user_id) AS user_id,
+               coalesce(n_purchases, 0) AS n_purchases,
+               coalesce(n_clicks, 0) AS n_clicks,
+               avg_lag_s
+        FROM pu FULL OUTER JOIN cu ON pu.user_id = cu.user_id
+    """,
+)
+def udf_cogrouped_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 cogrouped-map surface: per-user purchase/click frames arrive
+    as a pandas pair (operators/udfs.py:cogrouped_conversion_lag); the
+    vectorized searchsorted computes each purchase's latest preceding
+    click lag without materializing the touch×purchase candidate set
+    the oracle's join+argmax builds.  One co-shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    from etl_utils_spark.operators.udfs import cogrouped_conversion_lag
+
+    return cogrouped_conversion_lag(purchases, clicks)
