@@ -214,3 +214,41 @@ def triangle_counts(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") 
         .unionAll(tri.select(F.col("w").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def k_core(pairs: DataFrame, k: int = 2, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree ≥ k — the standard 'dense kernel' extractor
+    (for the dup graph: the heavily cross-duplicated template families
+    that survive after stripping hangers-on).
+
+    Classic iterative peel: repeatedly drop nodes whose CURRENT degree
+    is < k until a fixpoint.  Each round is one degree aggregate + one
+    semi join against the surviving-node set — shuffles stay
+    edge-sized and shrink monotonically; lineage is truncated per
+    round with eager localCheckpoint (same discipline as
+    connected_components, constant plan depth at any peel depth).
+
+    Returns (node, degree) for the k-core, degree measured WITHIN the
+    core subgraph."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        n_drop = deg.filter(F.col("deg") < k).limit(1).count()
+        if n_drop == 0:
+            return deg.select(F.col("u").alias("node"), "deg")
+        new_edges = (
+            edges.join(keep, "u", "semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        edges = new_edges
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.select(F.col("u").alias("node"), "deg")

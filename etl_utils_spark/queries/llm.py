@@ -572,3 +572,35 @@ def triangle_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * n_tri / (F.col("degree") * (F.col("degree") - 1)), 6
         ).alias("local_cc"),
     )
+
+
+@query("kcore_dedup_graph", oracle=None)
+def kcore_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-duplicate graph: documents that remain after
+    iteratively peeling degree-1 hangers-on — the dense template
+    families worth wholesale collapse, as opposed to incidental
+    pairwise overlaps.  Rows-only by design (iterative fixpoint);
+    gate_kcore_min_degree pins the defining invariant driver-visibly,
+    and tests/test_clustering.py checks the peel against a hand-solved
+    graph."""
+    from etl_utils_spark.operators.clustering import k_core
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    return k_core(pairs.select("id_a", "id_b"), k=2)
+
+
+@query("gate_kcore_min_degree", oracle="SELECT TRUE AS min_degree_ok")
+def gate_kcore_min_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the k-core peel: by definition every surviving
+    node's in-core degree is ≥ k — a lower degree means the fixpoint
+    exited early or the semi joins dropped edges asymmetrically.
+    Deterministic ⇒ literal oracle (same pattern as the other gates)."""
+    from pyspark.sql import functions as FF
+
+    from etl_utils_spark.operators.clustering import k_core
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    core = k_core(pairs.select("id_a", "id_b"), k=2)
+    row = core.agg(FF.min("deg").alias("mn"), FF.count(FF.lit(1)).alias("n")).collect()[0]
+    ok = row.n == 0 or row.mn >= 2
+    return spark.createDataFrame([(bool(ok),)], "min_degree_ok boolean")

@@ -81,3 +81,21 @@ def test_pagerank_two_cliques_equal_within(spark):
     pr = {r.node: r.pr for r in pagerank(df, iterations=5).collect()}
     vals = set(round(v, 9) for v in pr.values())
     assert vals == {1.0}  # regular graph → uniform rank
+
+
+def test_k_core_peels_hand_solved_graph(spark):
+    """Graph: triangle {1,2,3} + tail 3-4-5 + isolated edge 6-7.
+    2-core = the triangle only (peeling 5 → 4 exposes nothing new;
+    6/7 are degree-1).  Degrees within the core are all 2."""
+    from etl_utils_spark.operators.clustering import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (6, 7)],
+        "id_a long, id_b long",
+    )
+    core = {(r.node, r.deg) for r in k_core(edges, k=2).collect()}
+    assert core == {(1, 2), (2, 2), (3, 2)}, core
+
+    # k=1 keeps everything (no degree-0 nodes in an edge list)
+    core1 = {r.node for r in k_core(edges, k=1).collect()}
+    assert core1 == {1, 2, 3, 4, 5, 6, 7}, core1
