@@ -70,3 +70,98 @@ def catalog_list_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         for col in spark.catalog.listColumns(t):
             rows.append((t, col.name))
     return spark.createDataFrame(rows, "table_name string, column_name string")
+
+
+@query(
+    "join_null_safe_regions",
+    oracle="""
+        WITH a AS (
+            SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+            FROM customer WHERE c_custkey <= 200
+        ),
+        b AS (
+            SELECT c_custkey AS b_custkey,
+                   NULLIF(c_mktsegment, 'BUILDING') AS seg
+            FROM customer WHERE c_custkey BETWEEN 101 AND 300
+        )
+        SELECT coalesce(a.seg, '<null>') AS seg, count(*) AS n_pairs
+        FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+        GROUP BY 1
+    """,
+)
+def join_null_safe_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match EACH OTHER instead of vanishing — the semantic every
+    late-arriving-dimension pipeline needs when 'unknown' rows must
+    still pair up.  Still hash-partitionable (NULL hashes like any
+    value under null-safe equality), so the plan stays a real hash
+    join, not a filter-dance."""
+    c = _t(spark, sf_dir, "customer")
+    seg = F.expr("NULLIF(c_mktsegment, 'BUILDING')")
+    a = c.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey", seg.alias("seg")
+    )
+    b = c.filter(F.col("c_custkey").between(101, 300)).select(
+        F.col("c_custkey").alias("b_custkey"), seg.alias("seg_b")
+    )
+    j = a.join(b, a.seg.eqNullSafe(b.seg_b))
+    return j.groupBy(F.coalesce("seg", F.lit("<null>")).alias("seg")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
+    "union_by_name_missing_cols",
+    oracle="""
+        SELECT n_nationkey AS entity_key, n_name AS name,
+               n_regionkey AS region_key, NULL AS acctbal
+        FROM nation
+        UNION ALL
+        SELECT s_suppkey, s_name, NULL, s_acctbal FROM supplier
+    """,
+)
+def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-tolerant union (unionByName allowMissingColumns): two
+    entity tables with only partially overlapping columns align BY
+    NAME with NULL fill — the schema-drift-tolerant append every
+    multi-source ingest needs (positional UNION would silently pair
+    the wrong columns; the oracle spells out the explicit NULL
+    padding Spark synthesizes)."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("entity_key"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region_key"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return n.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern SQL dialect surface (group by every
+    non-aggregate select item) supported verbatim by both engines;
+    the registered-view path doubles as the engine's spark.sql()
+    text-SQL entry check."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY ALL
+        """
+    )
