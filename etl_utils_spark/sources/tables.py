@@ -38,8 +38,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+        return _normalize_ntz(_load_events(spark, path))
+    return _normalize_ntz(spark.read.parquet(path))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (instant semantics).
+
+    The driver fixtures have shipped three on-disk timestamp flavors
+    across rounds: TIMESTAMP(NANOS), tz-adjusted micros (read as
+    TIMESTAMP), and naive micros (read as TIMESTAMP_NTZ since Spark 4
+    infers NTZ from isAdjustedToUTC=false). The engine standardizes on
+    TIMESTAMP: epoch arithmetic (``unix_micros``) is only defined for
+    instants, and the session timezone is pinned to UTC
+    (session.py), so the naive→instant cast is the identity mapping on
+    wall-clock values — exactly what the DuckDB oracle computes on the
+    same naive parquet values.
+    """
+    from pyspark.sql import functions as F
+
+    ntz_cols = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {name: F.col(name).cast("timestamp") for name in ntz_cols}
+        )
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

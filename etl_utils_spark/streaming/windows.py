@@ -35,17 +35,33 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Open the events fixture as a file-source stream (the same
-    ns→µs timestamp normalization as the batch loader)."""
+    """Open the events fixture as a file-source stream with the same
+    timestamp normalization as the batch loader (sources/tables.py).
+
+    The file source requires a user-supplied schema, and the fixture's
+    on-disk ``ts`` flavor has varied across driver rounds
+    (TIMESTAMP(NANOS) → long under nanosAsLong; naive micros → NTZ;
+    tz-adjusted micros → TIMESTAMP). Peek at the batch reader's
+    inferred schema (one footer read, no data scan) and declare the
+    stream schema to match, then normalize ``ts`` to TIMESTAMP.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    on_disk = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file source requires a directory: stream the fixture dir with
     # a glob filter selecting only the events file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(on_disk)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in on_disk.fields)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":  # naive micros; session tz is UTC
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
