@@ -47,6 +47,37 @@ def main() -> None:
     def _excluded(name: str) -> bool:
         return name in EXCLUDE or name.startswith(("gate_", "diag_"))
 
+    # Headline subset for the PRINTED line (full detail lands in
+    # BENCH_local.json). One representative per engine surface; short
+    # and fixed so the final stdout line stays under the driver's
+    # ~2000-char capture.
+    HEADLINE = [
+        "agg_pricing_summary",
+        "q3_shipping_priority",
+        "q18_large_volume_customers",
+        "window_rank_orders_by_price",
+        "scd2_user_value_history",
+        "merge_upsert_customers",
+        "sessionize_events",
+        "resample_ohlc_15min",
+        "ewma_user_value",
+        "stream_tumbling_counts_live",
+        "stream_stateful_user_counts",
+        "dedup_documents_exact",
+        "dedup_documents_minhash",
+        "dedup_documents_simhash",
+        "dedup_cluster_documents",
+        "pagerank_dedup_graph",
+        "topk_cosine_neighbors_lsh",
+        "topk_cosine_neighbors_ivf",
+        "udtf_tokenize_docs",
+        "tfidf_top_terms",
+        "split_leakage_safe_docs",
+        "pack_sequences_docs",
+        "bucketed_join_orders_lineitem",
+        "io_partitioned_prune",
+    ]
+
     # Warm the JVM + parquet footers once so per-query times measure
     # execution, not first-touch session costs.
     from etl_utils_spark.sources.tables import TABLES, load_table
@@ -74,22 +105,47 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
-    payload = json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to BENCH_local.json (unbounded).
+    full_payload = json.dumps(
         {
             "metric": "declared_query_set_total_wall",
             "value": total,
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in timings.items()},
             "errors": errors,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
         },
         separators=(",", ":"),
     )
-    # Persist a copy, stop Spark BEFORE printing (so no JVM shutdown
-    # noise lands after it), and flush — the driver parses the LAST
-    # stdout line (r1's BENCH had parsed=null from truncated output).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
-        f.write(payload + "\n")
+        f.write(full_payload + "\n")
+
+    # The printed line must stay SHORT: the driver captures only the
+    # last ~2000 chars of stdout and parses the final line from that
+    # capture — rounds 1-3 all recorded parsed=null because the full
+    # 186-query line blew past the capture window. Print the total plus
+    # a fixed headline subset and keep the line comfortably under 1800
+    # chars (asserted below so a registry rename can't regress this).
+    headline = {k: round(timings[k], 2) for k in HEADLINE if k in timings}
+    compact = {
+        "metric": "declared_query_set_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf_val,
+    }
+    if errors:
+        compact["errors"] = {
+            k: errors[k][:60] for k in sorted(errors)[:3]
+        }
+    payload = json.dumps(compact, separators=(",", ":"))
+    assert len(payload) < 1800, f"compact bench line too long: {len(payload)}"
+    # Stop Spark BEFORE printing so no JVM shutdown noise lands after
+    # the JSON, then flush — the driver parses the LAST stdout line.
     spark.stop()
     print(payload, flush=True)
 
