@@ -236,48 +236,80 @@ def simhash_bits(
     return agg.select("sid", bits.alias("bits"))
 
 
+def simhash_sig(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Packed 64-bit SimHash signature per doc: (sid, sig bigint).
+
+    Same per-bit aggregates as :func:`simhash_bits`, but the 64 sign
+    bits are OR-packed into ONE long — every downstream exchange then
+    carries 8 bytes per doc instead of a 64-element array, and Hamming
+    distance is a single ``bit_count(sig_a ^ sig_b)`` instead of a
+    64-step ``zip_with`` fold."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    tok = df.select(
+        F.col(id_col).alias("sid"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).groupBy("sid", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.xxhash64("token")
+    aggs = [
+        F.sum(
+            F.col("cnt")
+            * F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = tok.groupBy("sid").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("sid", sig.alias("sig"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bands: int = 8,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation: band the 64 bits into ``bands`` byte-chunks;
-    by pigeonhole, any pair with Hamming ≤ bands-1 shares at least one
-    identical chunk → bucket-join on (band, chunk), then verify exact
-    Hamming with a zip_with popcount."""
-    sb = simhash_bits(df, id_col, text_col).cache()
-    chunk = 64 // bands
+    Candidate generation: split the packed 64-bit signature into
+    ``max_hamming + 1`` chunks; by pigeonhole, any pair with Hamming ≤
+    max_hamming shares at least one identical chunk → bucket-join on
+    (band, chunk). Right-sizing the band count to the Hamming budget
+    matters for skew: 4 bands of 16 bits give a 65536-value chunk space
+    versus 256 for byte-chunks, so correlated-bit corpora (natural
+    language is one — common tokens drag many docs to the same byte
+    patterns) produce quadratically smaller buckets. The exact Hamming
+    filter runs as ``bit_count(sig_a ^ sig_b)`` directly on the bucket
+    join output — 8-byte signatures ride along the join, the ≤ filter
+    prunes before the distinct's shuffle ever materializes the
+    candidate blowup."""
+    bands = bands or (max_hamming + 1)
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    sg = simhash_sig(df, id_col, text_col)
     chunks = F.array(
         *[
-            F.concat_ws("", *[F.element_at("bits", b * chunk + k + 1) for k in range(chunk)])
+            F.shiftrightunsigned("sig", b * chunk_bits).bitwiseAND(F.lit(mask))
             for b in range(bands)
         ]
     )
-    banded = sb.select("sid", F.posexplode(chunks).alias("band", "chunk"))
-    la = banded.select(F.col("sid").alias("id_a"), "band", "chunk")
-    lb = banded.select(F.col("sid").alias("id_b"), "band", "chunk")
-    cands = (
-        la.join(lb, ["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ba = sb.select(F.col("sid").alias("id_a"), F.col("bits").alias("bits_a"))
-    bb = sb.select(F.col("sid").alias("id_b"), F.col("bits").alias("bits_b"))
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    banded = sg.select("sid", "sig", F.posexplode(chunks).alias("band", "chunk"))
+    la = banded.select(F.col("sid").alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk")
+    lb = banded.select(F.col("sid").alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        cands.join(ba, "id_a")
-        .join(bb, "id_b")
+        la.join(lb.hint("shuffle_hash"), ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
