@@ -129,6 +129,107 @@ def ngram_jaccard_pairs(
     )
 
 
+def overlap_coefficient_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT overlap-coefficient pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+
+    The containment measure Jaccard misses: a short document quoted
+    verbatim inside a long one scores overlap ≈ 1 but Jaccard ≈
+    |A|/|B| → 0, so near-containment dedup (boilerplate, embedded
+    quotes, subset pages) needs this join. Same inverted-index shape as
+    :func:`ngram_jaccard_pairs` — candidates share ≥1 shingle, which is
+    exact for any threshold > 0."""
+    sh = hashed_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("sid").alias("id_a"), "sh")
+    b = sh.select(F.col("sid").alias("id_b"), "sh")
+    inter = (
+        a.join(b.hint("shuffle_hash"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("n_b"))
+    ovl = F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ovl.alias("overlap"))
+        .filter(F.col("overlap") >= threshold)
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT Jaccard ≥ threshold pairs via PREFIX FILTERING (Chaudhuri
+    et al. SSJoin / Bayardo et al. All-Pairs — public algorithms).
+
+    The plain inverted-index join indexes EVERY shingle, so candidate
+    volume is driven by the most frequent shingle (Zipf head — at 100 TB
+    the hot-shingle bucket alone is quadratic). Prefix filtering indexes
+    only each document's p = |d| − ceil(t·|d|) + 1 RAREST shingles
+    (global document-frequency order): for any pair with J ≥ t the
+    smallest common shingle in that order provably lands in BOTH
+    prefixes (if it didn't, the ≥ t·|d| common shingles would have to
+    fit in a suffix of size < t·|d|). High thresholds shrink prefixes
+    toward a handful of rare shingles — candidate volume collapses while
+    recall stays exactly 1. A size filter (t·|a| ≤ |b| ≤ |a|/t, another
+    J ≥ t implication) prunes cross-size candidates before the verify.
+
+    Verification computes true Jaccard on full shingle sets, so output
+    equals the brute inverted-index join at the same threshold."""
+    sh = hashed_shingles(df, id_col, text_col, n).cache()
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("sid").orderBy("dfreq", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .select(
+            "sid",
+            "sh",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("sid")).alias("n_sh"),
+        )
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("sid", "sh", "n_sh")
+    pa = prefix.select(F.col("sid").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
+    pb = prefix.select(F.col("sid").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+    cands = (
+        pa.join(pb.hint("shuffle_hash"), "sh")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy("sid").agg(F.collect_set("sh").alias("sh_set"))
+    sa = sets.select(F.col("sid").alias("id_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("sid").alias("id_b"), F.col("sh_set").alias("set_b"))
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_inter.cast("double") / (F.size("set_a") + F.size("set_b") - n_inter)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --------------------------------------------------------------- minhash
 
 def minhash_signatures(

@@ -25,6 +25,25 @@ def hash_bucket(col: str | Column, n_buckets: int = 10) -> Column:
     return F.pmod(h, F.lit(n_buckets))
 
 
+def quality_weighted_sample(
+    df: DataFrame, key: str, score_col: str
+) -> DataFrame:
+    """Deterministic Bernoulli(score) sampling: keep a row iff its
+    md5-derived uniform u(key) ∈ [0,1) is below ``score_col``.
+
+    The curation shape for corpus mixing — high-quality docs are kept
+    with probability ≈ their score, low-quality ones mostly drop, and
+    the decision is a pure function of the key: re-runs, engines, and
+    cluster sizes all agree row-by-row (no RNG state, no seed plumbing),
+    and a doc's fate never changes as the corpus grows. u is an exact
+    dyadic rational (32-bit int / 2^32), so the `<` compare has no
+    float-rounding ambiguity either engine could resolve differently."""
+    u = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    return df.filter(u < F.col(score_col))
+
+
 def train_test_split(
     df: DataFrame, key: str, test_buckets: int = 2, n_buckets: int = 10
 ) -> DataFrame:

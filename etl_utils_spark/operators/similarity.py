@@ -216,6 +216,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_probe: int = 4,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus
     vectors live in their single nearest-centroid cell; each query
@@ -226,7 +227,14 @@ def cosine_topk_ivf(
     unlike multi-table LSH), the centroid table is model-scale and
     rides inside the UDF closure, and a query touches n_probe/n_cells
     of the data.  Recall is tuned by n_probe; gate_ivf_recall_floor
-    pins it."""
+    pins it.
+
+    ``broadcast_queries`` encodes the probe-workload assumption: the
+    query side must fit in one executor's memory (roughly ≤ a few
+    hundred MB of vectors — Spark hard-caps broadcasts at 8 GB).
+    Corpus-vs-corpus self-joins must pass False, which degrades to a
+    shuffle join co-partitioned on the cell id — same result, no
+    driver-side collect of the big side."""
     C = train_ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     corpus_cell = ivf_cell_udf(C, n_probe=1)
     query_cells = ivf_cell_udf(C, n_probe=n_probe)
@@ -239,9 +247,9 @@ def cosine_topk_ivf(
     q = q.select(
         "query_id", "qv", F.explode(query_cells(F.col("qv"))).alias("cell")
     )
+    qside = F.broadcast(q) if broadcast_queries else q.repartition("cell")
     scored = (
-        F.broadcast(q)
-        .join(c, "cell")
+        qside.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
     )
@@ -256,6 +264,7 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_tables: int = 16,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe the query's bucket in each of
     ``n_tables`` hash tables, union the candidates, score exactly.
@@ -265,7 +274,11 @@ def cosine_topk_lsh(
     tradeoff (L× replication buys 1-(1-p^b)^L recall); each query
     probes L cells and scores only candidates, never the corpus.
     Candidates are deduped BEFORE the exact cosine so each pair is
-    scored once regardless of how many tables it collides in."""
+    scored once regardless of how many tables it collides in.
+
+    ``broadcast_queries``: same bound as cosine_topk_ivf — the probe
+    side must be executor-memory-sized; pass False for a big query
+    side to co-partition both sides on (table_id, bucket) instead."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), dvec(vec_col).alias("cv"))
     c = c.select(
         "neighbor_id",
@@ -282,9 +295,9 @@ def cosine_topk_lsh(
             "table_id", "bucket"
         ),
     )
+    qside = F.broadcast(q) if broadcast_queries else q.repartition("table_id", "bucket")
     scored = (
-        F.broadcast(q)
-        .join(c, ["table_id", "bucket"])
+        qside.join(c, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))

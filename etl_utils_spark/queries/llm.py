@@ -89,9 +89,84 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_documents_simhash", oracle=None)
 def dedup_documents_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 Hamming≤3 near-dup pairs via byte-band buckets
+    """SimHash-64 Hamming≤3 near-dup pairs: packed-long signatures,
+    (max_hamming+1)-band pigeonhole buckets, bit_count verify
     (rows-only: bit-level signature algorithm, not SQL-expressible)."""
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "dedup_jaccard_prefix_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 2)) AS i
+            ) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    """,
+)
+def dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (SSJoin/All-Pairs): index only
+    each doc's rarest |d|−ceil(0.6·|d|)+1 shingles; recall is provably 1
+    so the oracle is the BRUTE inverted-index join at the same
+    threshold — the hash match certifies the pruning is lossless
+    (operators/dedup.py:jaccard_prefix_pairs)."""
+    return dedup.jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6
+    )
+
+
+@query(
+    "dedup_overlap_containment",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 2)) AS i
+            ) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS overlap
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+    """,
+)
+def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs by overlap coefficient |A∩B|/min(|A|,|B|)
+    ≥ 0.8 — catches short-doc-quoted-in-long-doc duplication that
+    Jaccard scores near 0 (operators/dedup.py:overlap_coefficient_pairs)."""
+    return dedup.overlap_coefficient_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
 
 
 @query(

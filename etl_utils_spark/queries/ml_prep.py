@@ -32,6 +32,37 @@ def split_train_test_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_quality_weighted",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+                       + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / length(text)) * 0.3
+                       + (CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                             / len(string_split(text, ' '))) * 0.3 AS quality_score
+            FROM documents
+        )
+        SELECT doc_id, quality_score FROM scored
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+              / 4294967296.0 < quality_score
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli(quality) corpus sampling: keep doc iff
+    md5-uniform(doc_id) < quality_score — seedless, engine-exact,
+    growth-stable (operators/ml_prep.py:quality_weighted_sample over
+    operators/text.py:quality_score)."""
+    from etl_utils_spark.operators import text as text_ops
+
+    scored = text_ops.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    return ml_prep.quality_weighted_sample(scored, "doc_id", "quality_score")
+
+
+@query(
     "split_leakage_safe_docs",
     oracle="""
         WITH RECURSIVE toks AS (

@@ -35,6 +35,39 @@ def test_minhash_pairs_subset_of_exact(spark, sf_dir):
         assert abs(v - exact[k]) < 1e-12
 
 
+def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
+    # prefix filtering must return EXACTLY the brute inverted-index
+    # result at the same threshold — recall 1 is the theorem, not a gate
+    docs = _docs(spark, sf_dir)
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    assert set(pref) == set(brute)
+    for k in pref:
+        assert abs(pref[k] - brute[k]) < 1e-12
+
+
+def test_overlap_containment_dominates_jaccard(spark, sf_dir):
+    # overlap = |A∩B|/min ≥ |A∩B|/|A∪B| = jaccard, so every Jaccard-
+    # threshold pair must appear in the overlap join at the same cut
+    docs = _docs(spark, sf_dir)
+    jac = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    ovl = {
+        (r.id_a, r.id_b): r.overlap
+        for r in dedup.overlap_coefficient_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert jac <= set(ovl)
+    assert all(0.8 <= v <= 1.0 + 1e-12 for v in ovl.values())
+
+
 def test_simhash_pairs_hamming_bound(spark, sf_dir):
     pairs = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).collect()
     assert all(0 <= r.hamming <= 3 for r in pairs)
@@ -77,6 +110,20 @@ def test_ivf_topk_exact_scores_and_determinism(spark, sf_dir):
     # assignment → no candidate duplication)
     keys = [(r.query_id, r.neighbor_id) for r in a]
     assert len(keys) == len(set(keys))
+
+
+def test_topk_shuffle_path_matches_broadcast(spark, sf_dir):
+    # broadcast_queries=False (big-query-side fallback) must return the
+    # same neighbors as the broadcast path for both index layouts
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    for fn, kw in (
+        (similarity.cosine_topk_ivf, dict(n_cells=8, n_probe=3)),
+        (similarity.cosine_topk_lsh, dict(n_planes=4)),
+    ):
+        bcast = fn(emb, queries, k=5, **kw).collect()
+        shuf = fn(emb, queries, k=5, broadcast_queries=False, **kw).collect()
+        assert sorted(map(tuple, bcast)) == sorted(map(tuple, shuf))
 
 
 def test_ivf_more_probes_more_recall(spark, sf_dir):
