@@ -252,3 +252,51 @@ def k_core(pairs: DataFrame, k: int = 2, a_col: str = "id_a", b_col: str = "id_b
         edges = new_edges
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     return deg.select(F.col("u").alias("node"), "deg")
+
+
+def bfs_distances(
+    pairs: DataFrame,
+    sources: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hops: int = 4,
+) -> DataFrame:
+    """(node, dist) — minimum hop count from any source node over an
+    undirected edge list, breadth-first, capped at ``max_hops``.
+
+    Frontier expansion: each round joins ONLY the newest frontier
+    against the edges (not the whole visited set), anti-joins out
+    already-settled nodes, and localCheckpoints the result — per-round
+    cost is proportional to the frontier, lineage stays flat, and the
+    loop is bounded by ``max_hops`` (graph diameter caps it earlier:
+    an empty frontier breaks out). The multi-source form is the
+    production shape — seed-set expansion over a near-dup graph
+    ("everything within k hops of a known-bad document")."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    edges.unpersist()
+    return dist

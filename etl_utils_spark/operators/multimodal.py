@@ -166,3 +166,192 @@ def frame_sample_plan(media: DataFrame, n_frames: int = 4) -> DataFrame:
         F.col("media_meta.kind").alias("kind"),
         F.explode(F.array_distinct(idx)).alias("frame_index"),
     )
+
+
+# ------------------------------------------------- real format decode
+#
+# BMP and RIFF/WAV are fully public, library-free formats: a correct
+# decoder is ~30 lines of header parsing + numpy. The payloads below
+# are REAL files (any image/audio tool opens them), synthesized
+# deterministically from doc_id, and the decoders genuinely parse
+# them — magic bytes, header fields, row padding, chunk walking —
+# rather than trusting the synthesis. The oracle recomputes the
+# expected features from the synthesis CLOSED FORM, so a decode bug
+# (wrong offset, padding, stride, sample width) breaks the hash match.
+
+BMP_W, BMP_H = 10, 8  # 30-byte rows force 2 bytes of row padding
+
+
+def synth_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) — a real 24-bit bottom-up BMP per doc.
+
+    Pixel (x, y): B = doc_id%50 + y, G = doc_id%100 + x,
+    R = doc_id%200 + x + y (all < 256 by construction — no mod
+    wraparound, so channel means have exact closed forms)."""
+    import struct
+
+    import numpy as np
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        row_stride = (BMP_W * 3 + 3) // 4 * 4
+        img_size = row_stride * BMP_H
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                px = np.zeros((BMP_H, row_stride), dtype=np.uint8)
+                for y in range(BMP_H):
+                    for x in range(BMP_W):
+                        px[y, 3 * x] = d % 50 + y
+                        px[y, 3 * x + 1] = d % 100 + x
+                        px[y, 3 * x + 2] = d % 200 + x + y
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, BMP_W, BMP_H, 1, 24, 0, img_size, 2835, 2835, 0, 0
+                )
+                # bottom-up row order, as the spec requires
+                rows.append((d, header + px[::-1].tobytes()))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return docs.select(id_col).mapInPandas(_make, schema)
+
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def decode_bmp_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL BMP decode over mapInPandas: validates the BM magic, reads
+    the pixel-array offset / dimensions / bpp from the headers, honors
+    the 4-byte row stride and bottom-up order, and averages each
+    channel over the true pixels (padding excluded)."""
+    import struct
+
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                magic, _, _, _, off = struct.unpack_from("<2sIHHI", b, 0)
+                if magic != b"BM":
+                    raise ValueError("not a BMP payload")
+                _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
+                if bpp != 24:
+                    raise ValueError(f"unsupported bpp {bpp}")
+                stride = (w * 3 + 3) // 4 * 4
+                arr = np.frombuffer(b, np.uint8, count=stride * abs(h), offset=off)
+                px = arr.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+                if h > 0:  # bottom-up
+                    px = px[::-1]
+                means = px.astype(np.float64).mean(axis=(0, 1))
+                out.append(
+                    (int(doc_id), int(w), int(abs(h)),
+                     float(means[2]), float(means[1]), float(means[0]))
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return media.mapInPandas(_decode, BMP_FEATURES_SCHEMA)
+
+
+WAV_RATE = 8000
+
+
+def synth_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) — a real RIFF/WAVE file per doc: PCM s16le
+    mono @8kHz, a square wave of amplitude 1000 + doc_id%1000 over
+    64 + doc_id%64 samples (RMS = amplitude exactly; n−1 sign flips)."""
+    import struct
+
+    import numpy as np
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                amp = 1000 + d % 1000
+                samples = np.full(n, amp, dtype=np.int16)
+                samples[1::2] *= -1
+                data = samples.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+                payload = (
+                    struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+                    + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+                    + struct.pack("<4sI", b"data", len(data)) + data
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return docs.select(id_col).mapInPandas(_make, schema)
+
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def decode_wav_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL RIFF/WAVE decode over mapInPandas: validates RIFF/WAVE
+    magic, WALKS the chunk list (no fixed offsets — a real reader must
+    tolerate extra chunks), reads rate/width/channels from fmt, and
+    computes RMS + zero-crossing count over the PCM samples."""
+    import struct
+
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                riff, _, wave = struct.unpack_from("<4sI4s", b, 0)
+                if riff != b"RIFF" or wave != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, rate, bits, data = 12, None, None, None
+                while pos + 8 <= len(b):
+                    cid, size = struct.unpack_from("<4sI", b, pos)
+                    body = b[pos + 8 : pos + 8 + size]
+                    if cid == b"fmt ":
+                        _, _, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)  # chunks are word-aligned
+                if rate is None or data is None or bits != 16:
+                    raise ValueError("missing fmt/data chunk or unsupported width")
+                s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+                n = s.size
+                rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+                zc = int(np.sum(np.signbit(s[:-1]) != np.signbit(s[1:]))) if n > 1 else 0
+                out.append((int(doc_id), int(rate), n, rms, zc))
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "sample_rate", "n_samples", "rms", "zero_crossings"],
+            )
+
+    return media.mapInPandas(_decode, WAV_FEATURES_SCHEMA)

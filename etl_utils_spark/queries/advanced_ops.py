@@ -61,6 +61,148 @@ def dedup_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_bfs_reachability",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        bfs AS (
+            SELECT doc_id AS node, 0 AS d FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT e.v, b.d + 1 FROM bfs b JOIN edges e ON e.u = b.node
+            WHERE b.d < 4
+        )
+        SELECT node, CAST(min(d) AS INT) AS dist FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup graph: min hop distance from
+    the seed set (doc_id % 50 = 0) capped at 4 hops — the
+    contamination-expansion query ("every doc within k hops of a
+    known-bad doc"). Iterative frontier expansion with per-round
+    localCheckpoint (operators/clustering.py:bfs_distances),
+    hash-checked against a DuckDB recursive-CTE BFS."""
+    from etl_utils_spark.operators.clustering import bfs_distances
+    from etl_utils_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    sources = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    return bfs_distances(pairs, sources, max_hops=4)
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        cc AS (
+            SELECT u AS node, u AS comp FROM edges
+            UNION
+            SELECT e.u, c.comp FROM edges e JOIN cc c ON e.v = c.node
+            WHERE c.comp < e.u
+        ),
+        labels AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
+        quality AS (
+            SELECT doc_id,
+                   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+                       + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / length(text)) * 0.3
+                       + (CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                             / len(string_split(text, ' '))) * 0.3 AS quality_score
+            FROM documents
+        ),
+        member AS (
+            SELECT q.doc_id, coalesce(l.comp, q.doc_id) AS comp, q.quality_score
+            FROM quality q LEFT JOIN labels l ON l.node = q.doc_id
+        ),
+        ranked AS (
+            SELECT comp, doc_id, quality_score,
+                   row_number() OVER (
+                       PARTITION BY comp ORDER BY quality_score DESC, doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY comp) AS n_members,
+                   max(quality_score) OVER (PARTITION BY comp) AS best_quality
+            FROM member
+        )
+        SELECT comp, CAST(n_members AS BIGINT) AS n_members,
+               doc_id AS keep_id, best_quality
+        FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup chain's end-cap: near-dup pairs → connected components
+    → per-cluster SURVIVOR SELECTION by quality (highest quality_score,
+    ties to the lowest doc_id), singletons included as their own
+    cluster. This is the row that actually ships to training —
+    clustering tells you what's duplicated, this decides what to keep."""
+    from etl_utils_spark.operators.clustering import connected_components
+    from etl_utils_spark.operators.dedup import ngram_jaccard_pairs
+    from etl_utils_spark.operators.text import quality_score
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    labels = connected_components(pairs)
+    quality = quality_score(docs).select("doc_id", "quality_score")
+    member = quality.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("comp"), "quality_score"
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    best = member.withColumn("rn", F.row_number().over(w))
+    return (
+        best.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_id"),
+            F.max("quality_score").alias("best_quality"),
+        )
+    )
+
+
+@query(
     "udtf_tokenize_docs",
     oracle="""
         WITH d AS (

@@ -336,3 +336,95 @@ def binning_decile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(price).alias("max_price"),
         )
     )
+
+
+@query(
+    "chunk_tokens_sliding",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        s AS (
+            SELECT doc_id, w, g.s, CAST((g.s - 1) / 16 AS INT) AS chunk_idx
+            FROM d, LATERAL (
+                SELECT unnest(generate_series(1, len(w), 16)) AS s
+            ) g
+        )
+        SELECT doc_id, chunk_idx,
+               array_to_string(list_slice(w, s, least(s + 31, len(w))), ' ')
+                   AS chunk_text,
+               CAST(least(s + 31, len(w)) - s + 1 AS INT) AS n_tokens
+        FROM s
+    """,
+)
+def chunk_tokens_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (window 32, stride 16): the
+    context-window preprocessing step — each document becomes
+    half-overlapping chunks so no token span is split across a chunk
+    boundary without also appearing whole in a neighbor. Pure
+    sequence/slice arithmetic inside codegen; the explode amplifies
+    rows ~n_tokens/stride with no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(16))
+    d = d.select(
+        "doc_id", w.alias("w"), F.posexplode(starts).alias("chunk_idx", "s")
+    )
+    chunk = F.slice(F.col("w"), F.col("s"), F.lit(32))
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+@query(
+    "mixture_rebalance_langs",
+    oracle="""
+        WITH tot AS (SELECT count(*) AS n FROM documents),
+        ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang FROM ranked, tot
+        WHERE rn <= floor(
+            CASE lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.15
+                      WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+                      ELSE 0.15 END * tot.n * 0.5)
+    """,
+)
+def mixture_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture rebalancing: resample the corpus to
+    target language proportions (en 40%, others 15% each) over a 50%
+    budget by taking each language's lowest-md5 documents up to its
+    quota. Seedless and growth-stable like every sampler here; quotas
+    derive from a 1-row total broadcast-joined in (never a global
+    window sort). A language short of quota contributes everything it
+    has — mixture weights are targets, not guarantees, exactly like
+    production corpus mixing."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    # corpus total as a driver literal (1 scalar — metadata-scale, the
+    # binning_decile_prices precedent), keeping the quota compare a
+    # plain codegen filter with no 1-row join in the plan
+    total = d.count()
+    frac = (
+        F.when(F.col("lang") == "en", 0.40)
+        .when(F.col("lang") == "zh", 0.15)
+        .when(F.col("lang") == "de", 0.15)
+        .when(F.col("lang") == "es", 0.15)
+        .otherwise(0.15)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    return ranked.filter(
+        F.col("rn") <= F.floor(frac * F.lit(float(total)) * F.lit(0.5))
+    ).select("doc_id", "lang")

@@ -463,3 +463,29 @@ def gate_cms_overestimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bool(over_ok), bool(mass_ok))],
         "all_overestimate boolean, mass_conserved boolean",
     )
+
+
+@query(
+    "stats_regr_price_on_qty",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def stats_regr_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) via the
+    SQL-standard regr_* aggregates — single-pass mergeable moments
+    like corr/covar, so the map-side combine shape survives any scale;
+    rounded so both engines' summation orders agree."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )

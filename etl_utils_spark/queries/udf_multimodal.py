@@ -201,3 +201,53 @@ def udf_cogrouped_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_utils_spark.operators.udfs import cogrouped_conversion_lag
 
     return cogrouped_conversion_lag(purchases, clicks)
+
+
+@query(
+    "multimodal_decode_bmp",
+    oracle="""
+        SELECT doc_id,
+               10 AS width, 8 AS height,
+               CAST(doc_id % 200 + 8.0 AS DOUBLE) AS mean_r,
+               CAST(doc_id % 100 + 4.5 AS DOUBLE) AS mean_g,
+               CAST(doc_id % 50 + 3.5 AS DOUBLE) AS mean_b
+        FROM documents
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no libraries: a genuine 24-bit BMP per doc
+    (synthesized deterministically) is parsed back by a real decoder —
+    BM magic, header fields, 4-byte row stride, bottom-up order — and
+    per-channel means are hash-checked against the synthesis closed
+    form, certifying the encode→decode round-trip end-to-end
+    (operators/multimodal.py:synth_bmp/decode_bmp_features). The means
+    are exact dyadic rationals, so the double compare is safe."""
+    from etl_utils_spark.operators.multimodal import decode_bmp_features, synth_bmp
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_bmp_features(synth_bmp(docs))
+
+
+@query(
+    "multimodal_decode_wav",
+    oracle="""
+        SELECT doc_id,
+               8000 AS sample_rate,
+               CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+               CAST(1000 + doc_id % 1000 AS DOUBLE) AS rms,
+               CAST(63 + doc_id % 64 AS BIGINT) AS zero_crossings
+        FROM documents
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no libraries: a genuine RIFF/WAVE (PCM s16le
+    mono @8kHz square wave) per doc, parsed back by chunk-walking —
+    RIFF/WAVE magic, fmt rate/width, data payload — with RMS and
+    zero-crossing counts hash-checked against the synthesis closed form
+    (square wave of amplitude a: RMS = a exactly — a² is an exact
+    double and IEEE sqrt is correctly rounded; n−1 sign flips)
+    (operators/multimodal.py:synth_wav/decode_wav_features)."""
+    from etl_utils_spark.operators.multimodal import decode_wav_features, synth_wav
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_wav_features(synth_wav(docs))
