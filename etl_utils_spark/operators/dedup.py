@@ -207,6 +207,7 @@ def jaccard_prefix_pairs(
     prefix = ranked.filter(F.col("rn") <= prefix_len).select("sid", "sh", "n_sh")
     pa = prefix.select(F.col("sid").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
     pb = prefix.select(F.col("sid").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+    # cached for the same two-reader reason as minhash_lsh_pairs
     cands = (
         pa.join(pb.hint("shuffle_hash"), "sh")
         .filter(
@@ -216,8 +217,20 @@ def jaccard_prefix_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
+        .cache()
     )
-    sets = sh.groupBy("sid").agg(F.collect_set("sh").alias("sh_set"))
+    cand_ids = (
+        cands.select(F.col("id_a").alias("sid"))
+        .union(cands.select(F.col("id_b").alias("sid")))
+        .distinct()
+    )
+    # sets only for docs in some candidate pair — collect_set over the
+    # whole corpus would dominate at scale (see minhash_lsh_pairs)
+    sets = (
+        sh.join(cand_ids, "sid", "left_semi")
+        .groupBy("sid")
+        .agg(F.collect_set("sh").alias("sh_set"))
+    )
     sa = sets.select(F.col("sid").alias("id_a"), F.col("sh_set").alias("set_a"))
     sb = sets.select(F.col("sid").alias("id_b"), F.col("sh_set").alias("set_b"))
     n_inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -284,17 +297,33 @@ def minhash_lsh_pairs(
 
     la = banded.select(F.col("sid").alias("id_a"), "band", "band_hash")
     lb = banded.select(F.col("sid").alias("id_b"), "band", "band_hash")
+    # cached: the verify stage reads candidates twice (once to bound
+    # the set-gather, once for the pair join) — without the cache the
+    # whole banding pipeline re-executes per branch
     cands = (
         la.join(lb, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .cache()
     )
 
     # exact verification: candidates are FEW (that is LSH's point), so
     # join each pair to the two docs' shingle-hash SETS and intersect —
-    # never re-running the full inverted-index join.
-    sets = sh.groupBy("sid").agg(F.collect_set("sh").alias("sh_set"))
+    # never re-running the full inverted-index join. Sets are gathered
+    # ONLY for docs that appear in some candidate pair (semi join
+    # first): at corpus scale collect_set over every document would
+    # dwarf the verify itself.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("sid"))
+        .union(cands.select(F.col("id_b").alias("sid")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_ids, "sid", "left_semi")
+        .groupBy("sid")
+        .agg(F.collect_set("sh").alias("sh_set"))
+    )
     sa = sets.select(F.col("sid").alias("id_a"), F.col("sh_set").alias("set_a"))
     sb = sets.select(F.col("sid").alias("id_b"), F.col("sh_set").alias("set_b"))
     n_inter = F.size(F.array_intersect("set_a", "set_b"))

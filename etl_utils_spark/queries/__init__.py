@@ -89,18 +89,29 @@ _WINDOW = [
     "triangle_local_clustering",
     "split_leakage_safe_docs",
     "tokenize_docs_to_ids",
-    "embedding_quantize_int8",
-    "embedding_label_stats",
     "ewma_user_value",
-    "rollup_time_grains_events",
-    "window_rolling_median_spikes",
-    "retention_cohorts_weekly",
     "funnel_view_click_purchase",
+    # round-4 additions: real-format decode + exact-recall dedup chain
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "dedup_jaccard_prefix_pairs",
+    "dedup_keep_best_quality",
+    "graph_bfs_reachability",
     # approximate-operator quality gates (VERDICT: "the four unsampled gates")
     "gate_ivf_recall_floor",
     "gate_pagerank_mass",
     "gate_kcore_min_degree",
     # --- entries past #50: sampled only if the driver widens its window
+    "embedding_quantize_int8",
+    "embedding_label_stats",
+    "rollup_time_grains_events",
+    "window_rolling_median_spikes",
+    "retention_cohorts_weekly",
+    "dedup_overlap_containment",
+    "sample_quality_weighted",
+    "chunk_tokens_sliding",
+    "mixture_rebalance_langs",
+    "stats_regr_price_on_qty",
     "gate_approx_quantiles_tolerance",
     "gate_approx_distinct_tolerance",
     "gate_stratified_fractions",

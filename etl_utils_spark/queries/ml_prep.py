@@ -428,3 +428,55 @@ def mixture_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rn") <= F.floor(frac * F.lit(float(total)) * F.lit(0.5))
     ).select("doc_id", "lang")
+
+
+@query(
+    "decontaminate_test_split",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                   w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS g
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 7)) AS i
+            ) t
+        ),
+        lab AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10) >= 8
+                       AS is_test
+            FROM documents
+        ),
+        tr AS (SELECT DISTINCT g FROM sh JOIN lab USING(doc_id) WHERE NOT is_test),
+        te AS (SELECT doc_id, g FROM sh JOIN lab USING(doc_id) WHERE is_test)
+        SELECT te.doc_id, CAST(count(DISTINCT te.g) AS BIGINT) AS n_shared_ngrams
+        FROM te JOIN tr ON te.g = tr.g
+        GROUP BY te.doc_id
+    """,
+)
+def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination: test documents sharing any verbatim 8-gram
+    with ANY train document (the standard benchmark-leakage check) —
+    output is (test doc, distinct shared 8-grams). Same md5 split rule
+    as split_train_test_docs; the gram join runs on xxhash64 longs (the
+    64-bit space keeps cross-collision odds ~1e-9 at fixture scale and
+    far below 1 even at 100 TB gram counts), so the exchange carries
+    8-byte keys, never gram text — a shuffle hash semi-shape join where
+    both sides stay corpus-scale."""
+    from etl_utils_spark.operators.dedup import hashed_shingles
+    from etl_utils_spark.operators.ml_prep import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id", (hash_bucket(F.col("doc_id").cast("string"), 10) >= 8).alias("is_test")
+    )
+    sh = hashed_shingles(docs, "doc_id", "text", n=8).withColumnRenamed("sid", "doc_id")
+    sh = sh.join(lab, "doc_id")
+    train_g = sh.filter(~F.col("is_test")).select("sh").distinct()
+    test_g = sh.filter(F.col("is_test")).select("doc_id", "sh")
+    return (
+        test_g.join(train_g.hint("shuffle_hash"), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared_ngrams"))
+    )
