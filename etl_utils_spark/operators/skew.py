@@ -40,3 +40,33 @@ def salted_group_sum(
         .agg(F.sum(value).alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias(out))
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-salted equi-join: the fact side gets a deterministic salt
+    in [0, n_salts) (row-hash derived — no RNG state), the dim side is
+    replicated ×n_salts via an explode, and the join runs on
+    (key, salt) — a hot fact key's rows land on n_salts reducers
+    instead of one.
+
+    This is the manual form of what AQE's skew-join split does at
+    runtime (the session enables that too); it exists for the cases
+    AQE can't rescue — skew inside a single shuffle block, or engines/
+    modes without runtime re-planning. The dim must be replication-
+    sized (n_salts × |dim| exchanged); a broadcast-sized dim should
+    just broadcast instead — salting targets the middle regime."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
+    f = facts.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return f.join(
+        d.hint("shuffle_hash"),
+        (F.col(key) == F.col(dim_key)) & (f["_salt"] == d["_salt"]),
+    ).drop("_salt")

@@ -489,3 +489,31 @@ def stats_regr_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )
+
+
+@query(
+    "join_salted_skew_events",
+    oracle="""
+        SELECT e.user_id,
+               count(*) AS n_events,
+               ROUND(SUM(e.value), 2) AS sum_value,
+               any_value(c.c_mktsegment) AS segment
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY e.user_id
+    """,
+)
+def join_salted_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (operators/skew.py:salted_join): the
+    fact side salts deterministically, the dim replicates ×8, the join
+    keys become (user_id, salt) — a hot user's rows spread over 8
+    reducers instead of one. Result hash-matches the plain-join
+    oracle; shuffle_hash hint keeps the replicated dim off the
+    broadcast path so the demonstrated plan IS the salted exchange."""
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = skew.salted_join(e, c, key="user_id", dim_key="c_custkey", n_salts=8)
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.any_value(F.col("c_mktsegment")).alias("segment"),
+    )

@@ -81,6 +81,17 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_salted_join_spreads_key_and_avoids_broadcast(spark, sf_dir):
+    """The salted join must actually demonstrate salting: a shuffled
+    join keyed on (user_id, _salt) — if Spark broadcast the replicated
+    dim, the salt would be decorative."""
+    df = _q("join_salted_skew_events", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:1200]
+    assert "BroadcastHashJoin" not in plan, plan[:1200]
+    assert "_salt" in plan
+
+
 def test_semi_join_prunes_probe_columns(spark, sf_dir):
     df = _q("join_semi_customer_with_orders", spark, sf_dir)
     schemas = read_schema_columns(df)
