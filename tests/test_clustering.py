@@ -99,3 +99,27 @@ def test_k_core_peels_hand_solved_graph(spark):
     # k=1 keeps everything (no degree-0 nodes in an edge list)
     core1 = {r.node for r in k_core(edges, k=1).collect()}
     assert core1 == {1, 2, 3, 4, 5, 6, 7}, core1
+
+
+def test_bfs_distances_chain_and_edge_cases(spark):
+    from etl_utils_spark.operators.clustering import bfs_distances
+
+    # chain 1-2-3-4-5-6, source {1}: dist = hops, capped at 4 (node 6
+    # is 5 hops out and must NOT appear)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    src = spark.createDataFrame([(1,)], "doc_id long")
+    got = {r.node: r.dist for r in bfs_distances(pairs, src, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    # isolated source (not in the graph) still reports dist 0; BFS from
+    # the chain's middle reaches both directions
+    src2 = spark.createDataFrame([(99,), (3,)], "doc_id long")
+    got2 = {r.node: r.dist for r in bfs_distances(pairs, src2, max_hops=2).collect()}
+    assert got2 == {99: 0, 3: 0, 2: 1, 4: 1, 1: 2, 5: 2}
+
+    # empty edge list: only the sources, all at 0
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got3 = {r.node: r.dist for r in bfs_distances(empty, src, max_hops=3).collect()}
+    assert got3 == {1: 0}
