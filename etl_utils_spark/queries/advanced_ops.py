@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from etl_utils_spark.operators.clustering import dedup_clusters
 from etl_utils_spark.queries.registry import query
+from etl_utils_spark.queries.shared import jaccard_pair_graph
 from etl_utils_spark.sources.tables import load_table
 
 
@@ -53,10 +54,8 @@ def dedup_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster with the kept representative — hash-checked against a
     DuckDB recursive-CTE transitive closure over the same exact-Jaccard
     pair set."""
-    from etl_utils_spark.operators.dedup import ngram_jaccard_pairs
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     return dedup_clusters(pairs)
 
 
@@ -102,10 +101,9 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint (operators/clustering.py:bfs_distances),
     hash-checked against a DuckDB recursive-CTE BFS."""
     from etl_utils_spark.operators.clustering import bfs_distances
-    from etl_utils_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     sources = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
     return bfs_distances(pairs, sources, max_hops=4)
 
@@ -177,12 +175,11 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster. This is the row that actually ships to training —
     clustering tells you what's duplicated, this decides what to keep."""
     from etl_utils_spark.operators.clustering import connected_components
-    from etl_utils_spark.operators.dedup import ngram_jaccard_pairs
     from etl_utils_spark.operators.text import quality_score
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     labels = connected_components(pairs)
     quality = quality_score(docs).select("doc_id", "quality_score")
     member = quality.join(

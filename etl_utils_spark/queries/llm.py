@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_utils_spark.operators import dedup, similarity, text
 from etl_utils_spark.queries.registry import query
+from etl_utils_spark.queries.shared import jaccard_pair_graph
 from etl_utils_spark.sources.tables import load_table
 
 
@@ -517,7 +518,7 @@ def dedup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram warns of hub documents that would collapse clusters and
     skew the CC shuffle).  Reuses the exact-Jaccard inverted-index
     pair join; the histogram itself is two tiny aggregates."""
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
         pairs.select(F.col("id_b").alias("doc_id"))
     )
@@ -535,7 +536,7 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetry, hub ordering) are pinned in tests/test_clustering.py."""
     from etl_utils_spark.operators.clustering import pagerank
 
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     return pagerank(pairs.select("id_a", "id_b"))
 
 
@@ -550,7 +551,7 @@ def gate_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_utils_spark.operators.clustering import pagerank
 
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     pr = pagerank(pairs.select("id_a", "id_b"))
     row = pr.agg(
         FF.count(FF.lit(1)).alias("n"), FF.sum("pr").alias("s")
@@ -625,7 +626,7 @@ def triangle_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     both enumerations agree exactly."""
     from etl_utils_spark.operators.clustering import triangle_counts
 
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     # the edge list feeds SIX plan branches (degrees ×2, orientation
     # joins, wedge join, closing semi) — materialize it once; at scale
     # the pair list is tiny next to the corpus that produced it
@@ -660,7 +661,7 @@ def kcore_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph."""
     from etl_utils_spark.operators.clustering import k_core
 
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     return k_core(pairs.select("id_a", "id_b"), k=2)
 
 
@@ -674,7 +675,7 @@ def gate_kcore_min_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_utils_spark.operators.clustering import k_core
 
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     core = k_core(pairs.select("id_a", "id_b"), k=2)
     row = core.agg(FF.min("deg").alias("mn"), FF.count(FF.lit(1)).alias("n")).collect()[0]
     ok = row.n == 0 or row.mn >= 2

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_utils_spark.queries.registry import query
+from etl_utils_spark.queries.shared import jaccard_pair_graph
 from etl_utils_spark.sources.tables import load_table
 
 
@@ -95,10 +96,10 @@ def diag_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-measurement: MinHash-LSH recall against the exact Jaccard
     join on the same corpus/threshold — the metric that tunes
     (num_hashes, bands) at scale (rows-only: diagnostic)."""
-    from etl_utils_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from etl_utils_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.1).select("id_a", "id_b")
+    exact = jaccard_pair_graph(spark, sf_dir).select("id_a", "id_b")
     lsh = minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.1).select(
         "id_a", "id_b"
     )
@@ -118,10 +119,10 @@ def gate_minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked quality gate for MinHash-LSH dedup: recall vs the
     exact n-gram Jaccard join must be ≥ 0.80.  Deterministic (seeded
     hash family), so the boolean is a stable oracle at every SF."""
-    from etl_utils_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from etl_utils_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.1).select("id_a", "id_b")
+    exact = jaccard_pair_graph(spark, sf_dir).select("id_a", "id_b")
     lsh = minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8, threshold=0.1).select(
         "id_a", "id_b"
     )

@@ -106,10 +106,10 @@ def split_leakage_safe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components) travel together — no train/test
     contamination.  Hash-checked end-to-end against a DuckDB
     recursive-CTE closure + the same md5 bucket rule."""
-    from etl_utils_spark.operators.dedup import ngram_jaccard_pairs
+    from etl_utils_spark.queries.shared import jaccard_pair_graph
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.1)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     return ml_prep.leakage_safe_split(docs, pairs)
 
 
