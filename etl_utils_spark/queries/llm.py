@@ -244,6 +244,48 @@ def topk_cosine_neighbors_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("topk_pq_rerank", oracle=None)
+def topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization: 8×256 deterministic
+    codebooks compress each vector to 8 bytes, an asymmetric-distance
+    scan over CODES ONLY builds a 50-deep shortlist (per-batch
+    pre-truncation — the shuffle never carries the scored cross
+    product), and exact cosine re-ranks the shortlist. Emitted scores
+    are exact; shortlist recall is the only approximation
+    (gate_pq_recall_floor pins it). Rows-only: PQ code assignment is
+    not SQL-expressible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, shortlist=50
+    )
+
+
+@query(
+    "gate_pq_recall_floor",
+    oracle="SELECT 'pq_m8_k256_sl50' AS variant, CAST(true AS BOOLEAN) AS recall_ge_080",
+)
+def gate_pq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked quality gate for the PQ path: top-5 recall of the
+    shortlist-50 + exact-rerank pipeline against brute force must be
+    ≥ 0.80 (measured 1.0 @ sf0.001, 0.975 @ sf0.01; raw ADC top-5
+    without the re-rank is ~0.5 on this near-random corpus — the gate
+    exists precisely to catch that kind of silent weakness).
+    Deterministic end-to-end (md5-ordered sample, first-k init, fixed
+    Lloyd rounds, total-order tie-breaks) → stable boolean oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.pq_rerank_topk(emb, q, k=5, shortlist=50).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = (n_hit / n_exact) if n_exact else 1.0
+    return spark.createDataFrame(
+        [("pq_m8_k256_sl50", recall >= 0.80)], "variant string, recall_ge_080 boolean"
+    )
+
+
 @query(
     "gate_ivf_recall_floor",
     oracle="SELECT 'ivf_c16_p6' AS variant, CAST(true AS BOOLEAN) AS recall_ge_060",

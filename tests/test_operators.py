@@ -126,6 +126,26 @@ def test_topk_shuffle_path_matches_broadcast(spark, sf_dir):
         assert sorted(map(tuple, bcast)) == sorted(map(tuple, shuf))
 
 
+def test_pq_rerank_exact_scores_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = similarity.pq_rerank_topk(emb, queries, k=5, shortlist=50).collect()
+    b = similarity.pq_rerank_topk(emb, queries, k=5, shortlist=50).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    # re-ranked scores are EXACT cosines — check against the full map
+    full = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=10**9).collect()
+    }
+    for r in a:
+        assert abs(full[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-12
+    assert len(a) == 8 * 5
+    # codes are m ints in [0, k)
+    B = similarity.train_pq_codebooks(emb, m=8, k=16)
+    codes = similarity.pq_encode(emb, B).collect()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
+
+
 def test_ivf_more_probes_more_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
