@@ -480,3 +480,104 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("sh").alias("n_shared_ngrams"))
     )
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        cc AS (
+            SELECT u AS node, u AS comp FROM edges
+            UNION
+            SELECT e.u, c.comp FROM edges e JOIN cc c ON e.v = c.node
+            WHERE c.comp < e.u
+        ),
+        labels AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
+        quality AS (
+            SELECT doc_id, lang,
+                   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+                       + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / length(text)) * 0.3
+                       + (CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                             / len(string_split(text, ' '))) * 0.3 AS quality_score
+            FROM documents
+        ),
+        member AS (
+            SELECT q.doc_id, q.lang, q.quality_score,
+                   coalesce(l.comp, q.doc_id) AS comp
+            FROM quality q LEFT JOIN labels l ON l.node = q.doc_id
+            WHERE q.quality_score >= 0.5
+        ),
+        survivor AS (
+            SELECT comp, doc_id, lang, quality_score,
+                   row_number() OVER (
+                       PARTITION BY comp ORDER BY quality_score DESC, doc_id
+                   ) AS rn
+            FROM member
+        )
+        SELECT doc_id, lang, quality_score,
+               CASE WHEN
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10) >= 8
+               THEN 'test' ELSE 'train' END AS split
+        FROM survivor WHERE rn = 1
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE statement — the end-to-end a
+    reference user actually runs: quality gate (score ≥ 0.5) → near-dup
+    clustering (shared pair graph → CC, singletons included) → one
+    survivor per cluster (best quality, ties to lowest id) → 80/20
+    hash split. Leakage safety falls out structurally: one survivor
+    per near-dup cluster means no cluster can straddle the split.
+    Every stage is individually oracle-verified elsewhere; this query
+    hash-checks their COMPOSITION (the classic place bugs hide —
+    filter-before-vs-after-clustering ordering, singleton handling,
+    tie-breaks)."""
+    from etl_utils_spark.operators.clustering import connected_components
+    from etl_utils_spark.operators.text import quality_score
+    from etl_utils_spark.queries.shared import jaccard_pair_graph
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = connected_components(jaccard_pair_graph(spark, sf_dir))
+    quality = quality_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "quality_score")
+    member = (
+        quality.filter(F.col("quality_score") >= 0.5)
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", "lang", "quality_score",
+            F.coalesce("comp", "doc_id").alias("comp"),
+        )
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    survivors = (
+        member.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "quality_score")
+    )
+    split = ml_prep.train_test_split(survivors, "doc_id", test_buckets=2, n_buckets=10)
+    return split.select("doc_id", "lang", "quality_score", "split")
