@@ -15,6 +15,10 @@ SAMPLE = [
     "q5_local_supplier_volume",
     "dedup_documents_exact",
     "sessionize_events",
+    # round-4 reps: iterative graph, hash sampling, composed pipeline
+    "graph_bfs_reachability",
+    "mixture_rebalance_langs",
+    "pipeline_corpus_curation",
 ]
 
 
