@@ -102,16 +102,22 @@ _WINDOW = [
     "gate_pagerank_mass",
     "gate_kcore_min_degree",
     # --- entries past #50: sampled only if the driver widens its window
-    "embedding_quantize_int8",
-    "embedding_label_stats",
-    "rollup_time_grains_events",
-    "window_rolling_median_spikes",
-    "retention_cohorts_weekly",
+    # (newest capabilities first: composed pipeline, PQ gate, salted
+    # join, decontamination, containment, weighted sampling, chunking)
+    "pipeline_corpus_curation",
+    "gate_pq_recall_floor",
+    "join_salted_skew_events",
+    "decontaminate_test_split",
     "dedup_overlap_containment",
     "sample_quality_weighted",
     "chunk_tokens_sliding",
     "mixture_rebalance_langs",
     "stats_regr_price_on_qty",
+    "embedding_quantize_int8",
+    "embedding_label_stats",
+    "rollup_time_grains_events",
+    "window_rolling_median_spikes",
+    "retention_cohorts_weekly",
     "gate_approx_quantiles_tolerance",
     "gate_approx_distinct_tolerance",
     "gate_stratified_fractions",
