@@ -341,29 +341,19 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------- simhash
 
 def simhash_bits(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", nbits: int = 64
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash as a bit array per doc.
-
-    (doc, token, count) → for each bit j, sum(count * ±1 by bit j of
-    xxhash64(token)); sign → bit. nbits aggregate expressions in ONE
-    groupBy — no row explosion, shuffle carries (doc, 64 longs).
-    Unconditional pre-explode repartition (see shingles)."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    tok = df.select(
-        F.col(id_col).alias("sid"), F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).groupBy("sid", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.xxhash64("token")
-    aggs = [
-        F.sum(
-            F.col("cnt")
-            * F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(nbits)
-    ]
-    agg = tok.groupBy("sid").agg(*aggs)
-    bits = F.array(*[F.when(F.col(f"b{j}") > 0, 1).otherwise(0) for j in range(nbits)])
-    return agg.select("sid", bits.alias("bits"))
+    """64-bit SimHash as a bit array per doc — a view over
+    :func:`simhash_sig`'s packed long (single source of truth for the
+    per-bit aggregates), unpacked with 64 shift-and-mask projections."""
+    sg = simhash_sig(df, id_col, text_col)
+    bits = F.array(
+        *[
+            F.shiftrightunsigned("sig", j).bitwiseAND(F.lit(1)).cast("int")
+            for j in range(64)
+        ]
+    )
+    return sg.select("sid", bits.alias("bits"))
 
 
 def simhash_sig(

@@ -335,6 +335,9 @@ def train_pq_codebooks(
     X = _normalize_rows_np(np.array([r.v for r in rows]))
     d = X.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
+    # a codebook can't have more centroids than training vectors —
+    # clamp (tiny corpora) instead of a numpy broadcast error
+    k = min(k, X.shape[0])
     sub = d // m
     books = np.zeros((m, k, sub))
     for j in range(m):
@@ -451,27 +454,37 @@ def pq_rerank_topk(
             if not len(pdf):
                 continue
             C = np.vstack(pdf["codes"].to_numpy())  # (n, m)
-            n = C.shape[0]
-            d = np.zeros((len(qids), n))
+            d = np.zeros((len(qids), C.shape[0]))
             for j in range(tables.shape[1]):
                 d += tables[:, j, :][:, C[:, j]]
             nid = pdf["neighbor_id"].to_numpy()
-            take = min(shortlist, n)
             out_q, out_n, out_d = [], [], []
             for qi in range(len(qids)):
-                # per-batch pre-truncation: batch-local top-`shortlist`
-                idx = np.argpartition(d[qi], take - 1)[:take]
+                # self-match removed BEFORE truncation (it must not
+                # consume a shortlist slot), and the batch-local cut
+                # uses the SAME total order as the global window
+                # (rounded dist, then id): the global top-`shortlist`
+                # under a total order is always within the union of
+                # batch top-`shortlist`s, so the final shortlist is
+                # identical under any partition layout.
+                mask = nid != qids[qi]
+                bn, bd = nid[mask], d[qi][mask]
+                take = min(shortlist, bn.size)
+                if not take:
+                    continue
+                order = np.lexsort((bn, np.round(bd, 9)))[:take]
                 out_q.append(np.full(take, qids[qi]))
-                out_n.append(nid[idx])
-                out_d.append(d[qi][idx])
-            out = pd.DataFrame(
+                out_n.append(bn[order])
+                out_d.append(bd[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
                     "neighbor_id": np.concatenate(out_n),
                     "approx_dist": np.concatenate(out_d),
                 }
             )
-            yield out[out.query_id != out.neighbor_id]
 
     w_sl = Window.partitionBy("query_id").orderBy(
         F.asc(F.round(F.col("approx_dist"), 9)), F.asc("neighbor_id")

@@ -66,7 +66,10 @@ def salted_join(
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    # frame-qualified references: `F.col(key)` would be AMBIGUOUS
+    # whenever both frames carry the key name (key == dim_key, or a
+    # conformed dim repeating the fact key)
     return f.join(
         d.hint("shuffle_hash"),
-        (F.col(key) == F.col(dim_key)) & (f["_salt"] == d["_salt"]),
+        (f[key] == d[dim_key]) & (f["_salt"] == d["_salt"]),
     ).drop("_salt")

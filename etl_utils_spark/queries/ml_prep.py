@@ -402,11 +402,19 @@ def mixture_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixture rebalancing: resample the corpus to
     target language proportions (en 40%, others 15% each) over a 50%
     budget by taking each language's lowest-md5 documents up to its
-    quota. Seedless and growth-stable like every sampler here; quotas
-    derive from a 1-row total broadcast-joined in (never a global
-    window sort). A language short of quota contributes everything it
-    has — mixture weights are targets, not guarantees, exactly like
-    production corpus mixing."""
+    quota. Seedless and growth-stable like every sampler here; the
+    corpus total enters as a driver literal (metadata-scale). A
+    language short of quota contributes everything it has — mixture
+    weights are targets, not guarantees, exactly like production
+    corpus mixing.
+
+    Scale note: the per-lang row_number ranks each language's docs on
+    one reducer — exact, right for fixture-scale oracle parity, but a
+    hot-language sort at 100 TB. The scale path keeps the same
+    selection statistically: approxQuantile the md5-hash column at the
+    quota fraction per language and keep hash < threshold — a
+    scan-side filter, no sort, same growth-stable doc choice up to
+    quantile error."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     # corpus total as a driver literal (1 scalar — metadata-scale, the
     # binning_decile_prices precedent), keeping the quota compare a

@@ -39,12 +39,19 @@ def test_bmp_payloads_are_structurally_valid_files(spark, sf_dir):
 
 
 def test_wav_payloads_are_structurally_valid_files(spark, sf_dir):
+    import numpy as np
+
     for doc_id, b in _payloads(spark, sf_dir, synth_wav).items():
         riff, riff_size, wave = struct.unpack_from("<4sI4s", b, 0)
         assert (riff, wave) == (b"RIFF", b"WAVE")
         assert riff_size == len(b) - 8
+        # the data chunk's PCM tail must be the exact expected square
+        # wave: amplitude 1000 + id%1000, alternating sign, n samples
         n = 64 + doc_id % 64
-        assert b[-2 * n :] == b[len(b) - 2 * n :]  # data chunk is the tail
+        amp = 1000 + doc_id % 1000
+        expected = np.full(n, amp, dtype=np.int16)
+        expected[1::2] *= -1
+        assert b[-2 * n :] == expected.tobytes()
 
 
 def test_bmp_decoder_rejects_corrupt_magic(spark, sf_dir):
