@@ -517,3 +517,52 @@ def join_salted_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.any_value(F.col("c_mktsegment")).alias("segment"),
     )
+
+
+@query(
+    "outliers_mad_user_value",
+    oracle="""
+        WITH stats AS (
+            SELECT user_id, median(value) AS med
+            FROM events GROUP BY user_id
+        ),
+        dev AS (
+            SELECT e.user_id, e.event_id, e.value, s.med,
+                   abs(e.value - s.med) AS adev
+            FROM events e JOIN stats s ON s.user_id = e.user_id
+        ),
+        mad AS (
+            SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+        )
+        SELECT d.user_id, d.event_id, d.value,
+               ROUND(d.med, 6) AS med,
+               ROUND(m.mad, 6) AS mad
+        FROM dev d JOIN mad m ON m.user_id = d.user_id
+        WHERE m.mad > 0 AND abs(d.value - d.med) > 6 * m.mad
+    """,
+)
+def outliers_mad_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-key outlier detection: flag events whose value sits
+    more than 6 MADs from the user's median — the outlier rule that
+    (unlike z-scores) a single extreme value cannot drag. Two grouped
+    exact-percentile aggregates and two key-partitioned joins; both
+    engines interpolate the even-count median identically (probed on
+    this data), and output medians/MADs are rounded so summation-order
+    noise can't flip the hash."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.select("user_id", "event_id", "value").join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .filter((F.col("mad") > 0) & (F.abs(F.col("value") - F.col("med")) > 6 * F.col("mad")))
+        .select(
+            "user_id", "event_id", "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )

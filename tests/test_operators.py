@@ -252,6 +252,22 @@ def test_table_fingerprint_order_independent_and_null_safe(spark):
     assert d1 != d2
 
 
+def test_salted_join_same_key_name_and_matches_plain(spark, sf_dir):
+    from etl_utils_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "value"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"), "c_mktsegment"
+    )
+    # key == dim_key (the ambiguity case the frame-qualified condition
+    # exists for) must both resolve and match the plain join
+    salted = salted_join(e, c, key="uid", dim_key="uid", n_salts=4)
+    plain = e.join(c, "uid")
+    assert salted.count() == plain.count()
+
+
 def test_count_min_sketch_invariants(spark):
     """CMS theorem checks on a skewed key set: estimates always
     overestimate, are exact when width makes collisions impossible,
