@@ -189,22 +189,28 @@ def jaccard_prefix_pairs(
 
     Verification computes true Jaccard on full shingle sets, so output
     equals the brute inverted-index join at the same threshold."""
-    sh = hashed_shingles(df, id_col, text_col, n).cache()
-    from pyspark.sql import Window
+    sh = hashed_shingles(df, id_col, text_col, n)
 
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
-    w = Window.partitionBy("sid").orderBy("dfreq", "sh")
-    ranked = (
+    # ONE groupBy materializes each doc's full (dfreq, sh) list; the
+    # global-order rank is an ARRAY-SIDE sort of ~|d| elements instead
+    # of a corpus-wide window sort, and the same frame serves both the
+    # prefix (slice) and the verify sets (the sh projection) — no
+    # second pass over the shingles.
+    per_doc = (
         sh.join(dfreq, "sh")
-        .select(
-            "sid",
-            "sh",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("sid")).alias("n_sh"),
-        )
+        .groupBy("sid")
+        .agg(F.array_sort(F.collect_list(F.struct("dfreq", "sh"))).alias("items"))
+        .withColumn("n_sh", F.size("items"))
+        .withColumn("sh_set", F.col("items.sh"))
+        .cache()
     )
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("sid", "sh", "n_sh")
+    prefix = per_doc.select(
+        "sid",
+        "n_sh",
+        F.explode(F.slice(F.col("items.sh"), F.lit(1), prefix_len)).alias("sh"),
+    )
     pa = prefix.select(F.col("sid").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
     pb = prefix.select(F.col("sid").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
     # cached for the same two-reader reason as minhash_lsh_pairs
@@ -224,13 +230,9 @@ def jaccard_prefix_pairs(
         .union(cands.select(F.col("id_b").alias("sid")))
         .distinct()
     )
-    # sets only for docs in some candidate pair — collect_set over the
-    # whole corpus would dominate at scale (see minhash_lsh_pairs)
-    sets = (
-        sh.join(cand_ids, "sid", "left_semi")
-        .groupBy("sid")
-        .agg(F.collect_set("sh").alias("sh_set"))
-    )
+    # sets only for docs in some candidate pair — gathering the whole
+    # corpus would dominate at scale (see minhash_lsh_pairs)
+    sets = per_doc.join(cand_ids, "sid", "left_semi").select("sid", "sh_set")
     sa = sets.select(F.col("sid").alias("id_a"), F.col("sh_set").alias("set_a"))
     sb = sets.select(F.col("sid").alias("id_b"), F.col("sh_set").alias("set_b"))
     n_inter = F.size(F.array_intersect("set_a", "set_b"))
