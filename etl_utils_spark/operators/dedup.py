@@ -189,7 +189,9 @@ def jaccard_prefix_pairs(
 
     Verification computes true Jaccard on full shingle sets, so output
     equals the brute inverted-index join at the same threshold."""
-    sh = hashed_shingles(df, id_col, text_col, n)
+    # cached: sh feeds two plan branches (the dfreq aggregate and the
+    # join probe side) and the explode+hash pipeline is the CPU hot spot
+    sh = hashed_shingles(df, id_col, text_col, n).cache()
 
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
     # ONE groupBy materializes each doc's full (dfreq, sh) list; the

@@ -445,7 +445,7 @@ def pq_rerank_topk(
         [
             T.StructField("query_id", T.LongType()),
             T.StructField("neighbor_id", T.LongType()),
-            T.StructField("approx_dist", T.DoubleType()),
+            T.StructField("dist_q", T.LongType()),
         ]
     )
 
@@ -457,37 +457,42 @@ def pq_rerank_topk(
             d = np.zeros((len(qids), C.shape[0]))
             for j in range(tables.shape[1]):
                 d += tables[:, j, :][:, C[:, j]]
+            # quantize ONCE here (half-up at 1e-9, nonnegative dists)
+            # and sort on the integer everywhere: mixing np.round
+            # (half-even) with Spark F.round (HALF_UP) made batch and
+            # global orders disagree on ties — layout-dependent cuts
+            dq_all = np.floor(d * 1e9 + 0.5).astype(np.int64)
             nid = pdf["neighbor_id"].to_numpy()
             out_q, out_n, out_d = [], [], []
             for qi in range(len(qids)):
                 # self-match removed BEFORE truncation (it must not
-                # consume a shortlist slot), and the batch-local cut
-                # uses the SAME total order as the global window
-                # (rounded dist, then id): the global top-`shortlist`
-                # under a total order is always within the union of
-                # batch top-`shortlist`s, so the final shortlist is
-                # identical under any partition layout.
+                # consume a shortlist slot); the batch-local cut uses
+                # the SAME (dist_q, id) integer order as the global
+                # window: the global top-`shortlist` under a total
+                # order is always within the union of batch
+                # top-`shortlist`s, so the final shortlist is identical
+                # under any partition layout.
                 mask = nid != qids[qi]
-                bn, bd = nid[mask], d[qi][mask]
+                bn, bdq = nid[mask], dq_all[qi][mask]
                 take = min(shortlist, bn.size)
                 if not take:
                     continue
-                order = np.lexsort((bn, np.round(bd, 9)))[:take]
+                order = np.lexsort((bn, bdq))[:take]
                 out_q.append(np.full(take, qids[qi]))
                 out_n.append(bn[order])
-                out_d.append(bd[order])
+                out_d.append(bdq[order])
             if not out_q:
                 continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
                     "neighbor_id": np.concatenate(out_n),
-                    "approx_dist": np.concatenate(out_d),
+                    "dist_q": np.concatenate(out_d),
                 }
             )
 
     w_sl = Window.partitionBy("query_id").orderBy(
-        F.asc(F.round(F.col("approx_dist"), 9)), F.asc("neighbor_id")
+        F.asc("dist_q"), F.asc("neighbor_id")
     )
     short = (
         codes.mapInPandas(_scan, schema)

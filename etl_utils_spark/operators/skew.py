@@ -68,8 +68,14 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     # frame-qualified references: `F.col(key)` would be AMBIGUOUS
     # whenever both frames carry the key name (key == dim_key, or a
-    # conformed dim repeating the fact key)
-    return f.join(
-        d.hint("shuffle_hash"),
-        (f[key] == d[dim_key]) & (f["_salt"] == d["_salt"]),
-    ).drop("_salt")
+    # conformed dim repeating the fact key); the dim-side key column is
+    # dropped after the join — it duplicates f[key], and leaving it
+    # would re-create the same ambiguity for any by-name consumer
+    return (
+        f.join(
+            d.hint("shuffle_hash"),
+            (f[key] == d[dim_key]) & (f["_salt"] == d["_salt"]),
+        )
+        .drop(d[dim_key])
+        .drop("_salt")
+    )

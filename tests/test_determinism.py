@@ -24,12 +24,20 @@ SAMPLE = [
 
 @pytest.mark.parametrize("name", SAMPLE)
 def test_result_independent_of_shuffle_partitions(spark, sf_dir, name):
+    from etl_utils_spark.queries import shared
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # clear the memoized pair graph so BOTH runs rebuild it under
+        # their own parallelism — otherwise the graph consumers reuse
+        # one materialization and the heaviest stage goes untested
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        shared._CACHE.clear()
         low = sorted(tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect())
         spark.conf.set("spark.sql.shuffle.partitions", "17")
+        shared._CACHE.clear()
         high = sorted(tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shared._CACHE.clear()
     assert low == high

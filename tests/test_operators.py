@@ -262,10 +262,19 @@ def test_salted_join_same_key_name_and_matches_plain(spark, sf_dir):
         F.col("c_custkey").alias("uid"), "c_mktsegment"
     )
     # key == dim_key (the ambiguity case the frame-qualified condition
-    # exists for) must both resolve and match the plain join
+    # exists for) must resolve, keep a SINGLE key column, and support
+    # the normal by-name consumer pattern (groupBy on the key)
     salted = salted_join(e, c, key="uid", dim_key="uid", n_salts=4)
+    assert salted.columns.count("uid") == 1
     plain = e.join(c, "uid")
     assert salted.count() == plain.count()
+    got = {
+        (r.uid, r.n) for r in salted.groupBy("uid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        (r.uid, r.n) for r in plain.groupBy("uid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
 
 
 def test_count_min_sketch_invariants(spark):
