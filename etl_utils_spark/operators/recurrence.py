@@ -72,3 +72,51 @@ def ewma(
 
     part = df.repartition(key_col).sortWithinPartitions(key_col, order_col)
     return part.mapInPandas(_run, schema)
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    drift: float = 5.0,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided CUSUM drift detector per key:
+    ``s_i = max(0, s_{i-1} + x_i - drift)``, ``s_0 = 0`` — the
+    classic change-point accumulator for streaming quality monitors.
+
+    Same physical shape as :func:`ewma` (one key shuffle, partition-
+    local sort, one ``mapInPandas`` scan, state carried across Arrow
+    batches).  Determinism contract: the update is evaluated as
+    ``max(0.0, (prev + x) - drift)`` so the IEEE-754 result is
+    bit-identical to a SQL engine computing
+    ``greatest(0, prev + x - drift)`` left-to-right.
+    """
+    out_fields = [f for f in df.schema.fields] + [
+        T.StructField(out_col, T.DoubleType())
+    ]
+    schema = T.StructType(out_fields)
+    cols = [f.name for f in out_fields]
+    k = float(drift)
+
+    def _run(batches):
+        prev_key = None
+        prev_s = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].tolist()
+            vals = [float(v) for v in pdf[value_col].tolist()]
+            out = []
+            for key, x in zip(keys, vals):
+                if key != prev_key:
+                    prev_s = 0.0
+                prev_s = max(0.0, prev_s + x - k)
+                prev_key = key
+                out.append(prev_s)
+            pdf = pdf.assign(**{out_col: out})
+            yield pdf[cols]
+
+    part = df.repartition(key_col).sortWithinPartitions(key_col, order_col)
+    return part.mapInPandas(_run, schema)

@@ -1,0 +1,103 @@
+"""Corpus retrieval primitives: BM25 ranking and a bounded inverted
+index — the search-side companions to the dedup/quality curation
+operators (reference parity: the LLM-corpus tooling tier of
+SURVEY.md §2; no single reference file — public Okapi BM25
+formulation, Robertson & Walker 1994).
+
+Scale notes (100 TB):
+- BM25 is two hash aggregates (per (doc, term) tf, per-term df) plus a
+  broadcast of the per-term idf table — the corpus-sized side never
+  shuffles more than once, and the query-term filter prunes the
+  exploded token stream before the first aggregate.
+- The inverted index bounds per-token posting lists with a window
+  row_number BEFORE any collect_list, so executor state per token is
+  O(cap), not O(corpus).  Unbounded postings via collect_list would
+  OOM on stopword-grade tokens at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators.text import _alpha_tokens
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed term set.
+
+    idf uses the +1 ("BM25+"-style) form ``ln(1 + (N - df + 0.5) /
+    (df + 0.5))`` so scores stay positive.  Returns (id, bm25) with
+    the score rounded to 6 — the per-term partials are summed in an
+    unordered hash aggregate, so only the rounded value is
+    deterministic across engines.
+    """
+    toks = df.select(F.col(id_col), _alpha_tokens(text_col).alias("toks"))
+    dl = toks.select(id_col, F.size("toks").alias("dl"))
+    # One-row corpus stats frame, broadcast into the scoring join.
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    term_tok = toks.select(
+        F.col(id_col), F.explode("toks").alias("tok")
+    ).filter(F.col("tok").isin(*terms))
+    tf = term_tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        scored.withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 50,
+    postings_cap: int = 8,
+) -> DataFrame:
+    """Token → (document frequency, first-``postings_cap`` posting ids
+    as a csv string).  Posting lists are truncated with a window
+    row_number BEFORE aggregation, so per-token state is bounded at
+    any corpus size; df is counted over the full distinct pair set."""
+    pairs = (
+        df.select(F.col(id_col), F.explode(_alpha_tokens(text_col)).alias("token"))
+        .distinct()
+    )
+    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("token").orderBy(F.col(id_col).asc())
+    capped = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= postings_cap
+    )
+    postings = capped.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.col(id_col))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_csv")
+    )
+    return (
+        dfreq.filter(F.col("df") >= min_df)
+        .join(postings, "token")
+        .select("token", "df", "postings_csv")
+    )

@@ -131,6 +131,81 @@ def bigram_counts(
     )
 
 
+def ngrams_array(toks: Column, n: int) -> Column:
+    """Word ``n``-gram strings built array-side (slice + zip_with, all
+    whole-stage codegen) — the generalization of the bigram trick in
+    :func:`bigram_counts`.  Empty array when the doc has < n tokens."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, cnt)
+    for i in range(2, n + 1):
+        out = F.zip_with(
+            out, F.slice(toks, i, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word count bounds, mean word length bounds, symbol-to-char ratio,
+    and a minimum number of distinct stopwords present.  Everything is
+    computed array-side per row — no explode, no shuffle, one codegen
+    stage over the scan; the shape that survives 100 TB unchanged."""
+    toks = _alpha_tokens(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_word_len = F.round(sum_len.cast("double") / n_words, 6)
+    n_chars = F.length(text_col)
+    n_symbols = F.length(F.regexp_replace(F.lower(text_col), r"[a-z0-9\s]", ""))
+    symbol_ratio = F.round(n_symbols.cast("double") / n_chars, 6)
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    keep = (
+        n_words.between(50, 100000)
+        & mean_word_len.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fraction: float = 0.4,
+) -> DataFrame:
+    """Duplicate word-n-gram fraction per document (the Gopher
+    repetition family): share of a doc's n-grams that are repeats of
+    an earlier n-gram in the SAME doc.  High values flag boilerplate
+    and degenerate loops.  Array-side (`array_distinct`), zero
+    shuffles — per-doc state is bounded by doc length, not corpus."""
+    toks = _alpha_tokens(text_col)
+    grams = ngrams_array(toks, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    frac = F.when(total > 0, F.round(1.0 - distinct.cast("double") / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        id_col,
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        frac.alias("dup_fraction"),
+        (frac <= max_fraction).alias("keep"),
+    )
+
+
 def repetition_ratio(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_ratio: float = 0.2
 ) -> DataFrame:

@@ -27,6 +27,7 @@ from etl_utils_spark.queries import ml_prep  # noqa: E402,F401
 from etl_utils_spark.queries import timeseries  # noqa: E402,F401
 from etl_utils_spark.queries import tpch_extra  # noqa: E402,F401
 from etl_utils_spark.queries import text_quality  # noqa: E402,F401
+from etl_utils_spark.queries import curation_v3  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
@@ -102,8 +103,19 @@ _WINDOW = [
     "gate_pagerank_mass",
     "gate_kcore_min_degree",
     # --- entries past #50: sampled only if the driver widens its window
-    # (newest capabilities first: composed pipeline, PQ gate, salted
-    # join, decontamination, containment, weighted sampling, chunking)
+    # (newest capabilities first: the round-5 curation pack, then the
+    # round-4 block: composed pipeline, PQ gate, salted join,
+    # decontamination, containment, weighted sampling, chunking)
+    "quality_gopher_rules",
+    "quality_dup_ngram_fraction",
+    "source_contamination_stats",
+    "bm25_rank_docs",
+    "build_inverted_index",
+    "mixture_temperature_weights",
+    "dedup_embeddings_bitsig",
+    "knn_majority_label",
+    "cusum_user_value",
+    "io_orc_roundtrip",
     "pipeline_corpus_curation",
     "gate_pq_recall_floor",
     "join_salted_skew_events",
