@@ -115,6 +115,7 @@ _WINDOW = [
     "dedup_embeddings_bitsig",
     "knn_majority_label",
     "cusum_user_value",
+    "stream_cusum_live",
     "io_orc_roundtrip",
     "pipeline_corpus_curation",
     "gate_pq_recall_floor",

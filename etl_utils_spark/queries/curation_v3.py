@@ -377,6 +377,41 @@ def cusum_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cusum_live",
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, event_id, value, rn,
+                   greatest(0, 0 + value - 5.0) AS cusum
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.value, s.rn,
+                   greatest(0, r.cusum + s.value - 5.0) AS cusum
+            FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, value, cusum FROM r
+    """,
+)
+def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key CUSUM executed as a REAL stream
+    (applyInPandasWithState, AvailableNow): O(1) drift-accumulator
+    state per user — the live data-quality alerting shape.  The result
+    hash-matches the SAME recursive-CTE oracle as the batch operator
+    (streaming/stateful.py:running_cusum), bit-identical doubles."""
+    from etl_utils_spark.streaming import windows as W
+    from etl_utils_spark.streaming.stateful import running_cusum
+
+    s = W.read_events_stream(spark, sf_dir)
+    return W.run_stream_to_batch(spark, running_cusum(s), output_mode="update").select(
+        "user_id", "event_id", "value", "cusum"
+    )
+
+
+@query(
     "io_orc_roundtrip",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )

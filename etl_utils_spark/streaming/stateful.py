@@ -81,6 +81,58 @@ def running_ewma(events: DataFrame) -> DataFrame:
     )
 
 
+CUSUM_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, value double, cusum double"
+CUSUM_STATE_SCHEMA = "s double"
+
+
+def _make_update_cusum(drift: float):
+    k = float(drift)
+
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        # state = last accumulator value; 0 before the key's first
+        # event.  Same literal op order as the batch operator
+        # (operators/recurrence.py:cusum) → bit-identical doubles.
+        s = state.get[0] if state.exists else 0.0
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts", kind="mergesort")
+        out = []
+        for x in pdf["value"].to_numpy(dtype="float64"):
+            s = max(0.0, s + x - k)
+            out.append(s)
+        state.update((float(s),))
+        pdf = pdf.assign(user_id=key[0], cusum=out)
+        yield pdf[["user_id", "event_id", "ts", "value", "cusum"]]
+
+    return _update
+
+
+def running_cusum(events: DataFrame, drift: float = 5.0) -> DataFrame:
+    """Streaming one-sided CUSUM drift detector per user
+    (``s_i = max(0, s_{i-1} + x_i - drift)``): O(1) state per key, the
+    change-point monitor shape for live data-quality alerting.  On a
+    batch DataFrame falls back to the mapInPandas recurrence operator
+    (same output contract)."""
+    if not events.isStreaming:
+        from etl_utils_spark.operators.recurrence import cusum
+
+        return cusum(
+            events.select("user_id", "event_id", "ts", "value"),
+            "user_id", "ts", "value", drift=drift,
+        ).select("user_id", "event_id", "ts", "value", "cusum")
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update_cusum(drift),
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_user_counts(events: DataFrame) -> DataFrame:
     """Per-user running (count, value-sum) via custom state. On a
     batch DataFrame falls back to the equivalent aggregate (same
