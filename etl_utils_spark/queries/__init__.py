@@ -28,6 +28,7 @@ from etl_utils_spark.queries import timeseries  # noqa: E402,F401
 from etl_utils_spark.queries import tpch_extra  # noqa: E402,F401
 from etl_utils_spark.queries import text_quality  # noqa: E402,F401
 from etl_utils_spark.queries import curation_v3  # noqa: E402,F401
+from etl_utils_spark.queries import features  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
@@ -117,6 +118,11 @@ _WINDOW = [
     "cusum_user_value",
     "stream_cusum_live",
     "io_orc_roundtrip",
+    "feature_hash_docs",
+    "time_decay_user_score",
+    "feature_scale_events",
+    "histogram2d_price_qty",
+    "onehot_user_event_counts",
     "pipeline_corpus_curation",
     "gate_pq_recall_floor",
     "join_salted_skew_events",

@@ -1,0 +1,186 @@
+"""ML feature-engineering queries: hashing-trick token features,
+time-decay engagement scores, per-group standardization, 2-D
+histograms, and one-hot pivots — the feature-prep layer a training
+pipeline runs after curation (SURVEY.md §2 training-data tier;
+public formulations: hashing trick Weinberger et al. 2009).
+
+Scale shapes:
+- feature hashing is explode → ONE hash aggregate (8 conditional
+  sums); the fixed bucket count keeps output width constant at any
+  vocabulary size.
+- standardization joins per-group moments back by BROADCAST (groups
+  are low-cardinality) instead of a corpus-wide window partition —
+  a window over `event_type` would sort 100 TB into 5 partitions.
+- the decay anchor (corpus max ts) is a one-row aggregate
+  cross-joined broadcast, not a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators.text import _alpha_tokens
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_N_BUCKETS = 8
+
+
+@query(
+    "feature_hash_docs",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_N_BUCKETS} AS bucket
+            FROM tok
+        )
+        SELECT doc_id,
+               {', '.join(f"SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END)::BIGINT AS f{i}" for i in range(_N_BUCKETS))}
+        FROM b GROUP BY doc_id
+    """,
+)
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick token features: md5-bucketed token counts into a
+    fixed 8-wide vector per document (engine-portable hash: first 8
+    md5 hex digits).  Explode → one hash aggregate with 8 conditional
+    sums; output width is constant regardless of vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_alpha_tokens("text")).alias("tok"))
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _N_BUCKETS
+    b = tok.select("doc_id", bucket.alias("bucket"))
+    aggs = [
+        F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).alias(f"f{i}")
+        for i in range(_N_BUCKETS)
+    ]
+    return b.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "time_decay_user_score",
+    oracle="""
+        WITH anchor AS (SELECT max(ts) AS t0 FROM events)
+        SELECT user_id,
+               count(*) AS n_events,
+               ROUND(SUM(value * exp(-((epoch_us(t0) - epoch_us(ts))
+                                       / 86400000000.0) / 7.0)), 4)
+                   AS decayed_score
+        FROM events, anchor
+        GROUP BY user_id
+    """,
+)
+def time_decay_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user (7-day
+    half-life scale, anchored at the corpus max timestamp): the
+    recency-weighted feature used for user sampling.  The anchor is a
+    one-row aggregate broadcast via crossJoin — no collect, no window
+    over the corpus."""
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("t0"))
+    age_days = (F.unix_micros("t0") - F.unix_micros("ts")) / 86400000000.0
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.exp(-age_days / 7.0)), 4).alias(
+                "decayed_score"
+            ),
+        )
+    )
+
+
+@query(
+    "feature_scale_events",
+    oracle="""
+        WITH m AS (
+            SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               ROUND((value - mu) / sigma, 6) AS value_z
+        FROM events e JOIN m USING (event_type)
+    """,
+)
+def feature_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization (z-score of value within event_type)
+    via a BROADCAST join of the per-group moments — never a window
+    partitioned by a 5-value column, which would sort the corpus into
+    5 reducers at scale."""
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "value_z"
+            ),
+        )
+    )
+
+
+@query(
+    "histogram2d_price_qty",
+    oracle="""
+        SELECT FLOOR(l_extendedprice / 5000)::BIGINT AS price_bin,
+               FLOOR(l_quantity / 10)::BIGINT AS qty_bin,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY price_bin, qty_bin
+    """,
+)
+def histogram2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (price × quantity bins) — the joint-distribution
+    profile for feature binning decisions; one map-combined hash
+    aggregate, output bounded by bin-grid size."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.floor(F.col("l_extendedprice") / 5000).alias("price_bin"),
+            F.floor(F.col("l_quantity") / 10).alias("qty_bin"),
+        )
+        .groupBy("price_bin", "qty_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "onehot_user_event_counts",
+    oracle=f"""
+        SELECT user_id,
+               {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}" for t in _EVENT_TYPES)}
+        FROM events GROUP BY user_id
+    """,
+)
+def onehot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot/count encoding of event_type per user via pivot with an
+    EXPLICIT category list (no discovery pass over the corpus) — one
+    hash aggregate wide-format features."""
+    e = _t(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
