@@ -123,6 +123,7 @@ _WINDOW = [
     "feature_scale_events",
     "histogram2d_price_qty",
     "onehot_user_event_counts",
+    "gate_pca_variance_explained",
     "pipeline_corpus_curation",
     "gate_pq_recall_floor",
     "join_salted_skew_events",

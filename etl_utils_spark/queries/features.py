@@ -159,6 +159,65 @@ def histogram2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_pca_project", oracle=None)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to 8 components:
+    distributed one-pass moments (KB-per-batch partials), driver
+    eigensolve on the 64×64 covariance, Arrow-batched projection
+    (rows-only: eigensolver output is float-sensitive;
+    gate_pca_variance_explained pins the quality)."""
+    from etl_utils_spark.operators import pca
+
+    e = _t(spark, sf_dir, "embeddings")
+    mean, comps, _, _ = pca.pca_fit(e, k=8)
+    out = pca.pca_project(e, mean, comps)
+    return out.select(
+        "vec_id",
+        F.size("pca").alias("n_components"),
+        F.round(F.element_at("pca", 1), 3).alias("pc1"),
+        F.round(F.element_at("pca", 2), 3).alias("pc2"),
+    )
+
+
+@query(
+    "gate_pca_variance_explained",
+    oracle="SELECT 'pca_k8' AS variant, CAST(true AS BOOLEAN) AS gates_ok",
+)
+def gate_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked quality gate for the PCA operator: the top-8
+    components must explain ≥ 12% of total variance (measured ~20% on
+    the fixture embeddings at every SF), the component rows must be
+    orthonormal to 1e-6, and the projected variance must equal the
+    eigenvalue sum to 1%.  Thresholded booleans, stable under the
+    float noise of partition-order summation."""
+    import numpy as np
+
+    from etl_utils_spark.operators import pca
+
+    e = _t(spark, sf_dir, "embeddings")
+    mean, comps, eigvals, total_var = pca.pca_fit(e, k=8)
+    var_ok = bool(eigvals.sum() / total_var >= 0.12)
+    gram = comps @ comps.T
+    ortho_ok = bool(np.abs(gram - np.eye(comps.shape[0])).max() <= 1e-6)
+    proj = pca.pca_project(e, mean, comps)
+    pvar = (
+        proj.select(
+            F.aggregate(
+                F.transform("pca", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sq")
+        )
+        .agg(F.avg("sq"))
+        .collect()[0][0]
+    )
+    pvar_ok = bool(abs(pvar - eigvals.sum()) / eigvals.sum() <= 0.01)
+    return spark.createDataFrame(
+        [("pca_k8", var_ok and ortho_ok and pvar_ok)],
+        "variant string, gates_ok boolean",
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
