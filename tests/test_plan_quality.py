@@ -69,8 +69,26 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
 
 def test_no_accidental_cartesians_across_registry(spark, sf_dir):
     """Only the explicitly-cross queries may contain a cartesian/BNL
-    operator (topk_cosine brute force is an intentional broadcast NLJ)."""
-    allowed = {"join_cross_region_nation", "topk_cosine_neighbors", "topk_cosine_neighbors_lsh"}
+    operator (topk_cosine brute force is an intentional broadcast NLJ).
+
+    The allowed set is the intentional-BNL inventory; every entry must
+    have a bounded build side:
+    - join_cross_region_nation: declared cross join of two bounded dims.
+    - topk_cosine_neighbors[_lsh]: brute-force / LSH probe joins with a
+      broadcast (bounded) probe set.
+    - knn_majority_label: reuses the brute-force probe join above.
+    - bm25_rank_docs / time_decay_user_score: 1-row corpus-stats frame
+      (aggregate without grouping) broadcast via crossJoin — the
+      no-collect scalar-anchor pattern; build side is provably one row.
+    """
+    allowed = {
+        "join_cross_region_nation",
+        "topk_cosine_neighbors",
+        "topk_cosine_neighbors_lsh",
+        "knn_majority_label",
+        "bm25_rank_docs",
+        "time_decay_user_score",
+    }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
         if name in allowed or name.startswith("stream_"):
