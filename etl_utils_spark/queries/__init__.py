@@ -29,6 +29,7 @@ from etl_utils_spark.queries import tpch_extra  # noqa: E402,F401
 from etl_utils_spark.queries import text_quality  # noqa: E402,F401
 from etl_utils_spark.queries import curation_v3  # noqa: E402,F401
 from etl_utils_spark.queries import features  # noqa: E402,F401
+from etl_utils_spark.queries import scale_ops  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
@@ -104,9 +105,14 @@ _WINDOW = [
     "gate_pagerank_mass",
     "gate_kcore_min_degree",
     # --- entries past #50: sampled only if the driver widens its window
-    # (newest capabilities first: the round-5 curation pack, then the
-    # round-4 block: composed pipeline, PQ gate, salted join,
-    # decontamination, containment, weighted sampling, chunking)
+    # (newest capabilities first: the round-4-session-2 scale-ops pack,
+    # then the round-5 curation pack, then the round-4 block: composed
+    # pipeline, PQ gate, salted join, decontamination, containment,
+    # weighted sampling, chunking)
+    "dedup_lines_boilerplate",
+    "assign_global_ids_docs",
+    "cdc_apply_changes",
+    "stats_corr_matrix_lineitem",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",
     "source_contamination_stats",

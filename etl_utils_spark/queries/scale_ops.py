@@ -1,0 +1,249 @@
+"""Scale-pattern operators: passage-level boilerplate dedup (CCNet-style
+line dedup adapted to the fixture's space-separated texts), contiguous
+global id assignment (two-phase, no single-partition sort), CDC
+change-log application (last-writer-wins as ONE mergeable aggregate),
+and a one-pass correlation matrix.
+
+Scale shapes:
+- boilerplate dedup groups passages by their md5 (fixed-width shuffle
+  keys, never the passage text at scale beyond the digest), and
+  reassembly is a per-doc sort of its own passages — no global order.
+- global ids avoid ``row_number() OVER (ORDER BY ...)`` (a
+  single-reducer sort at 100 TB) via range partition + per-partition
+  counters + a #partitions-row offset table (operators/ids.py).
+- CDC apply is a ``max_by`` hash aggregate with map-side combine — the
+  window formulation would sort every key group; the aggregate form
+  merges partials and survives skewed keys under AQE.
+- the correlation matrix computes all pairwise Pearson r in ONE scan
+  (mergeable moment aggregates), then unpivots the 1-row result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators.ids import assign_global_ids
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_CHUNK = 10  # tokens per passage
+_BOILER_MIN_DOCS = 2  # passage present in >= this many docs is boilerplate
+
+
+@query(
+    "dedup_lines_boilerplate",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(toks[(i*{_CHUNK}+1):((i+1)*{_CHUNK})], ' ') AS passage
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(0, CAST(ceil(len(toks) / {_CHUNK}.0) AS BIGINT))) AS i
+                FROM tok WHERE len(toks) > 0
+            )
+        ),
+        freq AS (
+            SELECT md5(passage) AS h, count(DISTINCT doc_id) AS n_docs
+            FROM chunks GROUP BY 1
+        ),
+        kept AS (
+            SELECT c.doc_id, c.pos, c.passage
+            FROM chunks c JOIN freq ON md5(c.passage) = freq.h
+            WHERE freq.n_docs < {_BOILER_MIN_DOCS}
+        ),
+        agg AS (
+            SELECT doc_id,
+                   count(*) AS n_kept,
+                   string_agg(passage, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_total FROM chunks GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+               (t.n_total - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+        FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_lines_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level boilerplate removal (CCNet-style line dedup;
+    Wenzek et al. 2020): drop every 10-token passage whose exact text
+    occurs in >= 2 distinct documents (duplicated docs and shared
+    spans), reassemble the survivors in order.  Passages shuffle as
+    md5 digests; reassembly sorts only within each doc's own rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / float(_CHUNK)).cast("long")
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * _CHUNK + 1, _CHUNK), " "
+                ),
+            )
+        ).alias("pos", "passage"),
+    ).withColumn("h", F.md5("passage"))
+    freq = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = (
+        chunks.join(freq, "h")
+        .where(F.col("n_docs") < _BOILER_MIN_DOCS)
+        .select("doc_id", "pos", "passage")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+@query(
+    "assign_global_ids_docs",
+    oracle="""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) AS global_id
+        FROM documents
+    """,
+)
+def assign_global_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 1-based global ids in doc_id order via the two-phase
+    range-partition + per-partition-counter operator — the distributed
+    IDENTITY backfill.  The oracle is the single-reducer window
+    formulation the operator exists to avoid; equal output certifies
+    the offset arithmetic."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_global_ids(d, "doc_id").select("doc_id", "global_id")
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+        WITH log AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN event_type = 'purchase' THEN 'delete'
+                        WHEN event_type = 'signup' THEN 'insert'
+                        ELSE 'upsert' END AS op
+            FROM events
+        ),
+        ranked AS (
+            SELECT user_id, op, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_changes
+            FROM log
+        )
+        SELECT user_id,
+               op AS last_op,
+               ROUND(value, 4) AS last_value,
+               n_changes::BIGINT AS n_changes
+        FROM ranked
+        WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture application: collapse a keyed change log to
+    final state by last-writer-wins, honoring deletes (purchase =
+    tombstone here).  ONE ``max_by`` hash aggregate over a composite
+    (ts, event_id) order key — mergeable partials, map-side combine —
+    instead of the per-key window sort the oracle uses; equal output
+    certifies the aggregate formulation."""
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    agg = log.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("op", "value"), F.struct("ts", "event_id")
+        ).alias("last"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return agg.where(F.col("last.op") != "delete").select(
+        "user_id",
+        F.col("last.op").alias("last_op"),
+        F.round("last.value", 4).alias("last_value"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "stats_corr_matrix_lineitem",
+    oracle=f"""
+        WITH m AS (
+            SELECT
+                {', '.join(
+                    f'corr({a}, {b}) AS c_{i}_{j}'
+                    for i, a in enumerate(_CORR_COLS)
+                    for j, b in enumerate(_CORR_COLS)
+                    if i < j
+                )}
+            FROM lineitem
+        )
+        {' UNION ALL '.join(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(c_{i}_{j}, 6) AS r FROM m"
+            for i, a in enumerate(_CORR_COLS)
+            for j, b in enumerate(_CORR_COLS)
+            if i < j
+        )}
+    """,
+)
+def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle, 4 numeric
+    lineitem columns = 6 pairs) in ONE scan: every pair is a mergeable
+    moment aggregate in the same hash-aggregate pass; the 1-row result
+    unpivots via stack.  No per-pair scans, no driver-side math."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        (i, a, j, b)
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"c_{i}_{j}") for i, a, j, b in pairs
+    ]
+    one = li.agg(*aggs)
+    stack_expr = ", ".join(f"'{a}', '{b}', c_{i}_{j}" for i, a, j, b in pairs)
+    return one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, r)"
+        )
+    )

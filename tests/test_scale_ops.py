@@ -1,0 +1,97 @@
+"""Unit tests for the scale-ops pack: global-id assignment invariants,
+boilerplate passage dedup semantics, CDC last-writer-wins edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators.ids import assign_global_ids
+from etl_utils_spark.queries import REGISTRY
+
+
+def test_global_ids_contiguous_and_ordered(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [42, 7, 99, 1, 55, 13, 70, 3]], "k bigint"
+    )
+    out = assign_global_ids(df, "k", num_partitions=3).collect()
+    by_key = sorted(out, key=lambda r: r["k"])
+    assert [r["global_id"] for r in by_key] == list(range(1, 9))
+
+
+def test_global_ids_single_row_and_skewed_partitions(spark):
+    one = assign_global_ids(
+        spark.createDataFrame([(5,)], "k bigint"), "k", num_partitions=4
+    ).collect()
+    assert one[0]["global_id"] == 1
+    # more partitions than rows → empty partitions must not shift offsets
+    few = assign_global_ids(
+        spark.createDataFrame([(2,), (1,)], "k bigint"), "k", num_partitions=8
+    ).collect()
+    assert {(r["k"], r["global_id"]) for r in few} == {(1, 1), (2, 2)}
+
+
+def test_global_ids_no_global_window(spark, sf_dir):
+    plan = (
+        REGISTRY["assign_global_ids_docs"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan[:800]
+    assert "rangepartitioning" in plan, plan[:800]
+
+
+def test_boilerplate_dedup_drops_shared_passages(spark):
+    # two identical docs + one unique: every passage of the dup pair is
+    # boilerplate (>=2 docs), the unique doc is untouched.
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d e f g h i j k l"),
+        (3, "unique words only here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.createOrReplaceTempView("_docs_boiler")
+    from etl_utils_spark.queries import scale_ops  # noqa: F401
+
+    # reuse the query body on a temp frame via its building blocks
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = df.select("doc_id", toks.alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / 10.0).cast("long")
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("toks", i * 10 + 1, 10), " "),
+            )
+        ).alias("pos", "passage"),
+    )
+    freq = chunks.groupBy("passage").agg(F.countDistinct("doc_id").alias("n"))
+    shared = {r["passage"] for r in freq.where("n >= 2").collect()}
+    assert shared == {"a b c d e f g h i j", "k l"}
+
+
+def test_cdc_delete_tombstone_removes_user(spark, sf_dir):
+    out = REGISTRY["cdc_apply_changes"].fn(spark, sf_dir)
+    assert out.where(F.col("last_op") == "delete").count() == 0
+    # every surviving user's last event in the raw log is not a purchase
+    from etl_utils_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    last = (
+        e.groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("ts", "event_id")).alias("t"))
+    )
+    survivors = {r["user_id"] for r in out.collect()}
+    for r in last.collect():
+        assert (r["t"] != "purchase") == (r["user_id"] in survivors)
+
+
+def test_corr_matrix_diagonal_free_and_bounded(spark, sf_dir):
+    rows = REGISTRY["stats_corr_matrix_lineitem"].fn(spark, sf_dir).collect()
+    assert len(rows) == 6
+    order = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    for r in rows:
+        assert order.index(r["col_a"]) < order.index(r["col_b"])
+        assert -1.0 <= r["r"] <= 1.0
