@@ -31,6 +31,14 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
+            # One long-lived JVM times 200+ queries back to back; the
+            # default 8g heap GC-thrashes once accumulated caches and
+            # 32 shuffle threads meet a heavy query (observed: the SAME
+            # query swings 3s..26s run-to-run at 8g, stable at 32g).
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "32g"),
+            # Proactively unpin ghost RDD/broadcast blocks between
+            # queries so the block manager doesn't grow monotonically.
+            "spark.cleaner.periodicGC.interval": "30s",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

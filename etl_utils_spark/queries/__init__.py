@@ -110,6 +110,9 @@ _WINDOW = [
     # pipeline, PQ gate, salted join, decontamination, containment,
     # weighted sampling, chunking)
     "dedup_lines_boilerplate",
+    "bpe_learn_merges",
+    "shard_assign_docs",
+    "copurchase_part_pairs",
     "assign_global_ids_docs",
     "cdc_apply_changes",
     "stats_corr_matrix_lineitem",

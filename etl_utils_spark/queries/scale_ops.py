@@ -201,6 +201,155 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_TOKEN_BUDGET = 500
+
+
+@query(
+    "shard_assign_docs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                   x -> x <> ''))::BIGINT AS n_tok
+            FROM documents
+        )
+        SELECT doc_id, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok) / {_SHARD_TOKEN_BUDGET}.0) AS BIGINT)
+                   AS shard_id
+        FROM t
+    """,
+)
+def shard_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving shard assignment under a token budget: shard id
+    = floor(exclusive-prefix-sum(tokens) / budget), computed with the
+    distributed prefix-sum operator (operators/ids.py:prefix_sum) —
+    bucket decomposition + per-bucket offsets, never the oracle's
+    single-reducer ``SUM() OVER (ORDER BY ...)``.  The writer-side
+    primitive for packing a curated corpus into bounded output files
+    while preserving global document order."""
+    from etl_utils_spark.operators.ids import prefix_sum
+    from etl_utils_spark.operators.text import _alpha_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(_alpha_tokens("text")).cast("long").alias("n_tok")
+    )
+    ps = prefix_sum(t, "doc_id", "n_tok")
+    return ps.select(
+        "doc_id",
+        "n_tok",
+        F.floor(
+            (F.col("running_total") - F.col("n_tok")) / float(_SHARD_TOKEN_BUDGET)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+@query(
+    "copurchase_part_pairs",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*)::BIGINT AS n_orders
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        LIMIT 20
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs bought in the same
+    order.  Distinct (order, part) → self equi-join on the order key
+    (hash join, never a cartesian; pair fan-out bounded by per-order
+    basket size) → pair count → top-k with total-order tie-breaks.
+    Zipf-head parts skew the join key at scale — AQE skew-join
+    handles it (session default)."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+_N_BPE_MERGES = 3
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Generate the DuckDB CTE chain replicating the greedy merge loop:
+    round k = pair counts → 1-row argmax (ties → smallest pair) →
+    left-to-right non-overlapping replace on the sentinel-wrapped
+    corpus.  `replace` semantics are identical in both engines, which
+    is what the hash match certifies."""
+    ctes = [
+        """c0 AS (
+            SELECT '|' || array_to_string(
+                       list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                   x -> x <> ''), '||') || '|' AS w
+            FROM documents
+        )"""
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""t{k} AS (SELECT string_split(trim(w, '|'), '||') AS t FROM c{k}),
+        p{k} AS (
+            SELECT t[i] AS l, t[i+1] AS r
+            FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t{k})
+        ),
+        n{k} AS (SELECT l, r, count(*) AS n FROM p{k} GROUP BY l, r),
+        b{k} AS (SELECT l, r, n FROM n{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        if k + 1 < n_merges:
+            ctes.append(
+                f"""c{k+1} AS (
+            SELECT replace(w, '|' || b.l || '||' || b.r || '|',
+                              '|' || b.l || b.r || '|') AS w
+            FROM c{k}, b{k} b
+        )"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS merge_round, l AS l_tok, r AS r_tok, "
+        f"l || r AS merged, n::BIGINT AS n_occ FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle(_N_BPE_MERGES))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-rule learning (operators/bpe.py): 3 greedy
+    merge rounds over the corpus at token granularity.  Each round is
+    one scan → pair hash-aggregate → 1-row argmax (driver-bounded) →
+    lazy literal replace; the DuckDB oracle replays the identical loop
+    and the hash match certifies pair counting, tie-breaks, AND the
+    left-to-right non-overlapping merge semantics cross-engine."""
+    from etl_utils_spark.operators.bpe import learn_merges
+    from etl_utils_spark.operators.text import _alpha_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(_alpha_tokens("text").alias("toks"))
+    rules = learn_merges(corpus, F.col("toks"), _N_BPE_MERGES)
+    return spark.createDataFrame(
+        [(k, l, r, l + r, n) for k, l, r, n in rules],
+        "merge_round int, l_tok string, r_tok string, merged string, n_occ bigint",
+    )
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

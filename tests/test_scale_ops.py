@@ -39,7 +39,9 @@ def test_global_ids_no_global_window(spark, sf_dir):
         .toString()
     )
     assert "Window" not in plan, plan[:800]
-    assert "rangepartitioning" in plan, plan[:800]
+    # bucket shuffle, not a 1-partition exchange
+    assert "hashpartitioning(_bucket" in plan, plan[:800]
+    assert "SinglePartition" not in plan, plan[:800]
 
 
 def test_boilerplate_dedup_drops_shared_passages(spark):
@@ -70,6 +72,70 @@ def test_boilerplate_dedup_drops_shared_passages(spark):
     freq = chunks.groupBy("passage").agg(F.countDistinct("doc_id").alias("n"))
     shared = {r["passage"] for r in freq.where("n >= 2").collect()}
     assert shared == {"a b c d e f g h i j", "k l"}
+
+
+def test_global_ids_carry_across_small_arrow_batches(spark):
+    # Tiny Arrow batches force the per-partition counter to carry
+    # across batch boundaries inside one bucket.
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        df = spark.createDataFrame([(k,) for k in range(100)], "k bigint")
+        out = assign_global_ids(df, "k", num_partitions=4).collect()
+        assert sorted((r["k"], r["global_id"]) for r in out) == [
+            (k, k + 1) for k in range(100)
+        ]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_prefix_sum_exact_with_small_batches(spark):
+    from etl_utils_spark.operators.ids import prefix_sum
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        rows = [(k, (k * 7) % 13) for k in range(50)]
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        out = {
+            r["k"]: r["running_total"]
+            for r in prefix_sum(df, "k", "v", num_partitions=5).collect()
+        }
+        acc = 0
+        for k, v in rows:
+            acc += v
+            assert out[k] == acc, (k, out[k], acc)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_bpe_greedy_overlap_and_chaining(spark):
+    from etl_utils_spark.operators.bpe import learn_merges
+
+    # 'a a a': round 0 counts pair (a,a)=2 but the left-to-right merge
+    # fuses only the first occurrence -> [aa, a]; round 1 then merges
+    # (aa, a). This pins the non-overlapping replace semantics.
+    df = spark.createDataFrame([("a a a",)], "text string")
+    corpus = df.select(F.split("text", " ").alias("toks"))
+    rules = learn_merges(corpus, F.col("toks"), 2)
+    assert rules[0] == (0, "a", "a", 2)
+    assert rules[1] == (1, "aa", "a", 1)
+
+
+def test_bpe_tie_break_smallest_pair(spark):
+    from etl_utils_spark.operators.bpe import learn_merges
+
+    # both (b,a) and (a,b) occur once -> tie broken to ('a','b')
+    df = spark.createDataFrame([("b a b",)], "text string")
+    corpus = df.select(F.split("text", " ").alias("toks"))
+    rules = learn_merges(corpus, F.col("toks"), 1)
+    assert rules[0][1:3] == ("a", "b")
 
 
 def test_cdc_delete_tombstone_removes_user(spark, sf_dir):
