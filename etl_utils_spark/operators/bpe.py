@@ -27,12 +27,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _wrapped(tokens_col):
+def wrapped(tokens_col):
+    """Sentinel-wrap a token array: ``|tok||tok|...|``."""
     return F.concat(F.lit("|"), F.array_join(tokens_col, "||"), F.lit("|"))
 
 
-def _tokens_of_wrapped(col):
-    return F.split(F.expr(f"trim(BOTH '|' FROM {col})"), r"\|\|")
+def tokens_of_wrapped(col):
+    """Inverse of :func:`wrapped` (accepts a Column or name)."""
+    return F.split(F.btrim(col, F.lit("|")), r"\|\|")
+
+
+def apply_merges(col, rules):
+    """Apply learned merge rules (in order) to a sentinel-wrapped
+    column — the tokenize step once training is done."""
+    for _, left, right, _ in rules:
+        col = F.replace(
+            col, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
+        )
+    return col
 
 
 def learn_merges(
@@ -41,10 +53,10 @@ def learn_merges(
     """Learn ``n_merges`` merge rules; returns
     ``[(round, left, right, n_occurrences), ...]``."""
     spark = corpus.sparkSession
-    cur = corpus.select(_wrapped(tokens_col).alias("w"))
+    cur = corpus.select(wrapped(tokens_col).alias("w"))
     rules: list[tuple[int, str, str, int]] = []
     for k in range(n_merges):
-        toks = _tokens_of_wrapped("w")
+        toks = tokens_of_wrapped("w")
         pairs = F.zip_with(
             toks,
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),

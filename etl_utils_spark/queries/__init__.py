@@ -111,7 +111,9 @@ _WINDOW = [
     # weighted sampling, chunking)
     "dedup_lines_boilerplate",
     "bpe_learn_merges",
+    "bpe_apply_corpus",
     "shard_assign_docs",
+    "pipeline_corpus_to_shards",
     "copurchase_part_pairs",
     "assign_global_ids_docs",
     "cdc_apply_changes",

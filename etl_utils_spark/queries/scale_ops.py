@@ -290,15 +290,17 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_BPE_MERGES = 3
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_ctes(n_merges: int, with_final: bool) -> str:
     """Generate the DuckDB CTE chain replicating the greedy merge loop:
     round k = pair counts → 1-row argmax (ties → smallest pair) →
     left-to-right non-overlapping replace on the sentinel-wrapped
     corpus.  `replace` semantics are identical in both engines, which
-    is what the hash match certifies."""
+    is what the hash match certifies.  ``with_final`` adds the corpus
+    state AFTER the last merge (for apply-stats queries)."""
     ctes = [
         """c0 AS (
-            SELECT '|' || array_to_string(
+            SELECT doc_id,
+                   '|' || array_to_string(
                        list_filter(string_split_regex(lower(text), '[^a-z]+'),
                                    x -> x <> ''), '||') || '|' AS w
             FROM documents
@@ -314,20 +316,25 @@ def _bpe_oracle(n_merges: int) -> str:
         n{k} AS (SELECT l, r, count(*) AS n FROM p{k} GROUP BY l, r),
         b{k} AS (SELECT l, r, n FROM n{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1)"""
         )
-        if k + 1 < n_merges:
+        if k + 1 < n_merges or with_final:
             ctes.append(
                 f"""c{k+1} AS (
-            SELECT replace(w, '|' || b.l || '||' || b.r || '|',
+            SELECT doc_id,
+                   replace(w, '|' || b.l || '||' || b.r || '|',
                               '|' || b.l || b.r || '|') AS w
             FROM c{k}, b{k} b
         )"""
             )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     selects = " UNION ALL ".join(
         f"SELECT {k} AS merge_round, l AS l_tok, r AS r_tok, "
         f"l || r AS merged, n::BIGINT AS n_occ FROM b{k}"
         for k in range(n_merges)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return _bpe_ctes(n_merges, with_final=False) + "\n" + selects
 
 
 @query("bpe_learn_merges", oracle=_bpe_oracle(_N_BPE_MERGES))
@@ -347,6 +354,160 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k, l, r, l + r, n) for k, l, r, n in rules],
         "merge_round int, l_tok string, r_tok string, merged string, n_occ bigint",
+    )
+
+
+@query(
+    "bpe_apply_corpus",
+    oracle=_bpe_ctes(_N_BPE_MERGES, with_final=True)
+    + f"""
+        SELECT count(*)::BIGINT AS n_docs,
+               SUM(len(string_split(trim(a.w, '|'), '||')))::BIGINT
+                   AS n_tokens_before,
+               SUM(len(string_split(trim(b.w, '|'), '||')))::BIGINT
+                   AS n_tokens_after,
+               SUM(CASE WHEN a.w <> b.w THEN 1 ELSE 0 END)::BIGINT
+                   AS n_docs_changed
+        FROM c0 a JOIN c{_N_BPE_MERGES} b USING (doc_id)
+    """,
+)
+def bpe_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus and report the
+    compression: token counts before/after and how many documents
+    changed.  The apply step is a chain of literal replaces folded into
+    one projection — pure codegen, no shuffle; only the final 1-row
+    stats aggregate reduces."""
+    from etl_utils_spark.operators.bpe import (
+        apply_merges,
+        learn_merges,
+        tokens_of_wrapped,
+        wrapped,
+    )
+    from etl_utils_spark.operators.text import _alpha_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", _alpha_tokens("text").alias("toks"))
+    rules = learn_merges(corpus, F.col("toks"), _N_BPE_MERGES)
+    w0 = corpus.select("doc_id", wrapped(F.col("toks")).alias("w0"))
+    applied = w0.withColumn("w1", apply_merges(F.col("w0"), rules))
+    return applied.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_of_wrapped("w0"))).cast("long").alias("n_tokens_before"),
+        F.sum(F.size(tokens_of_wrapped("w1"))).cast("long").alias("n_tokens_after"),
+        F.sum(F.when(F.col("w0") != F.col("w1"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_changed"),
+    )
+
+
+_SHARD_BUDGET2 = 400
+
+
+@query(
+    "pipeline_corpus_to_shards",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(toks[(i*{_CHUNK}+1):((i+1)*{_CHUNK})], ' ') AS passage
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(0, CAST(ceil(len(toks) / {_CHUNK}.0) AS BIGINT))) AS i
+                FROM tok WHERE len(toks) > 0
+            )
+        ),
+        freq AS (
+            SELECT md5(passage) AS h, count(DISTINCT doc_id) AS n_docs
+            FROM chunks GROUP BY 1
+        ),
+        kept AS (
+            SELECT c.doc_id, c.pos, c.passage
+            FROM chunks c JOIN freq ON md5(c.passage) = freq.h
+            WHERE freq.n_docs < {_BOILER_MIN_DOCS}
+        ),
+        agg AS (
+            SELECT doc_id,
+                   count(*) AS n_kept,
+                   string_agg(passage, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        ),
+        keepers AS (
+            SELECT doc_id, clean_text FROM agg WHERE n_kept >= 2
+        ),
+        uniq AS (
+            SELECT min(doc_id) AS doc_id, clean_text
+            FROM keepers GROUP BY clean_text
+        ),
+        sized AS (
+            SELECT doc_id,
+                   len(string_split(clean_text, ' '))::BIGINT AS n_tok
+            FROM uniq
+        )
+        SELECT doc_id, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok) / {_SHARD_BUDGET2}.0) AS BIGINT) AS shard_id
+        FROM sized
+    """,
+)
+def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end writer pipeline composing this pack's primitives in
+    ONE statement: boilerplate passage removal → survivors with >= 2
+    clean passages → exact dedup on the CLEANED text (min doc_id
+    survives) → order-preserving token-budget shard assignment via the
+    distributed prefix sum.  Pins stage composition (cleaning happens
+    BEFORE dedup, so boilerplate can't mask true duplicates; shard
+    order is the post-dedup doc order)."""
+    from etl_utils_spark.operators.ids import prefix_sum
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / float(_CHUNK)).cast("long")
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("toks", i * _CHUNK + 1, _CHUNK), " "),
+            )
+        ).alias("pos", "passage"),
+    ).withColumn("h", F.md5("passage"))
+    freq = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    kept = (
+        chunks.join(freq, "h")
+        .where(F.col("n_docs") < _BOILER_MIN_DOCS)
+        .select("doc_id", "pos", "passage")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    uniq = (
+        agg.where(F.col("n_kept") >= 2)
+        .groupBy("clean_text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    sized = uniq.select(
+        "doc_id", F.size(F.split("clean_text", " ")).cast("long").alias("n_tok")
+    )
+    ps = prefix_sum(sized, "doc_id", "n_tok")
+    return ps.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.col("running_total") - F.col("n_tok")) / float(_SHARD_BUDGET2))
+        .cast("long")
+        .alias("shard_id"),
     )
 
 
