@@ -117,6 +117,7 @@ _WINDOW = [
     "copurchase_part_pairs",
     "assign_global_ids_docs",
     "cdc_apply_changes",
+    "match_pattern_user_journeys",
     "stats_corr_matrix_lineitem",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",

@@ -511,6 +511,71 @@ def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "match_pattern_user_journeys",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        ELSE 'x' END AS init
+            FROM events
+        ),
+        seqs AS (
+            SELECT user_id,
+                   string_agg(init, '' ORDER BY ts, event_id) AS journey
+            FROM e GROUP BY user_id
+        )
+        SELECT user_id, journey,
+               len(journey)::BIGINT AS n_events,
+               len(regexp_extract_all(journey, 'vc*p'))::BIGINT AS n_conversions,
+               (journey LIKE 's%') AS signup_first
+        FROM seqs
+    """,
+)
+def match_pattern_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern matching over per-user event journeys
+    (MATCH_RECOGNIZE-lite): encode each user's ordered events as a
+    character string, then count regex pattern hits (view → any clicks
+    → purchase, non-overlapping left-to-right — identical regex-scan
+    semantics in both engines).  One shuffle on user_id; per-user state
+    bounded by journey length.  The array_sort(collect_list(struct))
+    idiom gives deterministic in-group order with (ts, event_id)
+    tie-breaks."""
+    e = _t(spark, sf_dir, "events")
+    init = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
+    )
+    seqs = (
+        e.select("user_id", "ts", "event_id", init.alias("init"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "init"))
+                    ),
+                    lambda s: s["init"],
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        "journey",
+        F.length("journey").cast("long").alias("n_events"),
+        F.size(F.expr("regexp_extract_all(journey, 'vc*p', 0)"))
+        .cast("long")
+        .alias("n_conversions"),
+        F.col("journey").startswith("s").alias("signup_first"),
+    )
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

@@ -154,6 +154,43 @@ def test_cdc_delete_tombstone_removes_user(spark, sf_dir):
         assert (r["t"] != "purchase") == (r["user_id"] in survivors)
 
 
+def test_new_ops_scans_are_column_pruned(spark, sf_dir):
+    from etl_utils_spark.plans import read_schema_columns
+
+    # global ids must scan ONLY the key column
+    schemas = read_schema_columns(REGISTRY["assign_global_ids_docs"].fn(spark, sf_dir))
+    assert all(s <= {"doc_id"} for s in schemas), schemas
+    # shard packing needs only (doc_id, text)
+    schemas = read_schema_columns(REGISTRY["shard_assign_docs"].fn(spark, sf_dir))
+    assert all(s <= {"doc_id", "text"} for s in schemas), schemas
+    # journeys need only the three journey columns + type
+    schemas = read_schema_columns(
+        REGISTRY["match_pattern_user_journeys"].fn(spark, sf_dir)
+    )
+    assert all(
+        s <= {"user_id", "ts", "event_id", "event_type"} for s in schemas
+    ), schemas
+
+
+def test_pattern_overlap_semantics(spark):
+    # 'vcvcp' contains ONE non-overlapping 'vc*p' hit starting at the
+    # first v? No: regex scan finds the LEFTMOST match 'vc*p' = 'vcvcp'?
+    # 'v' then 'c*' greedily eats 'cvc'? 'c*' matches only 'c's, so the
+    # leftmost match anchors at index 0: 'vc' then needs 'p' but sees
+    # 'v' -> backtrack -> 'vc?p' fails at 0; next anchor index 2 'vcp'
+    # matches. Exactly one hit. Pin it in both engines.
+    import duckdb
+
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT len(regexp_extract_all('vcvcp', 'vc*p'))"
+    ).fetchone()[0]
+    s = spark.sql(
+        "SELECT size(regexp_extract_all('vcvcp', 'vc*p', 0))"
+    ).collect()[0][0]
+    assert d == s == 1
+
+
 def test_corr_matrix_diagonal_free_and_bounded(spark, sf_dir):
     rows = REGISTRY["stats_corr_matrix_lineitem"].fn(spark, sf_dir).collect()
     assert len(rows) == 6
