@@ -160,3 +160,89 @@ def test_cdc_chunks_partition_document(spark_prop, text):
     rows = cdc_chunk_digests(df).collect()
     assert sum(r.chunk_len for r in rows) == len(text.encode())
     assert all(r.chunk_len > 0 for r in rows)
+
+
+ids_strategy = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@given(ids_strategy, st.integers(min_value=1, max_value=9))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_global_ids_equal_rank_for_any_keys_and_partitioning(
+    spark_prop, keys, nparts
+):
+    """For ANY unique key set and ANY bucket count, assign_global_ids
+    equals the rank in key order (the single-reducer formulation)."""
+    from etl_utils_spark.operators.ids import assign_global_ids
+
+    df = spark_prop.createDataFrame([(k,) for k in keys], "k long")
+    out = assign_global_ids(df, "k", num_partitions=nparts).collect()
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert {r["k"]: r["global_id"] for r in out} == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_prefix_sum_equals_sequential_for_any_input(spark_prop, rows, nparts):
+    from etl_utils_spark.operators.ids import prefix_sum
+
+    df = spark_prop.createDataFrame(rows, "k long, v long")
+    out = {
+        r["k"]: r["running_total"]
+        for r in prefix_sum(df, "k", "v", num_partitions=nparts).collect()
+    }
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert out[k] == acc
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_merges_preserve_concatenation(spark_prop, docs, n_merges):
+    """Merging never changes the underlying character stream: for any
+    corpus, applying the learned merges preserves each doc's token
+    concatenation (merges only fuse boundaries)."""
+    from pyspark.sql import functions as F
+
+    from etl_utils_spark.operators.bpe import (
+        apply_merges,
+        learn_merges,
+        tokens_of_wrapped,
+        wrapped,
+    )
+
+    df = spark_prop.createDataFrame([(d,) for d in docs], "tok string")
+    # multi-token docs: one token per character
+    corpus = df.select(F.split(F.col("tok"), "(?!^)(?!$)").alias("toks"))
+    rules = learn_merges(corpus, F.col("toks"), n_merges)
+    w = corpus.select(wrapped(F.col("toks")).alias("w0"))
+    applied = w.withColumn("w1", apply_merges(F.col("w0"), rules))
+    rows = applied.select(
+        F.array_join(tokens_of_wrapped("w0"), "").alias("s0"),
+        F.array_join(tokens_of_wrapped("w1"), "").alias("s1"),
+    ).collect()
+    for r in rows:
+        assert r["s0"] == r["s1"]
