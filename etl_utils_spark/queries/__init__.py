@@ -118,6 +118,7 @@ _WINDOW = [
     "assign_global_ids_docs",
     "cdc_apply_changes",
     "match_pattern_user_journeys",
+    "join_bloom_prefilter",
     "stats_corr_matrix_lineitem",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",

@@ -512,6 +512,47 @@ def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_bloom_prefilter",
+    oracle="""
+        SELECT l.l_returnflag,
+               count(*)::BIGINT AS n_items,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        WHERE l.l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+        )
+        GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join (operators/bloom.py): the high-value order
+    keys build an 8 KB Bloom bitmap (bit_or aggregate, driver-bounded
+    collect), broadcast as a LITERAL into a scan-level predicate that
+    drops non-matching lineitem rows BEFORE the semi-join exchange.
+    The exact semi join still runs, so the oracle is the plain IN-join
+    — false positives cannot change the result, only the shuffled
+    volume.  At 100 TB this is the difference between exchanging the
+    fact table and exchanging the matching slice."""
+    from etl_utils_spark.operators.bloom import build_bitmap, might_contain
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    build = o.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    bitmap = build_bitmap(build, "o_orderkey")
+    pruned = li.where(might_contain(F.col("l_orderkey"), bitmap))
+    return (
+        pruned.join(build, pruned.l_orderkey == build.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
     "match_pattern_user_journeys",
     oracle="""
         WITH e AS (

@@ -191,6 +191,29 @@ def test_pattern_overlap_semantics(spark):
     assert d == s == 1
 
 
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from etl_utils_spark.operators.bloom import build_bitmap, might_contain
+
+    members = spark.range(0, 2000).withColumnRenamed("id", "k")
+    bitmap = build_bitmap(members, "k")
+    # no false negatives: every member passes
+    hits = members.where(might_contain(F.col("k"), bitmap)).count()
+    assert hits == 2000
+    # false-positive rate on 10k disjoint keys stays tiny
+    probes = spark.range(1_000_000, 1_010_000).withColumnRenamed("id", "k")
+    fp = probes.where(might_contain(F.col("k"), bitmap)).count()
+    assert fp < 50, fp  # ~5e-5 expected at this load
+
+
+def test_bloom_prefilter_prunes_before_join(spark, sf_dir):
+    df = REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the literal-bitmap predicate (xxhash64 probes) must sit in a
+    # Filter, and the exact semi join must still be present
+    assert "xxhash64" in plan, plan[:1200]
+    assert "LeftSemi" in plan or "left_semi" in plan, plan[:1200]
+
+
 def test_corr_matrix_diagonal_free_and_bounded(spark, sf_dir):
     rows = REGISTRY["stats_corr_matrix_lineitem"].fn(spark, sf_dir).collect()
     assert len(rows) == 6
