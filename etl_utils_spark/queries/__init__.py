@@ -119,6 +119,7 @@ _WINDOW = [
     "cdc_apply_changes",
     "match_pattern_user_journeys",
     "join_bloom_prefilter",
+    "gate_hll_sketch_union",
     "stats_corr_matrix_lineitem",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",

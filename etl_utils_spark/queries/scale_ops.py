@@ -617,6 +617,32 @@ def match_pattern_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gate_hll_sketch_union",
+    oracle="SELECT 'datasketches_hll_union' AS variant, CAST(true AS BOOLEAN) AS within_5pct",
+)
+def gate_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked gate for MERGEABLE distinct-count sketches
+    (Apache DataSketches HLL, public Spark 3.5+ surface): per-
+    event_type user sketches are stored as binary partials and
+    union-merged to a corpus estimate — the incremental pattern where
+    daily sketch partials roll up without rescanning history.  The
+    merged estimate must land within 5% of the exact distinct count."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    est = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0]["est"]
+    exact = e.agg(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    ok = abs(est - exact) / exact <= 0.05 if exact else True
+    return spark.createDataFrame(
+        [("datasketches_hll_union", bool(ok))],
+        "variant string, within_5pct boolean",
+    )
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
