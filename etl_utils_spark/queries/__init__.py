@@ -120,6 +120,7 @@ _WINDOW = [
     "match_pattern_user_journeys",
     "join_bloom_prefilter",
     "gate_hll_sketch_union",
+    "json_variant_props",
     "stats_corr_matrix_lineitem",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",

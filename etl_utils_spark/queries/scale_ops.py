@@ -618,6 +618,39 @@ def match_pattern_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_variant_props",
+    oracle="""
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               min(json_extract(props, '$.k')::INT) AS k_min,
+               max(json_extract(props, '$.k')::INT) AS k_max,
+               ROUND(avg(json_extract(props, '$.k')::INT), 4) AS k_avg
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VariantType
+    (parse_json → variant_get): the open-schema path for property
+    bags — a variant column parses once and fields extract with typed
+    paths, instead of per-field string re-parsing
+    (get_json_object × N).  Aggregates the extracted int across event
+    types; DuckDB mirrors with json_extract."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+        )
+    )
+
+
+@query(
     "gate_hll_sketch_union",
     oracle="SELECT 'datasketches_hll_union' AS variant, CAST(true AS BOOLEAN) AS within_5pct",
 )
