@@ -121,6 +121,7 @@ _WINDOW = [
     "join_bloom_prefilter",
     "gate_hll_sketch_union",
     "json_variant_props",
+    "graph_reach_recursive_cte",
     "stats_corr_matrix_lineitem",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",

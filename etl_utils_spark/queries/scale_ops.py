@@ -617,6 +617,40 @@ def match_pattern_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REACH_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id <> b.doc_id
+    ),
+    seeds AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+    reach(doc_id, hop) AS (
+        SELECT doc_id, 0 FROM seeds
+        UNION ALL
+        SELECT p.v, r.hop + 1
+        FROM reach r JOIN pairs p ON p.u = r.doc_id
+        WHERE r.hop < 3
+    )
+    SELECT doc_id, min(hop)::BIGINT AS dist
+    FROM reach GROUP BY doc_id
+"""
+
+
+@query("graph_reach_recursive_cte", oracle=_REACH_SQL)
+def graph_reach_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4 WITH RECURSIVE): hop-capped BFS
+    from seed documents over the exact-duplicate graph — the IDENTICAL
+    SQL text runs on both engines.  Spark materializes each recursion
+    step like the hand-rolled frontier loop in
+    operators/clustering.py:bfs_distances — the cap bounds iteration;
+    per-step joins stay keyed.  This closes the recursive-query SQL
+    surface natively rather than via library loops."""
+    from etl_utils_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)
+
+
 @query(
     "json_variant_props",
     oracle="""
