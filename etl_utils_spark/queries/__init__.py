@@ -122,6 +122,8 @@ _WINDOW = [
     "gate_hll_sketch_union",
     "json_variant_props",
     "graph_reach_recursive_cte",
+    "sql_session_variables",
+    "sql_scripting_for_loop",
     "stats_corr_matrix_lineitem",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",

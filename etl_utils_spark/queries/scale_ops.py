@@ -617,6 +617,85 @@ def match_pattern_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_session_variables",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*)::BIGINT AS n_customers,
+               ROUND(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 1000.0
+        GROUP BY c_mktsegment
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session variables (DECLARE/SET VARIABLE, Spark 4): the
+    engine-level twin of the wrapper's :NAME parameter system
+    (query_wrapper.sql:195-209 set_param/load_params) — declared once,
+    referenced by name inside any later statement, no string
+    templating.  The oracle is the same query with the values folded
+    in."""
+    from etl_utils_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE seg STRING DEFAULT 'BUILDING'")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_bal DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE seg = 'MACHINERY'")
+    spark.sql("SET VARIABLE min_bal = 1000.0")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               ROUND(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        WHERE c_mktsegment = seg AND c_acctbal > min_bal
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "sql_scripting_for_loop",
+    oracle="""
+        SELECT count(*)::BIGINT AS n_types,
+               sum(n)::BIGINT AS total_events,
+               max(n)::BIGINT AS max_type_events
+        FROM (SELECT count(*) AS n FROM events GROUP BY event_type)
+    """,
+)
+def sql_scripting_for_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE SQL scripting (BEGIN/DECLARE/FOR...END FOR, Spark 4):
+    the engine-level twin of the reference's Lua job loop — iterate a
+    driving query's rows, accumulate into variables, return a result
+    (query_wrapper.sql:386-408 query_values + README.md:41-58).  The
+    per-row loop runs on the DRIVER over an already-aggregated
+    (bounded) result, exactly like the reference's row iteration; the
+    heavy lifting stays in the set-based inner query.  Oracle: the
+    equivalent one-shot aggregate."""
+    from etl_utils_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n_types BIGINT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE max_n BIGINT DEFAULT 0;
+          FOR r AS SELECT event_type, count(*) AS n
+                   FROM events GROUP BY event_type DO
+            SET n_types = n_types + 1;
+            SET total = total + r.n;
+            IF r.n > max_n THEN
+              SET max_n = r.n;
+            END IF;
+          END FOR;
+          SELECT n_types AS n_types, total AS total_events,
+                 max_n AS max_type_events;
+        END
+        """
+    )
+
+
 _REACH_SQL = """
     WITH RECURSIVE pairs AS (
         SELECT a.doc_id AS u, b.doc_id AS v
