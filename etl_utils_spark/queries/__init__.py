@@ -124,6 +124,7 @@ _WINDOW = [
     "graph_reach_recursive_cte",
     "sql_session_variables",
     "sql_scripting_for_loop",
+    "agg_modern_ordered_set",
     "stats_corr_matrix_lineitem",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",

@@ -696,6 +696,62 @@ def sql_scripting_for_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_modern_ordered_set",
+    oracle="""
+        WITH s AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders),
+        base AS (
+            SELECT o_orderpriority,
+                   count(*)::BIGINT AS n_orders,
+                   mode(o_orderstatus) AS mode_status,
+                   ROUND(median(o_totalprice), 4) AS median_price
+            FROM orders GROUP BY 1
+        ),
+        sl AS (
+            SELECT o_orderpriority,
+                   string_agg(o_orderstatus, ',' ORDER BY o_orderstatus)
+                       AS status_list
+            FROM s GROUP BY 1
+        )
+        SELECT base.o_orderpriority, n_orders, mode_status, median_price,
+               status_list
+        FROM base JOIN sl USING (o_orderpriority)
+    """,
+)
+def agg_modern_ordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set / positional aggregates added in recent Spark
+    (listagg WITHIN GROUP, mode, median) — per priority: order count,
+    modal status, exact interpolated median price, and the ordered
+    distinct status list.  listagg runs over the pre-deduped
+    (priority, status) frame so the concatenation is bounded by the
+    domain, never the row count — the only safe listagg shape at
+    100 TB."""
+    from etl_utils_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH s AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders),
+        base AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   mode(o_orderstatus) AS mode_status,
+                   ROUND(median(o_totalprice), 4) AS median_price
+            FROM orders GROUP BY 1
+        ),
+        sl AS (
+            SELECT o_orderpriority,
+                   listagg(o_orderstatus, ',')
+                       WITHIN GROUP (ORDER BY o_orderstatus) AS status_list
+            FROM s GROUP BY 1
+        )
+        SELECT base.o_orderpriority, n_orders, mode_status, median_price,
+               status_list
+        FROM base JOIN sl USING (o_orderpriority)
+        """
+    )
+
+
 _REACH_SQL = """
     WITH RECURSIVE pairs AS (
         SELECT a.doc_id AS u, b.doc_id AS v
