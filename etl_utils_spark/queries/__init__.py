@@ -125,6 +125,7 @@ _WINDOW = [
     "sql_session_variables",
     "sql_scripting_for_loop",
     "agg_modern_ordered_set",
+    "io_file_metadata_audit",
     "stats_corr_matrix_lineitem",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",

@@ -697,6 +697,35 @@ def sql_scripting_for_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "io_file_metadata_audit",
+    oracle="""
+        SELECT 'documents.parquet' AS file_name,
+               count(*)::BIGINT AS n_rows,
+               count(DISTINCT doc_id)::BIGINT AS n_distinct_ids
+        FROM documents
+    """,
+)
+def io_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata column surface (`_metadata.file_path`,
+    Spark 3.5+): per-source-file row accounting — the lineage audit a
+    lakehouse ingest job runs to reconcile files against their row
+    counts without a second listing pass.  The fixture table is one
+    file, so the oracle pins the (basename, count) pair; on a
+    multi-file table the same query yields one row per file."""
+    d = _t(spark, sf_dir, "documents")
+    with_file = d.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "file_name"
+        ),
+        "doc_id",
+    )
+    return with_file.groupBy("file_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_distinct_ids"),
+    )
+
+
+@query(
     "agg_modern_ordered_set",
     oracle="""
         WITH s AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders),
