@@ -322,3 +322,32 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_statistics_surface(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE feeds the cost-based optimizer: after computing
+    table + column statistics, the optimized logical plan must carry a
+    row count, and a stats-informed join must broadcast the small
+    side without an explicit hint."""
+    import uuid
+
+    from etl_utils_spark.sources.tables import load_table
+
+    name = f"cbo_probe_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "nation").write.saveAsTable(name)
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+        stats = spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+        stat_row = [r for r in stats if r.col_name == "Statistics"]
+        assert stat_row and "rows" in stat_row[0].data_type, stats
+        # stats-informed planning: joining the analyzed 25-row table
+        # against a fact frame broadcasts it with NO hint
+        orders = load_table(spark, sf_dir, "orders")
+        j = orders.join(
+            spark.table(name), orders.o_custkey % 25 == spark.table(name).n_nationkey
+        )
+        from etl_utils_spark.plans import has_broadcast_join
+
+        assert has_broadcast_join(j)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
