@@ -1,0 +1,106 @@
+"""Exact order statistics without a global sort.
+
+``ORDER BY x LIMIT/OFFSET`` or ``sort + row_number`` formulations of
+"the k-th smallest of 10^12 values" funnel the corpus through one
+reducer.  This operator computes an EXACT quantile (discrete
+order-statistic semantics, DuckDB ``quantile_disc``: 0-based rank
+``floor((n-1)·q)``) with only mergeable aggregates and a bounded
+final selection:
+
+1. one count → n, target rank.
+2. one ``approx_percentile`` sketch (rank error ≤ n/accuracy) brackets
+   the target with value bounds [lo, hi].
+3. one exact aggregate computes rank(lo) and the candidate count
+   inside the bracket — both VERIFIED against the target rank; if the
+   sketch under-delivered (it cannot by its error bound, but the
+   check is cheap) the bracket widens and retries.
+4. candidates (≈ 2n/accuracy rows) are either selected exactly via
+   TakeOrdered top-k (bounded, per-partition heaps) or, when still
+   too large at extreme scale, the same bracket step recurses on the
+   filtered frame — each round shrinks the candidate set by the
+   accuracy factor, so two rounds cover 10^12 rows at accuracy 10^4.
+
+Ties/duplicates are handled by rank arithmetic (a value heavier than
+the bracket collapses lo == hi → answer immediately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_quantile(
+    df: DataFrame,
+    col: str,
+    q: float,
+    accuracy: int = 10_000,
+    take_limit: int = 1_000_000,
+    max_rounds: int = 64,
+) -> float | None:
+    """Exact q-quantile of a numeric column (discrete semantics:
+    the value at 0-based rank ``floor((n-1)·q)`` in ascending order).
+    Returns None on an empty input.  Null values are ignored (SQL
+    aggregate semantics)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0,1], got {q}")
+    vals = df.select(F.col(col).alias("x")).filter(F.col("x").isNotNull())
+    n = vals.count()
+    if n == 0:
+        return None
+    target = int((n - 1) * q)  # 0-based global rank
+
+    frame, rank_offset = vals, 0
+    margin = 2.0 / accuracy
+    for _ in range(max_rounds):
+        m = frame.count()
+        local_target = target - rank_offset
+        # local quantile of the remaining frame that pins the target
+        ql = max(0.0, local_target / max(m - 1, 1) - margin)
+        qh = min(1.0, local_target / max(m - 1, 1) + margin)
+        row = frame.agg(
+            F.percentile_approx("x", [ql, qh], accuracy).alias("b")
+        ).collect()[0]
+        lo, hi = row["b"][0], row["b"][1]
+        stats = frame.agg(
+            F.sum(F.when(F.col("x") < lo, 1).otherwise(0)).alias("below"),
+            F.sum(
+                F.when((F.col("x") >= lo) & (F.col("x") <= hi), 1).otherwise(0)
+            ).alias("inside"),
+        ).collect()[0]
+        below, inside = stats["below"] or 0, stats["inside"] or 0
+        if not (0 <= local_target - below < inside):
+            # sketch bracket missed (cannot happen within the error
+            # bound, but verify-don't-trust): widen and retry
+            margin *= 4
+            continue
+        k = local_target - below  # 0-based rank within the bracket
+        if lo == hi:
+            # every candidate equals lo and the verified rank window
+            # contains the target — answer found
+            return lo
+        if inside <= take_limit:
+            # bounded exact selection: top-(k+1) via per-partition
+            # heaps (TakeOrderedAndProject), answer is the max
+            cand = frame.filter((F.col("x") >= lo) & (F.col("x") <= hi))
+            top = cand.orderBy("x").limit(k + 1).agg(F.max("x")).collect()[0][0]
+            return top
+        if inside < m:
+            # recurse into the bracket; ranks below it are accounted
+            frame = frame.filter((F.col("x") >= lo) & (F.col("x") <= hi))
+            rank_offset += below
+            margin = 2.0 / accuracy
+            continue
+        # Sketch made no progress (bracket covers the whole frame —
+        # e.g. two heavy distinct values with the target rank near
+        # their boundary): take one value-space bisection step, which
+        # always shrinks because lo < hi.
+        mid = (lo + hi) / 2.0
+        cnt_le = frame.filter(F.col("x") <= mid).count()
+        if local_target < cnt_le:
+            frame = frame.filter(F.col("x") <= mid)
+        else:
+            frame = frame.filter(F.col("x") > mid)
+            rank_offset += cnt_le
+        margin = 2.0 / accuracy
+    raise RuntimeError("exact_quantile failed to converge")

@@ -30,6 +30,8 @@ from etl_utils_spark.queries import text_quality  # noqa: E402,F401
 from etl_utils_spark.queries import curation_v3  # noqa: E402,F401
 from etl_utils_spark.queries import features  # noqa: E402,F401
 from etl_utils_spark.queries import scale_ops  # noqa: E402,F401
+from etl_utils_spark.queries import stat_tests  # noqa: E402,F401
+from etl_utils_spark.queries import drift_metrics  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
@@ -109,6 +111,23 @@ _WINDOW = [
     # then the round-5 curation pack, then the round-4 block: composed
     # pipeline, PQ gate, salted join, decontamination, containment,
     # weighted sampling, chunking)
+    # round-4 drift & information metrics pack (newest)
+    "drift_psi_value_split",
+    "drift_js_lang_by_source",
+    "stats_mutual_info_lang_source",
+    "feature_target_encode_priority",
+    "langid_confusion_matrix",
+    # round-4 statistics & sampling pack
+    "stats_chi2_lang_source",
+    "stats_ttest_price_by_status",
+    "stats_ks_binned_prices",
+    "stats_rolling_corr_price_qty",
+    "seasonal_hourly_baseline",
+    "max_concurrent_sessions",
+    "sliding_distinct_users_7d",
+    "sample_reservoir_per_type",
+    "sample_weighted_docs_es",
+    "exact_quantiles_orders",
     "dedup_lines_boilerplate",
     "bpe_learn_merges",
     "bpe_apply_corpus",

@@ -1,0 +1,566 @@
+"""Statistical-analysis & sampling pack: hypothesis tests (chi²,
+Welch t, binned KS), seasonal baselines, rolling correlation,
+interval-overlap concurrency, sliding distinct counts, and two exact
+distributed sampling designs (bottom-k reservoir, Efraimidis–Spirakis
+weighted) — the measurement layer a data-curation pipeline runs to
+validate mixes, detect drift, and draw audit samples.
+
+Scale shapes (each pinned in the docstring of its query):
+- Test statistics reduce to MERGEABLE moment/count aggregates; the
+  only windows run over frames bounded by category/bin cardinality,
+  never the corpus.
+- The concurrency sweep composes sessionize (one user-keyed shuffle)
+  with the distributed ``prefix_sum`` operator (operators/ids.py) —
+  the classic +1/−1 interval sweep WITHOUT the single-reducer
+  ``SUM() OVER (ORDER BY ts)``.
+- The reservoir sample is exact bottom-k per group at any scale: a
+  threshold pre-filter (computed from exact group counts) bounds the
+  survivor set, and the exact rank window runs only over survivors.
+
+Reference parity: the reference engine (query_wrapper.sql) delegates
+all analytics SQL to the host engine; these are capability-surface
+queries (SURVEY.md §2 Tier C / training-data tier), each certified
+against a DuckDB oracle running the same closed-form SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _md5_uniform(col: F.Column) -> F.Column:
+    """Engine-portable deterministic uniform in [0,1): first 8 md5 hex
+    digits as a 32-bit integer over 2^32 — an exact dyadic rational,
+    so Spark and DuckDB produce bit-identical doubles."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / 4294967296.0
+    )
+
+
+# ------------------------------------------------------------------ chi²
+@query(
+    "stats_chi2_lang_source",
+    oracle="""
+        WITH obs AS (SELECT lang, source, count(*)::DOUBLE AS o
+                     FROM documents GROUP BY 1, 2),
+             rl  AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+             cl  AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1),
+             n   AS (SELECT sum(o) AS n FROM obs),
+             grid AS (
+               SELECT rl.lang, cl.source, rl.rt * cl.ct / n.n AS e,
+                      coalesce(obs.o, 0) AS o
+               FROM rl CROSS JOIN cl CROSS JOIN n
+               LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cl.source
+             )
+        SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+               (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+               CAST(SUM(o) AS BIGINT) AS n
+        FROM grid
+    """,
+)
+def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence for the corpus lang × source
+    contingency table — the mix-drift detector for a multi-source
+    training corpus.  One count aggregate (map-side combined), then all
+    arithmetic runs on the |langs|×|sources| grid: margins rebuilt by
+    re-aggregating the OBSERVED cells (never a second corpus scan),
+    zero cells restored by the bounded cross join.  The only data that
+    moves is one row per observed category pair."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rl = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cl = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rl.crossJoin(cl)
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+            F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
+        )
+    )
+    return grid.agg(
+        F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6).alias("chi2"),
+        (
+            (F.countDistinct("lang") - F.lit(1))
+            * (F.countDistinct("source") - F.lit(1))
+        ).alias("dof"),
+        F.sum("o").cast("long").alias("n"),
+    )
+
+
+# ------------------------------------------------------------- Welch t-test
+@query(
+    "stats_ttest_price_by_status",
+    oracle="""
+        WITH g AS (
+          SELECT o_orderstatus AS s, count(*)::DOUBLE AS n,
+                 avg(o_totalprice) AS m, var_samp(o_totalprice) AS v
+          FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1
+        ),
+        f AS (SELECT n, m, v FROM g WHERE s = 'F'),
+        o AS (SELECT n, m, v FROM g WHERE s = 'O')
+        SELECT CAST(f.n AS BIGINT) AS n_f, CAST(o.n AS BIGINT) AS n_o,
+               ROUND(f.m - o.m, 4) AS mean_diff,
+               ROUND((f.m - o.m) / sqrt(f.v / f.n + o.v / o.n), 4) AS t_stat,
+               ROUND(pow(f.v / f.n + o.v / o.n, 2)
+                     / (pow(f.v / f.n, 2) / (f.n - 1)
+                        + pow(o.v / o.n, 2) / (o.n - 1)), 2) AS dof
+        FROM f, o
+    """,
+)
+def stats_ttest_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (finished vs open order prices)
+    with the Welch–Satterthwaite dof: ONE moments aggregate over the
+    fact table (count/avg/var_samp are all mergeable), then closed-form
+    arithmetic on two 1-row frames.  The A/B-comparison shape — no
+    per-row work beyond the partial aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    g = (
+        o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("o_totalprice").alias("m"),
+            F.var_samp("o_totalprice").alias("v"),
+        )
+    )
+    f = g.filter(F.col("o_orderstatus") == "F").select(
+        F.col("n").alias("n_f"), F.col("m").alias("m_f"), F.col("v").alias("v_f")
+    )
+    oo = g.filter(F.col("o_orderstatus") == "O").select(
+        F.col("n").alias("n_o"), F.col("m").alias("m_o"), F.col("v").alias("v_o")
+    )
+    se2 = F.col("v_f") / F.col("n_f") + F.col("v_o") / F.col("n_o")
+    dof = (se2 ** 2) / (
+        (F.col("v_f") / F.col("n_f")) ** 2 / (F.col("n_f") - 1)
+        + (F.col("v_o") / F.col("n_o")) ** 2 / (F.col("n_o") - 1)
+    )
+    return f.crossJoin(oo).select(
+        F.col("n_f").cast("long").alias("n_f"),
+        F.col("n_o").cast("long").alias("n_o"),
+        F.round(F.col("m_f") - F.col("m_o"), 4).alias("mean_diff"),
+        F.round((F.col("m_f") - F.col("m_o")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(dof, 2).alias("dof"),
+    )
+
+
+# ------------------------------------------------------------- binned KS
+@query(
+    "stats_ks_binned_prices",
+    oracle="""
+        WITH s AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g,
+                 FLOOR(o_totalprice / 2000)::BIGINT AS bin
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        c AS (SELECT g, bin, count(*)::DOUBLE AS n FROM s GROUP BY 1, 2),
+        tot AS (SELECT g, sum(n) AS t FROM c GROUP BY 1),
+        bins AS (SELECT DISTINCT bin FROM c),
+        grid AS (
+          SELECT b.bin, t.g, coalesce(c.n, 0) AS n, t.t
+          FROM bins b CROSS JOIN tot t
+          LEFT JOIN c ON c.bin = b.bin AND c.g = t.g
+        ),
+        cdf AS (
+          SELECT bin, g,
+                 SUM(n) OVER (PARTITION BY g ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / t AS f
+          FROM grid
+        )
+        SELECT ROUND(MAX(ABS(a.f - b.f)), 6) AS d_stat,
+               (SELECT CAST(t AS BIGINT) FROM tot WHERE g = 'a') AS n_urgent,
+               (SELECT CAST(t AS BIGINT) FROM tot WHERE g = 'b') AS n_low
+        FROM (SELECT bin, f FROM cdf WHERE g = 'a') a
+        JOIN (SELECT bin, f FROM cdf WHERE g = 'b') b USING (bin)
+    """,
+)
+def stats_ks_binned_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D on SHARED BINS (urgent- vs
+    low-priority order prices).  The exact KS needs a global sort of
+    both samples — a single-reducer stage at 100 TB; the binned form
+    is the scale substitute: per-bin counts are one mergeable
+    aggregate, and the ECDF cumsum window runs over the bounded bin
+    frame (#bins rows), not the corpus.  Bin width 2000 bounds the
+    discretization error of D at max bin mass."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a").otherwise("b").alias("g"),
+        F.floor(F.col("o_totalprice") / 2000).alias("bin"),
+    )
+    c = s.groupBy("g", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = c.groupBy("g").agg(F.sum("n").alias("t"))
+    bins = c.select("bin").distinct()
+    grid = (
+        bins.crossJoin(tot)
+        .join(c, ["bin", "g"], "left")
+        .select("bin", "g", F.coalesce(F.col("n"), F.lit(0.0)).alias("n"), "t")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = grid.select("bin", "g", (F.sum("n").over(w) / F.col("t")).alias("f"))
+    a = cdf.filter(F.col("g") == "a").select("bin", F.col("f").alias("f_a"))
+    b = cdf.filter(F.col("g") == "b").select("bin", F.col("f").alias("f_b"))
+    d = (
+        a.join(b, "bin")
+        .agg(F.round(F.max(F.abs(F.col("f_a") - F.col("f_b"))), 6).alias("d_stat"))
+    )
+    ta = tot.filter(F.col("g") == "a").select(F.col("t").cast("long").alias("n_urgent"))
+    tb = tot.filter(F.col("g") == "b").select(F.col("t").cast("long").alias("n_low"))
+    return d.crossJoin(ta).crossJoin(tb)
+
+
+# -------------------------------------------------------- rolling correlation
+@query(
+    "stats_rolling_corr_price_qty",
+    oracle="""
+        WITH w AS (
+          SELECT l_orderkey, l_linenumber,
+                 count(*) OVER fr AS n,
+                 covar_samp(l_extendedprice, l_quantity) OVER fr AS cv,
+                 stddev_samp(l_extendedprice) OVER fr AS sx,
+                 stddev_samp(l_quantity) OVER fr AS sy
+          FROM lineitem
+          WINDOW fr AS (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN n >= 2 AND sx > 0 AND sy > 0
+                    THEN ROUND(cv / (sx * sy), 4) END AS rcorr
+        FROM w
+    """,
+)
+def stats_rolling_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-row price/quantity correlation per supplier — the
+    drift monitor for a joint distribution.  Window partitioned by the
+    HIGH-cardinality supplier key (parallel at any scale; never a
+    corpus-wide frame), deterministic (shipdate, orderkey, linenumber)
+    total order, and the correlation is assembled from guarded
+    covariance/stddev components so degenerate frames yield NULL
+    identically on both engines (Spark's corr would emit NaN)."""
+    l = _t(spark, sf_dir, "lineitem")
+    fr = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    w = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.covar_samp("l_extendedprice", "l_quantity").over(fr).alias("cv"),
+        F.stddev_samp("l_extendedprice").over(fr).alias("sx"),
+        F.stddev_samp("l_quantity").over(fr).alias("sy"),
+    )
+    rcorr = F.when(
+        (F.col("n") >= 2) & (F.col("sx") > 0) & (F.col("sy") > 0),
+        F.round(F.col("cv") / (F.col("sx") * F.col("sy")), 4),
+    )
+    return w.select("l_orderkey", "l_linenumber", rcorr.alias("rcorr"))
+
+
+# ------------------------------------------------------- seasonal baseline
+@query(
+    "seasonal_hourly_baseline",
+    oracle="""
+        WITH b AS (
+          SELECT event_type, EXTRACT(hour FROM ts)::BIGINT AS hr,
+                 count(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu,
+                 sqrt(greatest(0,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                   - (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                     * (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                 )) AS sigma
+          FROM events GROUP BY 1, 2
+        )
+        SELECT e.event_type AS event_type, b.hr AS hr,
+               ROUND(b.mu * b.n, 2) AS sum_value, ROUND(b.sigma, 4) AS sigma,
+               b.n AS n,
+               CAST(SUM(CASE WHEN e.value > b.mu + 3 * b.sigma
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e
+        JOIN b ON b.event_type = e.event_type AND b.hr = EXTRACT(hour FROM e.ts)
+        GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per event type (sum/sigma/n) with a
+    3-sigma residual outlier count — seasonal-profile anomaly
+    detection.  The baseline is a 24×|types| aggregate joined back by
+    BROADCAST (a window partitioned by (type, hour) would funnel the
+    corpus into 120 reducers).  The moments are built from EXACT
+    decimal sums (value is 2-decimal; avg of a few currency values
+    lands exactly on 4-decimal round boundaries, where cross-engine
+    summation-order ulps flip the rounding — sum exactly, then do the
+    identical double arithmetic on both engines)."""
+    e = _t(spark, sf_dir, "events")
+    hr = F.hour("ts").alias("hr")
+    vdec = F.col("value").cast("decimal(18,2)")
+    cnt = F.count(F.lit(1))
+    mu = F.sum(vdec).cast("double") / cnt
+    sumsq = F.sum(vdec * vdec).cast("double")
+    sigma = F.sqrt(F.greatest(F.lit(0.0), sumsq / cnt - mu * mu))
+    b = e.groupBy("event_type", hr).agg(
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        cnt.alias("n"),
+    )
+    joined = e.select("event_type", hr, "value").join(
+        F.broadcast(b), ["event_type", "hr"]
+    )
+    return (
+        joined.groupBy("event_type", "hr")
+        .agg(
+            F.round(F.max("mu") * F.max("n"), 2).alias("sum_value"),
+            F.round(F.max("sigma"), 4).alias("sigma"),
+            F.max("n").alias("n"),
+            F.sum(
+                F.when(F.col("value") > F.col("mu") + 3 * F.col("sigma"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------- interval concurrency
+@query(
+    "max_concurrent_sessions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_seq,
+                   ts
+            FROM ordered
+        ),
+        bounds AS (
+            SELECT user_id, session_seq,
+                   epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) + 1 AS e_us
+            FROM sess GROUP BY 1, 2
+        ),
+        deltas AS (
+            SELECT s_us AS us, 1 AS d FROM bounds
+            UNION ALL
+            SELECT e_us, -1 FROM bounds
+        ),
+        net AS (SELECT us, SUM(d)::BIGINT AS net FROM deltas GROUP BY 1),
+        run AS (
+            SELECT us, SUM(net) OVER (ORDER BY us
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS conc
+            FROM net
+        ),
+        m AS (SELECT MAX(conc) AS mx FROM run)
+        SELECT CAST(m.mx AS BIGINT) AS max_concurrent,
+               CAST(MIN(run.us) AS BIGINT) AS at_us
+        FROM run, m WHERE run.conc = m.mx GROUP BY 1
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency (and the earliest microsecond instant
+    it occurs): the classic +1/−1 interval sweep — sessionize gives
+    [start, end] bounds per (user, session); half-open end+1µs deltas
+    aggregate to a NET change per distinct timestamp; the running sum
+    over that axis is concurrency.  The oracle's ``SUM() OVER (ORDER
+    BY us)`` is exactly the single-reducer global sort this
+    implementation avoids: the distributed ``prefix_sum``
+    (operators/ids.py — literal sketch boundaries, per-bucket Arrow
+    cumsum, driver-bounded offsets) computes the identical values with
+    no single-partition stage."""
+    from etl_utils_spark.operators.ids import prefix_sum
+    from etl_utils_spark.operators.sessionize import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    bounds = session_stats(e, gap_seconds=1800).select(
+        F.unix_micros("session_start").alias("s_us"),
+        (F.unix_micros("session_end") + 1).alias("e_us"),
+    )
+    deltas = bounds.select(F.col("s_us").alias("us"), F.lit(1).alias("d")).unionAll(
+        bounds.select(F.col("e_us").alias("us"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("us").agg(F.sum("d").cast("long").alias("net"))
+    run = prefix_sum(net, order_col="us", value_col="net", out_col="conc")
+    m = run.agg(F.max("conc").alias("mx"))
+    return (
+        run.join(F.broadcast(m), run["conc"] == m["mx"])
+        .agg(
+            F.max("mx").alias("max_concurrent"),
+            F.min("us").alias("at_us"),
+        )
+    )
+
+
+# ------------------------------------------------- sliding distinct users
+@query(
+    "sliding_distinct_users_7d",
+    oracle="""
+        WITH ud AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('day', ts) AS DATE) AS d
+                    FROM events),
+        exp AS (
+          SELECT user_id, d + i::INTEGER AS window_end
+          FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) t
+        ),
+        dd AS (SELECT DISTINCT user_id, window_end FROM exp)
+        SELECT window_end, count(*) AS n_users FROM dd GROUP BY 1
+    """,
+)
+def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) no window function can express (distinctness must
+    hold across the frame).  Scale shape: dedup to (user, day) grain
+    first (the big shrink), replicate each pair to the ≤7 windows it
+    belongs to, dedup again, count — three hash shuffles, all linear,
+    no sort, no per-window state."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    exp = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i").cast("int")).alias("window_end"))
+    return (
+        exp.distinct()
+        .groupBy("window_end")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ------------------------------------------------------ reservoir sample
+_RESERVOIR_K = 20
+_RESERVOIR_OVER = 8  # oversample factor for the threshold pre-filter
+
+
+@query(
+    "sample_reservoir_per_type",
+    oracle=f"""
+        WITH u AS (
+          SELECT event_type, event_id,
+                 CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                      AS DOUBLE) / 4294967296.0 AS u
+          FROM events
+        ),
+        n AS (SELECT event_type, count(*)::DOUBLE AS n FROM u GROUP BY 1),
+        surv AS (
+          SELECT u.* FROM u JOIN n USING (event_type)
+          WHERE u.u < LEAST(1.0, {_RESERVOIR_K * _RESERVOIR_OVER}.0 / n.n)
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY u, event_id) AS r
+          FROM surv
+        )
+        SELECT event_type, event_id, u FROM ranked WHERE r <= {_RESERVOIR_K}
+    """,
+)
+def sample_reservoir_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample per group (k=20) — the
+    distributed reservoir: keeping the k SMALLEST md5-uniform keys per
+    group is an exchangeable uniform draw, and bottom-k by hash is a
+    mergeable sketch.  The rank window never sees the corpus: a
+    threshold pre-filter u < k·8/n (exact per-group counts from one
+    aggregate, broadcast back) bounds survivors to ~k·8 per group
+    first.  The u column is an exact dyadic rational — bit-identical
+    across engines."""
+    e = _t(spark, sf_dir, "events")
+    u = e.select("event_type", "event_id", _md5_uniform(F.col("event_id")).alias("u"))
+    n = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    thresh = F.least(F.lit(1.0), F.lit(float(_RESERVOIR_K * _RESERVOIR_OVER)) / F.col("n"))
+    surv = u.join(F.broadcast(n), "event_type").filter(F.col("u") < thresh)
+    w = Window.partitionBy("event_type").orderBy("u", "event_id")
+    return (
+        surv.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _RESERVOIR_K)
+        .select("event_type", "event_id", "u")
+    )
+
+
+# ------------------------------------------------- exact order statistics
+@query(
+    "exact_quantiles_orders",
+    oracle="""
+        SELECT quantile_disc(o_totalprice, 0.5) AS p50,
+               quantile_disc(o_totalprice, 0.9) AS p90,
+               quantile_disc(o_totalprice, 0.99) AS p99
+        FROM orders
+    """,
+)
+def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of order prices (discrete order-statistic
+    semantics) — not the approx sketch: operators/order_stats.py
+    brackets each target rank with one percentile sketch, verifies the
+    bracket with exact rank counts, and selects inside the bounded
+    bracket via per-partition top-k heaps; recursion keeps the final
+    selection bounded at any corpus size.  No global sort anywhere.
+    The outputs are ACTUAL data values, so the cross-engine match is
+    bit-exact with no rounding."""
+    from etl_utils_spark.operators.order_stats import exact_quantile
+
+    o = _t(spark, sf_dir, "orders")
+    vals = [exact_quantile(o, "o_totalprice", q) for q in (0.5, 0.9, 0.99)]
+    return spark.createDataFrame([tuple(vals)], "p50 double, p90 double, p99 double")
+
+
+# ---------------------------------------------- weighted (E–S) sampling
+@query(
+    "sample_weighted_docs_es",
+    oracle="""
+        WITH k AS (
+          SELECT doc_id, n_chars,
+                 -ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          AS DOUBLE) / 4294967296.0 + 1e-12) / n_chars AS es_key
+          FROM documents
+        )
+        SELECT doc_id, n_chars, ROUND(es_key, 9) AS es_key
+        FROM k ORDER BY es_key, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_docs_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    2006): k=50 docs with probability ∝ n_chars, via the exponential
+    reformulation key = −ln(u)/w with the deterministic md5-uniform u
+    (+1e-12 guards ln(0)).  Bottom-k by key is a TakeOrdered top-k —
+    per-partition heaps merged on the driver, never a global sort;
+    (key, doc_id) gives a total order."""
+    d = _t(spark, sf_dir, "documents")
+    u = _md5_uniform(F.col("doc_id"))
+    key = -F.log(u + F.lit(1e-12)) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("es_key", 9).alias("es_key"))
+    )

@@ -80,6 +80,13 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
     - bm25_rank_docs / time_decay_user_score: 1-row corpus-stats frame
       (aggregate without grouping) broadcast via crossJoin — the
       no-collect scalar-anchor pattern; build side is provably one row.
+    - stats_chi2_lang_source: margins grid cross join bounded by the
+      category product |langs|×|sources| (fixture: 5×16) plus a 1-row N.
+    - stats_ttest_price_by_status: two 1-row moment frames.
+    - stats_ks_binned_prices: bins × tot cross join — tot is provably
+      2 rows (one per sample), plus two 1-row total frames at the end.
+    - max_concurrent_sessions / sliding ...: 1-row max frame joined
+      back on a non-equi predicate (conc == mx).
     """
     allowed = {
         "join_cross_region_nation",
@@ -88,6 +95,17 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         "knn_majority_label",
         "bm25_rank_docs",
         "time_decay_user_score",
+        "stats_chi2_lang_source",
+        "stats_ttest_price_by_status",
+        "stats_ks_binned_prices",
+        "max_concurrent_sessions",
+        # drift pack: grids bounded by bin/category cardinality plus
+        # 1-row total frames (PSI: bins×2-sample totals×1-row bin
+        # count; JS: |sources|×|langs|×1-row corpus total; MI: 1-row
+        # corpus total cross join)
+        "drift_psi_value_split",
+        "drift_js_lang_by_source",
+        "stats_mutual_info_lang_source",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
