@@ -32,6 +32,7 @@ from etl_utils_spark.queries import features  # noqa: E402,F401
 from etl_utils_spark.queries import scale_ops  # noqa: E402,F401
 from etl_utils_spark.queries import stat_tests  # noqa: E402,F401
 from etl_utils_spark.queries import drift_metrics  # noqa: E402,F401
+from etl_utils_spark.queries import rank_analytics  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
@@ -111,8 +112,14 @@ _WINDOW = [
     # then the round-5 curation pack, then the round-4 block: composed
     # pipeline, PQ gate, salted join, decontamination, containment,
     # weighted sampling, chunking)
-    # round-4 drift & information metrics pack (newest)
+    # round-4 rank-analytics pack (newest)
+    "stats_spearman_price_qty",
+    "dq_benford_totalprice",
+    "join_lateral_top_orders",
+    "window_nth_cume_dist",
+    # round-4 drift & information metrics pack
     "drift_psi_value_split",
+    "stream_psi_daily_live",
     "drift_js_lang_by_source",
     "stats_mutual_info_lang_source",
     "feature_target_encode_priority",

@@ -104,6 +104,87 @@ def drift_psi_value_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi.crossJoin(nb.select(F.col("b").cast("long").alias("n_bins")))
 
 
+# ------------------------------------------------- streaming PSI monitor
+@query(
+    "stream_psi_daily_live",
+    oracle=f"""
+        WITH c AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 FLOOR(value / {_PSI_BIN})::BIGINT AS bin,
+                 count(*)::DOUBLE AS n
+          FROM events GROUP BY 1, 2
+        ),
+        bins AS (SELECT DISTINCT bin FROM c),
+        nb AS (SELECT count(*)::DOUBLE AS b FROM bins),
+        days AS (SELECT day, sum(n) AS nd FROM c GROUP BY 1),
+        qb AS (SELECT bin, sum(n) AS nq FROM c GROUP BY 1),
+        nt AS (SELECT sum(n) AS nn FROM c),
+        grid AS (
+          SELECT d.day, b.bin,
+                 (coalesce(c.n, 0) + {_PSI_SMOOTH}) / (d.nd + {_PSI_SMOOTH} * nb.b) AS p,
+                 (qb.nq + {_PSI_SMOOTH}) / (nt.nn + {_PSI_SMOOTH} * nb.b) AS q
+          FROM days d CROSS JOIN bins b CROSS JOIN nb CROSS JOIN nt
+          JOIN qb ON qb.bin = b.bin
+          LEFT JOIN c ON c.day = d.day AND c.bin = b.bin
+        )
+        SELECT day, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+        FROM grid GROUP BY 1
+    """,
+)
+def stream_psi_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI drift of the event-value distribution against the
+    full-period baseline, with the binned counting executed as a REAL
+    stream (1-day tumbling window aggregate, AvailableNow) — the live
+    monitoring twin of drift_psi_value_split.  A continuous deployment
+    keeps only O(#bins) state per window; the PSI arithmetic runs on
+    the bounded (days × bins) frame the stream emits, never the event
+    stream itself."""
+    from etl_utils_spark.streaming import windows as W
+
+    s = W.read_events_stream(spark, sf_dir)
+    binned = s.groupBy(
+        F.window("ts", "1 day").alias("w"),
+        F.floor(F.col("value") / _PSI_BIN).alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # localCheckpoint: (a) the PSI arithmetic below self-joins this
+    # frame four ways, and the memory-sink view's attributes cannot be
+    # deduplicated by the analyzer (INTERNAL_ERROR: conflicting
+    # references); (b) the frame is bounded at days × bins rows.
+    c = (
+        W.run_stream_to_batch(spark, binned, output_mode="complete")
+        .select(F.to_date(F.col("w.start")).alias("day"), "bin", "n")
+        .localCheckpoint(eager=True)
+    )
+    bins = c.select("bin").distinct()
+    nb = bins.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    days = c.groupBy("day").agg(F.sum("n").alias("nd"))
+    qb = c.groupBy("bin").agg(F.sum("n").alias("nq"))
+    nt = c.agg(F.sum("n").alias("nn"))
+    grid = (
+        days.crossJoin(bins)
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nt))
+        .join(qb, "bin")
+        .join(c, ["day", "bin"], "left")
+        .select(
+            "day",
+            (
+                (F.coalesce(F.col("n"), F.lit(0.0)) + F.lit(_PSI_SMOOTH))
+                / (F.col("nd") + F.lit(_PSI_SMOOTH) * F.col("b"))
+            ).alias("p"),
+            (
+                (F.col("nq") + F.lit(_PSI_SMOOTH))
+                / (F.col("nn") + F.lit(_PSI_SMOOTH) * F.col("b"))
+            ).alias("q"),
+        )
+    )
+    return grid.groupBy("day").agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "psi"
+        )
+    )
+
+
 # ------------------------------------------------------- Jensen–Shannon
 @query(
     "drift_js_lang_by_source",

@@ -1,0 +1,182 @@
+"""Rank-based analytics pack: Spearman rank correlation computed with
+DISTRIBUTED rank assignment (no corpus-wide window), a Benford
+first-digit audit, LATERAL-join top-k-per-group, and the remaining
+analytic window functions (nth_value / cume_dist).
+
+The Spearman query is the scale statement of the pack: the textbook
+formulation — ``rank() OVER (ORDER BY x)`` per column — funnels the
+entire fact table through ONE reducer per column.  Here each column's
+min-rank is derived from its per-VALUE count frame (bounded by
+distinct-value cardinality) via the distributed ``prefix_sum``
+(operators/ids.py): min_rank(v) = 1 + Σ counts(values < v).  The
+oracle runs the single-node window formulation and certifies the
+distributed one value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+# Identical SQL text runs on Spark and the DuckDB oracle — the LATERAL
+# correlated-subquery surface itself is the capability under test.
+# Spark decorrelates it into a partial+final WindowGroupLimit (map-side
+# top-k per customer before the exchange — the plan a hand-written
+# row_number()<=2 would produce, derived automatically).
+_LATERAL_SQL = """
+SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,
+       t.o_totalprice AS o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _min_rank_map(df: DataFrame, col: str, rank_col: str) -> DataFrame:
+    """(value → competition/min rank) built WITHOUT a global sort: one
+    per-value count aggregate (bounded by distinct cardinality), then
+    the distributed prefix sum over the value order.  min_rank(v) =
+    cum_counts_inclusive(v) − count(v) + 1 — exactly ``rank()`` ties
+    semantics.  The count frame is localCheckpointed because
+    prefix_sum makes three passes over its input."""
+    from etl_utils_spark.operators.ids import prefix_sum
+
+    counts = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    pc = prefix_sum(counts, order_col=col, value_col="_c", out_col="_cum")
+    return pc.select(col, (F.col("_cum") - F.col("_c") + 1).alias(rank_col))
+
+
+@query(
+    "stats_spearman_price_qty",
+    oracle="""
+        WITH r AS (
+          SELECT rank() OVER (ORDER BY l_extendedprice) AS rx,
+                 rank() OVER (ORDER BY l_quantity) AS ry
+          FROM lineitem
+        )
+        SELECT ROUND(corr(rx, ry), 4) AS spearman, count(*) AS n FROM r
+    """,
+)
+def stats_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of price vs quantity: Pearson over
+    min-ranks, with both rank maps built by the distributed
+    per-value-count + prefix-sum composition (module docstring) — the
+    oracle's two corpus-wide ``rank()`` windows are exactly the
+    single-reducer sorts this avoids.  The quantity rank map is ~50
+    rows → broadcast; the price map joins on the value key."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    rx = _min_rank_map(l, "l_extendedprice", "rx")
+    ry = _min_rank_map(l, "l_quantity", "ry")
+    j = l.join(rx, "l_extendedprice").join(F.broadcast(ry), "l_quantity")
+    return j.agg(
+        F.round(F.corr("rx", "ry"), 4).alias("spearman"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "dq_benford_totalprice",
+    oracle="""
+        WITH d AS (
+          SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                     AS digit
+          FROM orders WHERE o_totalprice >= 1
+        ),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        tot AS (SELECT sum(n) AS t FROM c)
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS obs_p,
+               ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
+        FROM c CROSS JOIN tot
+    """,
+)
+def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order prices — the fraud/synthetic-
+    data smell test (genuine financial magnitudes follow log10(1+1/d);
+    generators that draw uniform magnitudes do not, and the fixture
+    shows exactly that signature).  One digit-count aggregate + a
+    1-row total.  obs_p is ONE IEEE division of exact counts (emitted
+    unrounded — bit-identical across engines); benford_p is irrational
+    → safe to round."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("t"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("obs_p"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 6).alias(
+            "benford_p"
+        ),
+    )
+
+
+@query("join_lateral_top_orders", oracle=_LATERAL_SQL)
+def join_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer by
+    price) — the IDENTICAL SQL text runs on both engines
+    (_LATERAL_SQL); Spark's decorrelation rewrites it to a
+    partial+final WindowGroupLimit, i.e. map-side top-k per key before
+    any exchange — the plan that scales."""
+    from etl_utils_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "window_nth_cume_dist",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey,
+               nth_value(o_totalprice, 2) OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_highest,
+               cume_dist() OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ) AS cd
+        FROM orders
+    """,
+)
+def window_nth_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + cume_dist — the two analytic window functions not
+    yet covered by the extended-windows pack.  Partitioned by the
+    high-cardinality customer key (parallel at scale); the explicit
+    full frame makes nth_value see the whole partition on both
+    engines; (price, orderkey) total order removes tie ambiguity, so
+    cume_dist is an exact count ratio — one IEEE division, emitted
+    unrounded."""
+    o = _t(spark, sf_dir, "orders")
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_cd = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_highest"),
+        F.cume_dist().over(w_cd).alias("cd"),
+    )

@@ -409,7 +409,15 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = bounds.select(F.col("s_us").alias("us"), F.lit(1).alias("d")).unionAll(
         bounds.select(F.col("e_us").alias("us"), F.lit(-1).alias("d"))
     )
-    net = deltas.groupBy("us").agg(F.sum("d").cast("long").alias("net"))
+    # prefix_sum makes three passes over its input (boundary sketch,
+    # bucket totals, cumsum); materialize the bounded net frame once
+    # (≤ 2·#sessions rows) so each pass reads flat blocks instead of
+    # re-executing the sessionize window lineage.
+    net = (
+        deltas.groupBy("us")
+        .agg(F.sum("d").cast("long").alias("net"))
+        .localCheckpoint(eager=True)
+    )
     run = prefix_sum(net, order_col="us", value_col="net", out_col="conc")
     m = run.agg(F.max("conc").alias("mx"))
     return (

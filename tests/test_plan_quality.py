@@ -106,6 +106,8 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         "drift_psi_value_split",
         "drift_js_lang_by_source",
         "stats_mutual_info_lang_source",
+        # benford: 1-row total frame broadcast via crossJoin
+        "dq_benford_totalprice",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
