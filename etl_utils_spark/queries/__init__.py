@@ -135,6 +135,7 @@ _WINDOW = [
     "sample_reservoir_per_type",
     "sample_weighted_docs_es",
     "exact_quantiles_orders",
+    "stats_skew_kurtosis_by_type",
     "dedup_lines_boilerplate",
     "bpe_learn_merges",
     "bpe_apply_corpus",

@@ -516,6 +516,88 @@ def sample_reservoir_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- higher moments (skew/kurt)
+@query(
+    "stats_skew_kurtosis_by_type",
+    oracle="""
+        WITH i AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS HUGEINT) AS v2
+          FROM events
+        ),
+        s AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(SUM(v2) AS DOUBLE) / 1e2 AS s1,
+                 CAST(SUM(v2 * v2) AS DOUBLE) / 1e4 AS s2,
+                 CAST(SUM(v2 * v2 * v2) AS DOUBLE) / 1e6 AS s3,
+                 CAST(SUM(v2 * v2 * v2 * v2) AS DOUBLE) / 1e8 AS s4
+          FROM i GROUP BY 1
+        ),
+        m AS (
+          SELECT event_type, n,
+                 s1 / n AS mu,
+                 s2 / n - (s1 / n) * (s1 / n) AS m2,
+                 s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                 s4 / n - 4 * (s1 / n) * (s3 / n)
+                        + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                        - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+          FROM s
+        )
+        SELECT event_type, n,
+               ROUND(m3 / pow(m2, 1.5), 4) AS skewness,
+               ROUND(m4 / (m2 * m2) - 3, 4) AS excess_kurtosis
+        FROM m
+    """,
+)
+def stats_skew_kurtosis_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of value per event type
+    — distribution-shape profiling for drift baselines.  Built from
+    EXACT integer-scaled power sums S1..S4: value is 2-decimal, so
+    100·v is an exact small integer whose 4th power fits int64 per
+    row; sums run in 128-bit exact arithmetic (HUGEINT on the oracle,
+    decimal(38,0) on Spark) because the engines' built-in
+    skewness/kurtosis aggregates use different estimators and
+    accumulation orders and would diverge.  After the exact sums cast
+    to double (same IEEE nearest on both engines), the arithmetic is
+    identical and the rounding sits after pow/division
+    (irrational-safe).  One mergeable aggregate, 5 output rows."""
+    e = _t(spark, sf_dir, "events")
+    v2 = F.round(F.col("value") * 100, 0).cast("long")
+    i = e.select("event_type", v2.alias("v2"))
+    d38 = "decimal(38,0)"
+    cnt = F.count(F.lit(1))
+    s = i.groupBy("event_type").agg(
+        cnt.alias("n"),
+        (F.sum(F.col("v2").cast(d38)).cast("double") / 1e2).alias("s1"),
+        (F.sum((F.col("v2") * F.col("v2")).cast(d38)).cast("double") / 1e4).alias("s2"),
+        (
+            F.sum((F.col("v2") * F.col("v2") * F.col("v2")).cast(d38)).cast("double")
+            / 1e6
+        ).alias("s3"),
+        (
+            F.sum(
+                (F.col("v2") * F.col("v2") * F.col("v2") * F.col("v2")).cast(d38)
+            ).cast("double")
+            / 1e8
+        ).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis"),
+    )
+
+
 # ------------------------------------------------- exact order statistics
 @query(
     "exact_quantiles_orders",
