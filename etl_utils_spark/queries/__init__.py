@@ -136,6 +136,8 @@ _WINDOW = [
     "sample_weighted_docs_es",
     "exact_quantiles_orders",
     "stats_skew_kurtosis_by_type",
+    "vocab_coverage_top100",
+    "dq_referential_integrity",
     "dedup_lines_boilerplate",
     "bpe_learn_merges",
     "bpe_apply_corpus",

@@ -220,3 +220,64 @@ def dq_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+        SELECT 'lineitem_orphan_orderkey' AS check_name,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS violations
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer_orphan_nationkey',
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'lineitem_orphan_partkey',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem_orphan_suppkey',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key violation audit across the star schema — the
+    referential-integrity half of the DQ-expectations surface
+    (dq_expectations_* cover per-column rules).  Each check is a
+    LEFT ANTI join count: key-only column-pruned scans, broadcast
+    anti joins where the parent side is bounded (nation), hash anti
+    joins elsewhere; the result is five 1-row aggregates unioned —
+    no cross join, no collect."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def check(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        return (
+            child.select(F.col(ck).alias("_k"))
+            .join(parent.select(F.col(pk).alias("_k")), "_k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .select(F.lit(name).alias("check_name"), "violations")
+        )
+
+    return (
+        check("lineitem_orphan_orderkey", l, "l_orderkey", o, "o_orderkey")
+        .unionAll(check("orders_orphan_custkey", o, "o_custkey", c, "c_custkey"))
+        .unionAll(check("customer_orphan_nationkey", c, "c_nationkey", n, "n_nationkey"))
+        .unionAll(check("lineitem_orphan_partkey", l, "l_partkey", p, "p_partkey"))
+        .unionAll(check("lineitem_orphan_suppkey", l, "l_suppkey", s, "s_suppkey"))
+    )

@@ -237,3 +237,48 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@query(
+    "vocab_coverage_top100",
+    oracle="""
+        WITH tc AS (
+          SELECT t AS tok, count(*)::BIGINT AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1
+        ),
+        top AS (SELECT c FROM tc ORDER BY c DESC, tok LIMIT 100),
+        agg AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM tc),
+        cov AS (SELECT CAST(sum(c) AS BIGINT) AS covered_tokens FROM top)
+        SELECT 100 AS vocab_size, total_tokens, covered_tokens,
+               CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                   AS coverage
+        FROM agg, cov
+    """,
+)
+def vocab_coverage_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage of a top-100 frequency vocabulary — the metric
+    that sizes a tokenizer's vocab against a corpus (what fraction of
+    running tokens a k-word vocab explains).  Everything after the one
+    explode+count aggregate runs on the token-count frame: top-k is a
+    TakeOrdered heap (count DESC, token ASC total order), totals are
+    1-row aggregates, and coverage is one IEEE division of exact
+    counts (emitted unrounded — bit-identical cross-engine)."""
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tc.orderBy(F.col("c").desc(), "tok").limit(100)
+    agg = tc.agg(F.sum("c").alias("total_tokens"))
+    cov = top.agg(F.sum("c").alias("covered_tokens"))
+    return agg.crossJoin(cov).select(
+        F.lit(100).alias("vocab_size"),
+        "total_tokens",
+        "covered_tokens",
+        (
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    )

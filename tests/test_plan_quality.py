@@ -108,6 +108,8 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         "stats_mutual_info_lang_source",
         # benford: 1-row total frame broadcast via crossJoin
         "dq_benford_totalprice",
+        # vocab coverage: two 1-row aggregates cross-joined
+        "vocab_coverage_top100",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):

@@ -192,3 +192,15 @@ def test_langid_confusion_totals(spark, sf_dir):
     out = _run("langid_confusion_matrix", spark, sf_dir)
     total = out.agg(F.sum("n")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    row = _run("vocab_coverage_top100", spark, sf_dir).collect()[0]
+    assert 0.0 < row["coverage"] <= 1.0
+    assert 0 < row["covered_tokens"] <= row["total_tokens"]
+
+
+def test_referential_integrity_shape(spark, sf_dir):
+    rows = _run("dq_referential_integrity", spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["violations"] >= 0 for r in rows)
