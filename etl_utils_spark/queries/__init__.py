@@ -138,6 +138,10 @@ _WINDOW = [
     "stats_skew_kurtosis_by_type",
     "vocab_coverage_top100",
     "dq_referential_integrity",
+    "observe_scan_metrics",
+    "grouped_median_prices_by_priority",
+    "topk_similar_doc_pairs",
+    "revenue_wow_change",
     "dedup_lines_boilerplate",
     "bpe_learn_merges",
     "bpe_apply_corpus",

@@ -281,3 +281,40 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check("lineitem_orphan_partkey", l, "l_partkey", p, "p_partkey"))
         .unionAll(check("lineitem_orphan_suppkey", l, "l_suppkey", s, "s_suppkey"))
     )
+
+
+@query(
+    "observe_scan_metrics",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+                   AS n_finished
+        FROM orders
+    """,
+)
+def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline instrumentation via the Observation API
+    (CollectMetrics): row count, exact decimal revenue, and a
+    conditional count are computed as a SIDE EFFECT of one pass over
+    the scan — zero extra jobs, the production pattern for emitting DQ
+    counters from an ETL write without re-reading the data.  The
+    observed values are then surfaced as a 1-row result and certified
+    against a direct aggregate oracle."""
+    from pyspark.sql import Observation
+
+    obs = Observation("orders_scan")
+    o = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "sum_price"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+    )
+    o.count()  # the one action that populates the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price"], m["n_finished"])],
+        "n_rows bigint, sum_price double, n_finished bigint",
+    )

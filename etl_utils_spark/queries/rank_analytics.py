@@ -180,3 +180,84 @@ def window_nth_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w_full).alias("second_highest"),
         F.cume_dist().over(w_cd).alias("cd"),
     )
+
+
+@query(
+    "topk_similar_doc_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 2)) AS i
+            ) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b,
+                   CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+        )
+        SELECT id_a, id_b, jaccard FROM pairs
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def topk_similar_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global closest-pairs: the 20 most-similar document pairs by
+    exact trigram Jaccard — the audit view a dedup-threshold decision
+    is made from.  Rides the shared materialized pair graph
+    (queries/shared.py — built once per application, localCheckpointed)
+    and takes top-k with a TakeOrdered heap under the (jaccard DESC,
+    id_a, id_b) total order; jaccard itself is one exact-count division
+    (unrounded, bit-identical cross-engine)."""
+    from etl_utils_spark.queries.shared import jaccard_pair_graph
+
+    pairs = jaccard_pair_graph(spark, sf_dir, n=3, threshold=0.1)
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
+
+
+@query(
+    "revenue_wow_change",
+    oracle="""
+        WITH w AS (
+          SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT week_start, revenue,
+               (revenue - lag(revenue) OVER (ORDER BY week_start))
+                   / lag(revenue) OVER (ORDER BY week_start) AS wow_change
+        FROM w
+    """,
+)
+def revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change — the core reporting recurrence.
+    The corpus collapses to one exact-decimal weekly aggregate FIRST;
+    the unpartitioned lag window then runs over the bounded weekly
+    frame (#weeks rows — bounded by calendar, not data).  wow_change
+    is arithmetic on exactly-represented doubles (2-decimal sums) —
+    emitted unrounded, bit-identical across engines."""
+    o = _t(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week_start")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return wk.select(
+        "week_start",
+        "revenue",
+        ((F.col("revenue") - prev) / prev).alias("wow_change"),
+    )

@@ -624,6 +624,50 @@ def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([tuple(vals)], "p50 double, p90 double, p99 double")
 
 
+# ------------------------------------------- grouped exact median (disc)
+@query(
+    "grouped_median_prices_by_priority",
+    oracle="""
+        SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS median_price,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    """,
+)
+def grouped_median_prices_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (discrete order-statistic semantics) for
+    LOW-cardinality groups — the case where ``percentile`` via a
+    window partitioned by the group key funnels the corpus into
+    |groups| reducers.  Scale shape instead: one (group, value) count
+    aggregate (bounded by distinct values), a cumulative window over
+    that BOUNDED frame, and the median is the smallest value whose
+    cumulative count passes the target rank — selected with one more
+    tiny aggregate.  Only counts ever shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum("c").over(w).alias("cum"),
+    )
+    tot = c.groupBy("o_orderpriority").agg(F.sum("c").alias("n"))
+    # 0-based target rank floor((n-1)/2); median = min value with
+    # cum >= target+1
+    j = cum.join(F.broadcast(tot), "o_orderpriority").filter(
+        F.col("cum") >= F.floor((F.col("n") - 1) / 2) + 1
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("median_price"),
+        F.max("n").alias("n"),
+    )
+
+
 # ---------------------------------------------- weighted (E–S) sampling
 @query(
     "sample_weighted_docs_es",
