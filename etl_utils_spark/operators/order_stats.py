@@ -49,7 +49,28 @@ def exact_quantile(
     if n == 0:
         return None
     target = int((n - 1) * q)  # 0-based global rank
+    return exact_rank(df, col, target, accuracy, take_limit, max_rounds, n_hint=n)
 
+
+def exact_rank(
+    df: DataFrame,
+    col: str,
+    target: int,
+    accuracy: int = 10_000,
+    take_limit: int = 1_000_000,
+    max_rounds: int = 64,
+    n_hint: int | None = None,
+) -> float | None:
+    """The value at EXACT 0-based ascending rank ``target`` (nulls
+    ignored) — the engine behind :func:`exact_quantile`; use directly
+    when the rank is known (e.g. the k and k+1 order statistics of an
+    interpolated percentile)."""
+    vals = df.select(F.col(col).alias("x")).filter(F.col("x").isNotNull())
+    n = n_hint if n_hint is not None else vals.count()
+    if n == 0:
+        return None
+    if not 0 <= target < n:
+        raise ValueError(f"rank {target} outside [0, {n})")
     frame, rank_offset = vals, 0
     margin = 2.0 / accuracy
     for _ in range(max_rounds):
@@ -104,3 +125,42 @@ def exact_quantile(
             rank_offset += cnt_le
         margin = 2.0 / accuracy
     raise RuntimeError("exact_quantile failed to converge")
+
+
+def weighted_quantile(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+    num_partitions: int = 16,
+):
+    """Exact weighted q-quantile (q = q_num/q_den): the smallest x
+    with Σ w(y ≤ x) ≥ q·W, computed with NO global sort and NO float
+    thresholds — the rank test multiplies through by q_den so every
+    comparison is exact integer arithmetic.
+
+    Shape: one (value → weight-sum) aggregate (bounded by distinct
+    cardinality, localCheckpointed), the distributed ``prefix_sum``
+    over the value order, a 1-row total, and a bounded min-aggregate.
+    Weights must be non-negative integers (casted); the result is an
+    actual data value.  Returns None on empty/zero-weight input."""
+    from etl_utils_spark.operators.ids import prefix_sum
+
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"need 0 < q_num <= q_den, got {q_num}/{q_den}")
+    agg = (
+        df.select(F.col(col).alias("x"), F.col(weight_col).cast("long").alias("w"))
+        .filter(F.col("x").isNotNull() & (F.col("w") > 0))
+        .groupBy("x")
+        .agg(F.sum("w").alias("wx"))
+        .localCheckpoint(eager=True)
+    )
+    total_row = agg.agg(F.sum("wx").alias("tw")).collect()[0]
+    tw = total_row["tw"]
+    if not tw:
+        return None
+    cum = prefix_sum(agg, order_col="x", value_col="wx", out_col="cw",
+                     num_partitions=num_partitions)
+    hit = cum.filter(F.col("cw") * q_den >= q_num * tw).agg(F.min("x")).collect()[0][0]
+    return hit

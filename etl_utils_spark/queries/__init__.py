@@ -142,6 +142,8 @@ _WINDOW = [
     "grouped_median_prices_by_priority",
     "topk_similar_doc_pairs",
     "revenue_wow_change",
+    "weighted_median_price_by_qty",
+    "exact_percentile_cont_orders",
     "dedup_lines_boilerplate",
     "bpe_learn_merges",
     "bpe_apply_corpus",

@@ -624,6 +624,80 @@ def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([tuple(vals)], "p50 double, p90 double, p99 double")
 
 
+# ---------------------------------------------- weighted exact quantiles
+@query(
+    "weighted_median_price_by_qty",
+    oracle="""
+        WITH w AS (
+          SELECT l_extendedprice AS x, CAST(l_quantity AS BIGINT) AS wt
+          FROM lineitem WHERE l_quantity > 0
+        ),
+        agg AS (SELECT x, sum(wt) AS wx FROM w GROUP BY 1),
+        tot AS (SELECT sum(wx) AS tw FROM agg),
+        cum AS (SELECT x, SUM(wx) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+                FROM agg)
+        SELECT (SELECT min(x) FROM cum, tot WHERE cw * 2 >= tw) AS w_median,
+               (SELECT min(x) FROM cum, tot WHERE cw * 10 >= 9 * tw) AS w_p90
+    """,
+)
+def weighted_median_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted exact median and p90 of unit prices — the
+    robust weighted centre ("price of the median UNIT sold", not the
+    median line).  operators/order_stats.py:weighted_quantile: one
+    (value → weight-sum) aggregate, the distributed prefix sum over
+    the value order, and an integer-exact rank test (cw·den ≥ num·W —
+    no float thresholds anywhere).  The oracle's cumulative window is
+    the single-reducer stage the operator avoids.  Outputs are actual
+    data values — bit-exact."""
+    from etl_utils_spark.operators.order_stats import weighted_quantile
+
+    l = _t(spark, sf_dir, "lineitem")
+    med = weighted_quantile(l, "l_extendedprice", "l_quantity", 1, 2)
+    p90 = weighted_quantile(l, "l_extendedprice", "l_quantity", 9, 10)
+    return spark.createDataFrame([(med, p90)], "w_median double, w_p90 double")
+
+
+@query(
+    "exact_percentile_cont_orders",
+    oracle="""
+        WITH v AS (SELECT o_totalprice AS x FROM orders),
+        n AS (SELECT count(*) AS cnt FROM v),
+        r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+        k AS (SELECT CAST(FLOOR((cnt - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) AS k,
+                     (cnt - 1) * CAST(0.9 AS DOUBLE)
+                         - FLOOR((cnt - 1) * CAST(0.9 AS DOUBLE)) AS frac
+              FROM n)
+        SELECT (SELECT x FROM r, k WHERE rn = k.k + 1)
+               + ((SELECT x FROM r, k, n WHERE rn = LEAST(k.k + 2, n.cnt))
+                  - (SELECT x FROM r, k WHERE rn = k.k + 1))
+                 * (SELECT frac FROM k) AS p90_cont,
+               (SELECT CAST(cnt AS BIGINT) FROM n) AS n
+    """,
+)
+def exact_percentile_cont_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated (percentile_cont) p90 of order prices at
+    scale: the k and k+1 order statistics come from
+    operators/order_stats.py:exact_rank (sketch-bracket + verified
+    rank counts, no global sort), then one interpolation a+(b−a)·frac
+    — the IDENTICAL double arithmetic on both engines (the oracle's
+    0.9 is cast to DOUBLE so frac is the same IEEE value, and a/b are
+    exact 2-decimal data values).  Emitted unrounded."""
+    from etl_utils_spark.operators.order_stats import exact_rank
+
+    o = _t(spark, sf_dir, "orders")
+    vals = o.select("o_totalprice").filter(F.col("o_totalprice").isNotNull())
+    n = vals.count()
+    rank = (n - 1) * 0.9
+    k = int(rank)
+    frac = rank - k
+    a = exact_rank(o, "o_totalprice", k, n_hint=n)
+    b = exact_rank(o, "o_totalprice", min(k + 1, n - 1), n_hint=n)
+    return spark.createDataFrame(
+        [(a + (b - a) * frac, n)], "p90_cont double, n bigint"
+    )
+
+
 # ------------------------------------------- grouped exact median (disc)
 @query(
     "grouped_median_prices_by_priority",

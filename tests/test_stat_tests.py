@@ -204,3 +204,50 @@ def test_referential_integrity_shape(spark, sf_dir):
     rows = _run("dq_referential_integrity", spark, sf_dir).collect()
     assert len(rows) == 5
     assert all(r["violations"] >= 0 for r in rows)
+
+
+def test_weighted_quantile_matches_expanded_multiset(spark):
+    """weighted_quantile == unweighted order statistic of the
+    weight-expanded multiset (smallest x with cum weight >= q*W)."""
+    from etl_utils_spark.operators.order_stats import weighted_quantile
+
+    rows = [(1.0, 1), (2.0, 5), (3.0, 2), (4.0, 1)]  # W = 9
+    df = spark.createDataFrame(rows, "x double, w int")
+    expanded = sorted(x for x, w in rows for _ in range(w))
+
+    def manual(qn, qd):
+        W = len(expanded)
+        cum = 0
+        seen = {}
+        for x in expanded:
+            cum += 1
+            seen.setdefault(x, cum)
+        # smallest x whose cumulative weight passes qn/qd of W
+        run = 0
+        for x, w in rows:
+            run += w
+            if run * qd >= qn * W:
+                return x
+        raise AssertionError
+
+    for qn, qd in [(1, 2), (1, 4), (9, 10), (1, 1)]:
+        assert weighted_quantile(df, "x", "w", qn, qd) == manual(qn, qd), (qn, qd)
+
+
+def test_weighted_quantile_zero_weight(spark):
+    from etl_utils_spark.operators.order_stats import weighted_quantile
+
+    df = spark.createDataFrame([(1.0, 0), (2.0, 0)], "x double, w int")
+    assert weighted_quantile(df, "x", "w", 1, 2) is None
+
+
+def test_exact_rank_bounds(spark):
+    import pytest
+
+    from etl_utils_spark.operators.order_stats import exact_rank
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    assert exact_rank(df, "x", 0) == 0.0
+    assert exact_rank(df, "x", 9) == 9.0
+    with pytest.raises(ValueError):
+        exact_rank(df, "x", 10)
