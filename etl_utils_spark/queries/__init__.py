@@ -144,6 +144,8 @@ _WINDOW = [
     "revenue_wow_change",
     "weighted_median_price_by_qty",
     "exact_percentile_cont_orders",
+    "copurchase_lift_pairs",
+    "xcorr_click_purchase_hourly",
     "dedup_lines_boilerplate",
     "bpe_learn_merges",
     "bpe_apply_corpus",

@@ -261,3 +261,118 @@ def revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         ((F.col("revenue") - prev) / prev).alias("wow_change"),
     )
+
+
+@query(
+    "copurchase_lift_pairs",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        nord AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM op),
+        marg AS (SELECT l_partkey, count(*)::BIGINT AS n_part FROM op GROUP BY 1),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*)::BIGINT AS n_orders
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a ASC, part_b ASC
+            LIMIT 20
+        )
+        SELECT part_a, part_b, n_orders,
+               CAST(n_orders * nord.n AS DOUBLE)
+                   / CAST(ma.n_part * mb.n_part AS DOUBLE) AS lift
+        FROM pairs
+        JOIN marg ma ON ma.l_partkey = part_a
+        JOIN marg mb ON mb.l_partkey = part_b
+        CROSS JOIN nord
+    """,
+)
+def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift for the top co-purchased part pairs:
+    lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) — the signal that
+    separates genuinely-associated items from merely-popular ones.
+    Margins join AFTER the top-k cut (20 rows), so the lift stage
+    touches 20 rows + the margin aggregate; the ratio is one IEEE
+    division of exact counts (unrounded, bit-identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    nord = op.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n"))
+    marg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    return (
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
+        .crossJoin(F.broadcast(nord))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            (
+                (F.col("n_orders") * F.col("n")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "xcorr_click_purchase_hourly",
+    oracle="""
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS n
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1, 2
+        ),
+        c AS (SELECT h, n FROM h WHERE event_type = 'click'),
+        p AS (SELECT h, n FROM h WHERE event_type = 'purchase'),
+        j AS (
+          SELECT c.n AS cn, p.n AS pn
+          FROM c JOIN p ON p.h = c.h + INTERVAL 1 HOUR
+        )
+        SELECT ROUND(corr(cn, pn), 4) AS xcorr_lag1h, count(*) AS n_hours
+        FROM j
+    """,
+)
+def xcorr_click_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1-hour cross-correlation between the click and purchase
+    hourly series — does click volume predict purchases an hour
+    later?  The corpus collapses to one hourly count aggregate FIRST;
+    the lagged self-alignment and correlation run on the bounded
+    hours×2 frame.  Hours with zero events drop from both series
+    identically on both engines (inner join)."""
+    e = _t(spark, sf_dir, "events")
+    h = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = h.filter(F.col("event_type") == "click").select(
+        F.col("h").alias("ch"), F.col("n").alias("cn")
+    )
+    p = h.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("ph"), F.col("n").alias("pn")
+    )
+    j = c.join(p, p["ph"] == c["ch"] + F.expr("INTERVAL 1 HOUR"))
+    return j.agg(
+        F.round(F.corr("cn", "pn"), 4).alias("xcorr_lag1h"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )

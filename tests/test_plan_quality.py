@@ -110,6 +110,8 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         "dq_benford_totalprice",
         # vocab coverage: two 1-row aggregates cross-joined
         "vocab_coverage_top100",
+        # lift: 1-row distinct-order total cross-joined onto 20 rows
+        "copurchase_lift_pairs",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
