@@ -120,3 +120,68 @@ def cusum(
 
     part = df.repartition(key_col).sortWithinPartitions(key_col, order_col)
     return part.mapInPandas(_run, schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per key:
+
+    ``l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})``
+    ``b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}``
+
+    seeded ``l_1 = x_1, b_1 = 0``.  A TWO-variable recurrence — the
+    shape that proves the recurrence operator generalizes past scalar
+    state (EWMA/CUSUM) without changing the physical plan: still one
+    key shuffle, one partition-local sort, one ``mapInPandas`` scan.
+
+    Determinism contract: updates are evaluated in the literal order
+    ``alpha*x + (1-alpha)*(l + b)`` then ``beta*(l_new - l) +
+    (1-beta)*b`` so the doubles are bit-identical to a SQL engine
+    (DuckDB recursive CTE) evaluating the same expressions.
+    """
+    out_fields = [f for f in df.schema.fields] + [
+        T.StructField(level_col, T.DoubleType()),
+        T.StructField(trend_col, T.DoubleType()),
+    ]
+    schema = T.StructType(out_fields)
+    cols = [f.name for f in out_fields]
+    a = float(alpha)
+    ac = 1.0 - a
+    b = float(beta)
+    bc = 1.0 - b
+
+    def _run(batches):
+        prev_key = None
+        lev = 0.0
+        trd = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].tolist()
+            vals = [float(v) for v in pdf[value_col].tolist()]
+            out_l = []
+            out_b = []
+            for key, x in zip(keys, vals):
+                if key != prev_key:
+                    lev = x
+                    trd = 0.0
+                else:
+                    new_l = a * x + ac * (lev + trd)
+                    trd = b * (new_l - lev) + bc * trd
+                    lev = new_l
+                prev_key = key
+                out_l.append(lev)
+                out_b.append(trd)
+            pdf = pdf.assign(**{level_col: out_l, trend_col: out_b})
+            yield pdf[cols]
+
+    part = df.repartition(key_col).sortWithinPartitions(key_col, order_col)
+    return part.mapInPandas(_run, schema)

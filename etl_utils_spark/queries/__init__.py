@@ -33,6 +33,9 @@ from etl_utils_spark.queries import scale_ops  # noqa: E402,F401
 from etl_utils_spark.queries import stat_tests  # noqa: E402,F401
 from etl_utils_spark.queries import drift_metrics  # noqa: E402,F401
 from etl_utils_spark.queries import rank_analytics  # noqa: E402,F401
+from etl_utils_spark.queries import behavioral  # noqa: E402,F401
+from etl_utils_spark.queries import graph_v2  # noqa: E402,F401
+from etl_utils_spark.queries import timeseries_v2  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
@@ -112,7 +115,19 @@ _WINDOW = [
     # then the round-5 curation pack, then the round-4 block: composed
     # pipeline, PQ gate, salted join, decontamination, containment,
     # weighted sampling, chunking)
-    # round-4 rank-analytics pack (newest)
+    # round-4 behavioral / graph-v2 / timeseries-v2 packs (newest)
+    "rfm_segmentation",
+    "gini_spend_by_nation",
+    "trimmed_mean_prices_by_priority",
+    "kaplan_meier_user_churn",
+    "interevent_gap_deciles",
+    "business_days_order_to_ship",
+    "graph_modularity_cc",
+    "link_predict_common_neighbors",
+    "graph_assortativity_degree",
+    "acf_hourly_events",
+    "holt_linear_user_value",
+    # round-4 rank-analytics pack
     "stats_spearman_price_qty",
     "dq_benford_totalprice",
     "join_lateral_top_orders",

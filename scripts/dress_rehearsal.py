@@ -35,8 +35,10 @@ for i, (name, q) in enumerate(REGISTRY.items()):
             n = q.fn(spark, sf).count()
             status = f"rows-only n={n}"
         else:
-            compare_query(spark, sf, name)
-            compare_types(spark, sf, name)
+            ok, msg = compare_query(spark, sf, name)
+            assert ok, msg
+            ok, msg = compare_types(spark, sf, name)
+            assert ok, msg
             status = "oracle-pass"
         print(f"[{i+1}/{len(REGISTRY)}] PASS {name} ({time.time()-t0:.1f}s {status})", flush=True)
     except Exception as exc:  # noqa: BLE001

@@ -246,3 +246,28 @@ def test_bpe_merges_preserve_concatenation(spark_prop, docs, n_merges):
     ).collect()
     for r in rows:
         assert r["s0"] == r["s1"]
+
+
+@given(series_strategy)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_holt_linear_matches_reference_loop(spark_prop, rows):
+    """Holt smoothing must equal a plain-Python reference recurrence
+    bit-for-bit (the DuckDB-oracle determinism contract), for ANY
+    series and any key interleaving."""
+    from etl_utils_spark.operators.recurrence import holt_linear
+
+    df = spark_prop.createDataFrame(rows, "k long, t long, value double")
+    out = {
+        (r.k, r.t): (r.level, r.trend)
+        for r in holt_linear(df, "k", "t", "value", alpha=0.5, beta=0.3).collect()
+    }
+    state: dict[int, tuple[float, float]] = {}
+    for k, t, x in sorted(rows, key=lambda r: (r[0], r[1])):
+        if k not in state:
+            state[k] = (float(x), 0.0)
+        else:
+            l_prev, b_prev = state[k]
+            l_new = 0.5 * float(x) + 0.5 * (l_prev + b_prev)
+            b_new = 0.3 * (l_new - l_prev) + 0.7 * b_prev
+            state[k] = (l_new, b_new)
+        assert out[(k, t)] == state[k]
