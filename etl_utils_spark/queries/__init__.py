@@ -36,6 +36,9 @@ from etl_utils_spark.queries import rank_analytics  # noqa: E402,F401
 from etl_utils_spark.queries import behavioral  # noqa: E402,F401
 from etl_utils_spark.queries import graph_v2  # noqa: E402,F401
 from etl_utils_spark.queries import timeseries_v2  # noqa: E402,F401
+from etl_utils_spark.queries import streaming_v2  # noqa: E402,F401
+from etl_utils_spark.queries import embeddings_v2  # noqa: E402,F401
+from etl_utils_spark.queries import text_v3  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
@@ -127,6 +130,13 @@ _WINDOW = [
     "graph_assortativity_degree",
     "acf_hourly_events",
     "holt_linear_user_value",
+    "stream_topk_users_live",
+    "stream_purchase_share_hourly_live",
+    "stream_ohlc_hourly_live",
+    "embedding_centroids_by_label",
+    "centroid_separation_by_label",
+    "zipf_slope_vocab",
+    "heaps_vocab_growth",
     # round-4 rank-analytics pack
     "stats_spearman_price_qty",
     "dq_benford_totalprice",

@@ -1,0 +1,109 @@
+"""Embedding-space analytics v2 (round 4): per-label centroids and
+centroid separation — the cluster-health metrics an embedding-dedup /
+ANN pipeline monitors alongside recall.
+
+Scale posture: centroids are ONE hash aggregate over (label, dim)
+after a posexplode — fan-out factor = embedding dim (64), the standard
+columnar decomposition of vector math into engine-native aggregates
+(no UDF, stays in whole-stage codegen).  The separation matrix is
+labels x labels over the tiny centroid table — broadcast territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table as _t
+
+
+@query(
+    "embedding_centroids_by_label",
+    oracle="""
+        WITH flat AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS e
+            FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(dim AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(e), 6) AS centroid
+        FROM flat GROUP BY label, dim
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors via posexplode + hash aggregate —
+    vector averaging decomposed into (label, dim) scalar aggregates so
+    Catalyst vectorizes it end-to-end (no Python UDF, no array state).
+    At 100 TB this is one shuffle keyed by (label, dim): cardinality
+    labels x 64, tiny reduce state."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "e"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),  # 1-based like SQL
+        F.col("e").cast("double").alias("e"),
+    )
+    return flat.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("e"), 6).alias("centroid"),
+    )
+
+
+@query(
+    "centroid_separation_by_label",
+    oracle="""
+        WITH flat AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS e
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, dim, avg(e) AS c
+            FROM flat GROUP BY label, dim
+        )
+        SELECT CAST(a.label AS BIGINT) AS label_a,
+               CAST(b.label AS BIGINT) AS label_b,
+               round(sqrt(sum(pow(a.c - b.c, 2))), 6) AS euclidean_dist
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    """,
+)
+def centroid_separation_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Euclidean distance between label centroids — the
+    between-cluster separation half of a cluster-quality report.  The
+    pairwise join runs on the CENTROID table (labels x dim rows), never
+    on the raw vectors, so it is constant-size regardless of corpus
+    scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "e"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("e").cast("double").alias("e"),
+    )
+    cent = flat.groupBy("label", "dim").agg(F.avg("e").alias("c"))
+    a = cent.alias("a")
+    b = cent.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("a.c") - F.col("b.c"), 2))), 6
+            ).alias("euclidean_dist")
+        )
+    )
