@@ -1,0 +1,266 @@
+"""Model-evaluation & inference statistics pack: distributed AUC,
+Poisson-bootstrap confidence intervals, and the Mann-Kendall trend
+test.
+
+Reference parity: the reference wrapper has no statistics surface of
+its own (every statistic is SQL delegated to the host engine,
+query_wrapper.sql:255); this pack extends the north-star analytics
+tier (SURVEY.md §2 Tier C) with the evaluation statistics a
+training-data pipeline runs over label/score columns.
+
+Scale shapes (100 TB):
+- AUC: the textbook formulation ranks the whole corpus through ONE
+  reducer (``rank() OVER (ORDER BY score)``).  Here ranks come from the
+  per-VALUE count frame (bounded by distinct-score cardinality) run
+  through the distributed ``prefix_sum`` (operators/ids.py) — the same
+  decomposition the Spearman query uses — and the rank-sum collapses
+  map-side.  Integer arithmetic throughout (2·midrank is an integer),
+  so the result is EXACT, not a float race.
+- Poisson bootstrap: the classic resample-n-rows bootstrap cannot run
+  on data that does not fit one machine; the Poisson(1) approximation
+  (Chamandy et al., Google 2012) gives every row an independent
+  per-replicate weight, so B replicates are ONE map-side pass
+  (explode ×B → partial aggregate per partition) with no resampling
+  shuffle.  Weights derive from a portable integer LCG (exact 64-bit
+  arithmetic on both engines), so the DuckDB oracle replays the
+  identical draw — the hash match certifies the whole resampling path.
+- Mann-Kendall: the corpus collapses to one bounded monthly aggregate
+  FIRST; the O(k²) pair scan runs on the |months|² frame (calendar-
+  bounded, never data-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "eval_auc_purchase_value",
+    oracle="""
+        WITH r AS (
+          SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                 rank() OVER (ORDER BY value) AS rk,
+                 count(*) OVER (PARTITION BY value) AS c
+          FROM events
+        ),
+        s AS (
+          SELECT SUM(y)::BIGINT AS np, count(*)::BIGINT AS n,
+                 SUM(CASE WHEN y = 1 THEN 2 * rk + c - 1 ELSE 0 END)::BIGINT AS rs2
+          FROM r
+        )
+        SELECT np AS n_pos, (n - np) AS n_neg,
+               CAST(rs2 - np * (np + 1) AS DOUBLE)
+                   / CAST(2 * np * (n - np) AS DOUBLE) AS auc
+        FROM s
+    """,
+)
+def eval_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of ``value`` as a score for purchase events — the
+    Mann-Whitney U rank-sum form with midrank tie handling.
+
+    Distributed rank assignment: per-value (count, positive-count)
+    aggregate → ``prefix_sum`` over the value order → midranks by
+    arithmetic.  2·midrank(v) = 2·cum_before(v) + c(v) + 1 is an
+    integer, so the positive rank-sum is an exact BIGINT and the AUC
+    is ONE IEEE division of exact integers (emitted unrounded,
+    bit-identical to the oracle's single-reducer window formulation).
+    """
+    from etl_utils_spark.operators.ids import prefix_sum
+
+    e = _t(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    counts = (
+        e.groupBy("value")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_c"),
+            F.sum("y").cast("long").alias("_p"),
+        )
+        .localCheckpoint(eager=True)  # prefix_sum makes three passes
+    )
+    pc = prefix_sum(counts, order_col="value", value_col="_c", out_col="_cum")
+    # 2*midrank = 2*(cum_before) + c + 1 = 2*cum - c + 1 (integer-exact)
+    mid2 = 2 * F.col("_cum") - F.col("_c") + 1
+    s = pc.agg(
+        F.sum("_p").cast("long").alias("np"),
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.col("_p") * mid2).cast("long").alias("rs2"),
+    )
+    return s.select(
+        F.col("np").alias("n_pos"),
+        (F.col("n") - F.col("np")).alias("n_neg"),
+        (
+            (F.col("rs2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2 * F.col("np") * (F.col("n") - F.col("np"))).cast("double")
+        ).alias("auc"),
+    )
+
+
+# Portable Poisson(1) draw: two rounds of the classic LCG
+# (a=1103515245, c=12345, m=2^31) over an integer mixing key.  Every
+# intermediate fits int64 exactly (a·s < 2^61), so Spark and DuckDB
+# compute identical states; u = s/2^31 is an exactly-representable
+# dyadic rational, and the CDF thresholds are identical double
+# literals — the CASE comparisons therefore agree bit-for-bit.
+_POISSON_CDF = (
+    0.36787944117144233,  # P(X<=0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,  # P(X<=7); else 8
+)
+
+_BOOT_B = 32
+
+_BOOT_ORACLE = f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS rep),
+    x AS (
+      SELECT rep, o_totalprice,
+             (1103515245 * ((1103515245 * ((o_orderkey * {_BOOT_B} + rep)
+                  % 2147483647) + 12345) % 2147483648) + 12345)
+                 % 2147483648 AS s2
+      FROM orders CROSS JOIN reps
+    ),
+    w AS (
+      SELECT rep, o_totalprice,
+             CASE {' '.join(f"WHEN s2 / 2147483648.0 < {t} THEN {k}" for k, t in enumerate(_POISSON_CDF))}
+                  ELSE 8 END AS w
+      FROM x
+    )
+    SELECT rep, SUM(w)::BIGINT AS n_eff,
+           CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / SUM(w) AS boot_mean
+    FROM w GROUP BY rep
+"""
+
+
+@query("stats_bootstrap_ci_mean", oracle=_BOOT_ORACLE)
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order price: 32 replicates, each
+    row weighted Poisson(1) per replicate (Chamandy et al. 2012 — the
+    bootstrap that runs as one distributed pass instead of n-row
+    resampling).  Output is the bootstrap DISTRIBUTION (rep, n_eff,
+    boot_mean) — quantiles of these 32 means are the CI; emitting the
+    replicate means keeps every value an exact-decimal sum followed by
+    ONE IEEE division (bit-identical to the oracle's identical-LCG
+    replay).  Explode ×B collapses map-side: the shuffle carries B
+    rows per partition, not B copies of the data."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep"),
+    )
+    s0 = (F.col("o_orderkey") * _BOOT_B + F.col("rep")) % 2147483647
+    s1 = (F.lit(1103515245).cast("long") * s0 + 12345) % 2147483648
+    s2 = (F.lit(1103515245).cast("long") * s1 + 12345) % 2147483648
+    u = s2 / F.lit(2147483648.0)
+    w = F.lit(8)
+    for k, t in reversed(list(enumerate(_POISSON_CDF))):
+        w = F.when(u < F.lit(t), F.lit(k)).otherwise(w)
+    weighted = r.select(
+        "rep",
+        w.alias("w"),
+        (w * F.col("o_totalprice").cast("decimal(18,2)")).alias("wp"),
+    )
+    return weighted.groupBy("rep").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        (F.sum("wp").cast("double") / F.sum("w")).alias("boot_mean"),
+    )
+
+
+@query(
+    "stats_mann_kendall_monthly",
+    oracle="""
+        WITH m AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM orders GROUP BY 1
+        ),
+        s AS (
+          SELECT SUM(CASE WHEN b.rev > a.rev THEN 1
+                          WHEN b.rev < a.rev THEN -1 ELSE 0 END)::BIGINT AS s_stat
+          FROM m a JOIN m b ON a.mth < b.mth
+        ),
+        n AS (SELECT count(*)::BIGINT AS k FROM m),
+        ties AS (
+          SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_term
+          FROM (SELECT count(*)::BIGINT AS t FROM m GROUP BY rev HAVING count(*) > 1)
+        )
+        SELECT n.k AS n_months, s.s_stat AS s_stat,
+               (n.k * (n.k - 1) * (2 * n.k + 5) - ties.tie_term) AS var18,
+               ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                              / sqrt((n.k * (n.k - 1) * (2 * n.k + 5) - ties.tie_term) / 18.0)
+                          WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                              / sqrt((n.k * (n.k - 1) * (2 * n.k + 5) - ties.tie_term) / 18.0)
+                          ELSE 0.0 END, 6) AS z_mk
+        FROM s, n, ties
+    """,
+)
+def stats_mann_kendall_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on monthly revenue: S =
+    Σ_{i<j} sign(x_j − x_i), tie-corrected variance, continuity-
+    corrected Z.  The corpus collapses to one exact-decimal monthly
+    aggregate FIRST; the O(k²) pair join runs on the |months|² frame
+    (calendar-bounded — 80 months at any data scale).  S and 18·Var
+    are exact integers; Z rounds after the sqrt (irrational → safe).
+    """
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("mth"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)  # three consumers of a bounded frame
+    )
+    a, b = m.alias("a"), m.alias("b")
+    s = a.join(b, F.col("a.mth") < F.col("b.mth")).agg(
+        F.sum(
+            F.when(F.col("b.rev") > F.col("a.rev"), 1)
+            .when(F.col("b.rev") < F.col("a.rev"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = m.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    ties = (
+        m.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+    var18 = F.col("k") * (F.col("k") - 1) * (2 * F.col("k") + 5) - F.col("tie_term")
+    sd = F.sqrt(var18 / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("k").alias("n_months"),
+        "s_stat",
+        var18.alias("var18"),
+        F.round(z, 6).alias("z_mk"),
+    )

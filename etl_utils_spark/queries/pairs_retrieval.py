@@ -1,0 +1,332 @@
+"""Pair-centric analytics pack: skyline (Pareto frontier) extraction,
+reciprocal-rank fusion of retrieval rankings, and sorted-neighborhood
+near-duplicate candidate generation.
+
+Reference parity: delegated-SQL tier (query_wrapper.sql:255 — the host
+engine executes arbitrary analytic SQL); these three are classic
+engine-level operators the north-star tiers (SURVEY.md §2 Tier C /
+LLM-pipeline) did not yet cover.
+
+Scale shapes (100 TB):
+- Skyline: dominance is transitive, so a PARTITION-LOCAL Pareto prune
+  is sound (any global skyline point survives every local prune).  The
+  corpus reduces to per-partition frontiers (tiny for any data with
+  trade-off structure), and only the pruned survivor set passes
+  through the final single-partition pass.  The oracle runs the
+  single-reducer running-max window formulation the local-prune
+  decomposition avoids.
+- RRF: each ranking takes its top-k with a TakeOrdered HEAP (map-side
+  top-k per partition, k rows to the driver-side merge — no
+  corpus-wide window sort); rank assignment then runs on the bounded
+  k-row frame.
+- Sorted-neighborhood: the classic entity-resolution blocking method —
+  sort within prefix BLOCKS (windows partitioned by the block key, so
+  no global sort), compare each row only with its w=2 successors, and
+  verify exactly (trigram Jaccard) only on those O(w·n) candidates,
+  never all pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators import retrieval
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------------ skyline
+
+
+def _skyline_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pareto frontier of (o_totalprice max, odi max): sort by price
+    desc then date desc; a row survives iff its date strictly exceeds
+    the running max over all strictly-better-sorted rows.  Distinct
+    (price, date) input makes the strict-> test exactly the dominance
+    rule (ties in price: only the max-date row survives; no exact
+    duplicates exist)."""
+    if pdf.empty:
+        return pdf
+    pdf = pdf.sort_values(["o_totalprice", "odi"], ascending=False)
+    prev_max = pdf["odi"].cummax().shift(1)
+    return pdf[prev_max.isna() | (pdf["odi"] > prev_max)]
+
+
+def _skyline_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    parts = [b for b in batches if not b.empty]
+    if parts:
+        yield _skyline_batch(pd.concat(parts, ignore_index=True))
+
+
+@query(
+    "skyline_orders_pareto",
+    oracle="""
+        WITH d AS (
+          SELECT DISTINCT o_totalprice, CAST(o_orderdate AS DATE) AS od
+          FROM orders
+        ),
+        s AS (
+          SELECT o_totalprice, od,
+                 max(od) OVER (ORDER BY o_totalprice DESC, od DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+          FROM d
+        ),
+        sky AS (
+          SELECT o_totalprice, od FROM s
+          WHERE prev_max IS NULL OR od > prev_max
+        )
+        SELECT o.o_orderkey, o.o_totalprice, CAST(o.o_orderdate AS DATE) AS od
+        FROM orders o
+        JOIN sky ON sky.o_totalprice = o.o_totalprice
+               AND sky.od = CAST(o.o_orderdate AS DATE)
+    """,
+)
+def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (Börzsönyi et al., ICDE 2001): orders not
+    dominated in (higher price, more recent date) — the Pareto
+    frontier a "best trade-offs" report wants.  Two-phase distributed
+    prune (module docstring): partition-local frontier via a
+    vectorized pandas pass over the DISTINCT (price, day) grid, then
+    one final pass over the pruned survivors; the oracle is the
+    single-reducer running-max window this decomposition avoids.
+    Dates ride as integer epoch-days through the numeric prune."""
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    pairs = (
+        o.select(
+            "o_totalprice",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("odi"),
+        )
+        .distinct()
+    )
+    schema = "o_totalprice double, odi int"
+    local = pairs.mapInPandas(_skyline_partition, schema=schema)
+    sky = local.coalesce(1).mapInPandas(_skyline_partition, schema=schema)
+    sky = sky.select(
+        "o_totalprice", F.date_add(epoch, F.col("odi")).alias("od")
+    )
+    return (
+        o.select(
+            "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("od")
+        )
+        .join(F.broadcast(sky), ["o_totalprice", "od"])
+        .select("o_orderkey", "o_totalprice", "od")
+    )
+
+
+# ------------------------------------------------------------- RRF fusion
+
+_RRF_TERMS_A = ("hash", "join", "vector")
+_RRF_TERMS_B = ("stream", "window", "sort")
+_RRF_K = 60
+_RRF_TOPN = 100
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+def _bm25_cte(tag: str, terms: tuple[str, ...]) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        tf{tag} AS (
+            SELECT doc_id, tok, count(*) AS tf FROM tok
+            WHERE tok IN ({term_list})
+            GROUP BY doc_id, tok
+        ),
+        dfreq{tag} AS (SELECT tok, count(*) AS df FROM tf{tag} GROUP BY tok),
+        contrib{tag} AS (
+            SELECT tf{tag}.doc_id,
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (tf{tag}.tf * 2.2)
+                   / (tf{tag}.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf{tag} JOIN dfreq{tag} d USING (tok) JOIN dl USING (doc_id), stats s
+        ),
+        sc{tag} AS (
+            SELECT doc_id, ROUND(SUM(c), 6) AS bm25 FROM contrib{tag} GROUP BY doc_id
+        ),
+        r{tag} AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+            FROM sc{tag}
+            QUALIFY rk <= {_RRF_TOPN}
+        )"""
+
+
+_RRF_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    {_bm25_cte('a', _RRF_TERMS_A)},
+    {_bm25_cte('b', _RRF_TERMS_B)}
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           a.rk AS rank_a, b.rk AS rank_b,
+           COALESCE(1.0 / ({_RRF_K} + a.rk), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + b.rk), 0.0) AS rrf
+    FROM ra a FULL OUTER JOIN rb b ON a.doc_id = b.doc_id
+    ORDER BY rrf DESC, COALESCE(a.doc_id, b.doc_id)
+    LIMIT 20
+"""
+
+
+def _bm25_topn_ranks(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """Top-N docs for one query's BM25 ranking, with dense 1..N ranks.
+    The corpus-sized score frame is cut with orderBy().limit() — a
+    TakeOrdered heap (map-side top-N per partition) — and only the
+    bounded N-row frame sees the rank window."""
+    scored = retrieval.bm25_scores(docs, list(terms))
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(_RRF_TOPN)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return top.select("doc_id", F.row_number().over(w).alias("rk"))
+
+
+@query("rrf_fuse_multi_query", oracle=_RRF_ORACLE)
+def rrf_fuse_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two BM25
+    rankings — the standard zero-tuning combiner for multi-query /
+    hybrid retrieval: rrf(d) = Σ 1/(60 + rank_q(d)) over the rankings
+    that contain d.  Each ranking is heap-cut to its top-100 BEFORE
+    rank assignment (no corpus window); the fusion is a full-outer
+    join of two 100-row frames.  The two reciprocal terms are written
+    in a fixed order on both engines, so the IEEE sum is
+    bit-identical and the unrounded rrf orders the final cut."""
+    docs = _t(spark, sf_dir, "documents")
+    ra = _bm25_topn_ranks(docs, _RRF_TERMS_A).withColumnRenamed("rk", "rank_a")
+    rb = _bm25_topn_ranks(docs, _RRF_TERMS_B).withColumnRenamed("rk", "rank_b")
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+# ------------------------------------------- sorted-neighborhood dedup
+
+_SNM_BLK = 8  # block = first 8 normalized chars (windows stay partitioned)
+_SNM_KEY = 64  # sort key within a block
+_SNM_W = 2  # compare each doc with its w successors
+_SNM_THRESHOLD = 0.5
+
+_SNM_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS norm
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, substr(norm, 1, {_SNM_BLK}) AS blk,
+             substr(norm, 1, {_SNM_KEY}) AS key
+      FROM d
+    ),
+    nb AS (
+      SELECT doc_id,
+             lead(doc_id, 1) OVER w AS n1,
+             lead(doc_id, 2) OVER w AS n2
+      FROM k
+      WINDOW w AS (PARTITION BY blk ORDER BY key, doc_id)
+    ),
+    cand AS (
+      SELECT least(doc_id, n1) AS id_a, greatest(doc_id, n1) AS id_b
+      FROM nb WHERE n1 IS NOT NULL
+      UNION
+      SELECT least(doc_id, n2), greatest(doc_id, n2)
+      FROM nb WHERE n2 IS NOT NULL
+    ),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 2)) AS i
+      ) t
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+              >= {_SNM_THRESHOLD}
+"""
+
+
+@query("dedup_sorted_neighborhood", oracle=_SNM_ORACLE)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-duplicate detection (Hernández &
+    Stolfo, SIGMOD 1995): normalize → sort by a prefix key WITHIN
+    8-char blocks (partitioned windows — no global sort) → compare
+    each doc only with its 2 successors → verify the O(w·n) candidate
+    pairs with exact trigram Jaccard (array-side intersect/union
+    sizes — one exact-count division, unrounded).  Duplicate and
+    near-duplicate texts sort adjacent, so the w-window recovers them
+    without the all-pairs or LSH machinery — the cheap first-line
+    dedup pass."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+    k = docs.select(
+        "doc_id",
+        F.substring(norm, 1, _SNM_BLK).alias("blk"),
+        F.substring(norm, 1, _SNM_KEY).alias("key"),
+    )
+    w = Window.partitionBy("blk").orderBy("key", "doc_id")
+    nb = k.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    pairs = None
+    for col in ("n1", "n2"):
+        p = nb.filter(F.col(col).isNotNull()).select(
+            F.least("doc_id", col).alias("id_a"),
+            F.greatest("doc_id", col).alias("id_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    sh = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, greatest(size(toks) - 3, -1)),"
+                " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            )
+        ).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    sa = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= _SNM_THRESHOLD).select(
+        "id_a", "id_b", "jaccard"
+    )

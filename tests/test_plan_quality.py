@@ -112,6 +112,21 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         "vocab_coverage_top100",
         # lift: 1-row distinct-order total cross-joined onto 20 rows
         "copurchase_lift_pairs",
+        # behavioral/timeseries/text packs: bounded-anchor BNLs —
+        # rfm: 1-row max-date frame; kaplan_meier: 1-row horizon frame
+        # + broadcast death-time table bounded by distinct durations;
+        # acf: 12-row lag grid; heaps: 1-row bucket-width frame ×2
+        "rfm_segmentation",
+        "kaplan_meier_user_churn",
+        "acf_hourly_events",
+        "heaps_vocab_growth",
+        # RRF fusion: reuses bm25_scores' 1-row corpus-stats crossJoin
+        # (the no-collect scalar-anchor pattern), twice
+        "rrf_fuse_multi_query",
+        # Mann-Kendall: the O(k²) sign-pair join runs on the monthly
+        # aggregate (calendar-bounded, ~80 rows at any data scale)
+        # plus two 1-row n/tie frames cross-joined at the end
+        "stats_mann_kendall_monthly",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
