@@ -141,3 +141,60 @@ def test_snm_catches_exact_duplicates_and_orders_pairs(spark, sf_dir):
     for r in dups:
         pair = tuple(sorted(r["ids"]))
         assert found.get(pair) == 1.0, pair
+
+
+# ----------------------------------------------------- inference_v2 pack
+
+
+def test_randomization_test_pvalue_bounds(spark, sf_dir):
+    row = _run("stats_randomization_test_diff", spark, sf_dir).collect()[0]
+    assert row["n_reps"] == 64
+    assert 0 <= row["n_extreme"] <= 64
+    assert 0.0 < row["p_value"] <= 1.0
+    assert row["diff_obs"] == row["diff_obs"]  # not NaN
+
+
+def test_theilsen_pair_count_and_finiteness(spark, sf_dir):
+    row = _run("stats_theilsen_monthly", spark, sf_dir).collect()[0]
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert row["n_pairs"] == k * (k - 1) // 2
+    assert abs(row["theil_sen_slope"]) < 1e12
+
+
+def test_seasonal_decomposition_identity_and_edges(spark, sf_dir):
+    rows = _run("seasonal_decompose_daily", spark, sf_dir).collect()
+    days = sorted(r["day"] for r in rows)
+    for r in rows:
+        edge = r["day"] in days[:3] or r["day"] in days[-3:]
+        if edge:
+            assert r["trend"] is None and r["resid"] is None
+        else:
+            assert r["trend"] is not None
+            # additive identity holds exactly by construction
+            assert abs(r["n"] - r["trend"] - r["seasonal"] - r["resid"]) < 1e-9
+
+
+def test_two_proportion_ztest_sane(spark, sf_dir):
+    row = _run("stats_two_proportion_ztest", spark, sf_dir).collect()[0]
+    assert 0.0 <= row["p1"] <= 1.0 and 0.0 <= row["p2"] <= 1.0
+    assert row["x1"] <= row["n1"] and row["x2"] <= row["n2"]
+    assert abs(row["z"]) < 50
+
+
+def test_markov_top1_accuracy_bounds(spark, sf_dir):
+    rows = _run("markov_top1_accuracy", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_correct"] <= r["n_total"]
+        # the modal transition's share must be at least uniform (5 states)
+        assert r["accuracy"] >= 1.0 / 5 - 0.1
+
+
+def test_jl_gate_passes(spark, sf_dir):
+    row = _run("gate_jl_distortion_bounded", spark, sf_dir).collect()[0]
+    assert row["median_ratio_in_bounds"] is True

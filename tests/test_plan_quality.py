@@ -120,6 +120,13 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         "kaplan_meier_user_churn",
         "acf_hourly_events",
         "heaps_vocab_growth",
+        # randomization test: 1-row observed-stats frame crossJoined
+        # (scalar-anchor); theilsen: O(k²) slope join on the
+        # calendar-bounded monthly frame; JL gate: distance-pair audit
+        # on the fixed 100-vector probe sample
+        "stats_randomization_test_diff",
+        "stats_theilsen_monthly",
+        "gate_jl_distortion_bounded",
         # RRF fusion: reuses bm25_scores' 1-row corpus-stats crossJoin
         # (the no-collect scalar-anchor pattern), twice
         "rrf_fuse_multi_query",
