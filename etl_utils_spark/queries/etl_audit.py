@@ -1,0 +1,207 @@
+"""ETL audit pack: snapshot diff, deterministic pseudonymization, and
+the cumulative-unique growth curve.
+
+Reference parity: the reference wrapper's job is auditable ETL — run
+logging with rowcounts per step (query_wrapper.sql:87-125) — and these
+queries are the table-level audits such a job emits: what changed
+between two snapshot versions, privacy-safe key surrogates that keep
+referential integrity, and the dataset's unique-entity growth curve.
+
+Scale shapes (100 TB):
+- Snapshot diff: ONE full-outer hash join on the key, status derived
+  row-locally, then a 4-row aggregate — the minimal-shuffle table
+  diff.  Deltas sum as exact decimals.
+- Pseudonymization: the surrogate is a keyed hash (row-local, no
+  lookup table to build, broadcast, or leak); bijectivity is audited
+  with distinct-count equality per group.
+- Unique growth: "first seen" is a hash aggregate per user (no
+  ordered scan); the cumulative window runs over the bounded daily
+  frame, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "snapshot_diff_audit",
+    oracle="""
+        WITH v1 AS (
+          SELECT c_custkey, c_acctbal FROM customer
+        ),
+        v2 AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 250.0
+                      ELSE c_acctbal END AS c_acctbal
+          FROM customer WHERE c_custkey % 17 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 100.0 FROM customer WHERE c_custkey % 13 = 0
+        ),
+        d AS (
+          SELECT CASE WHEN v1.c_custkey IS NULL THEN 'added'
+                      WHEN v2.c_custkey IS NULL THEN 'removed'
+                      WHEN v1.c_acctbal <> v2.c_acctbal THEN 'changed'
+                      ELSE 'unchanged' END AS status,
+                 COALESCE(CAST(v2.c_acctbal AS DECIMAL(18,2)), 0)
+                     - COALESCE(CAST(v1.c_acctbal AS DECIMAL(18,2)), 0) AS delta
+          FROM v1 FULL OUTER JOIN v2 USING (c_custkey)
+        )
+        SELECT status, count(*)::BIGINT AS n_rows,
+               CAST(SUM(delta) AS DOUBLE) AS total_delta
+        FROM d GROUP BY status
+    """,
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff between two snapshot versions — the audit a
+    warehouse job emits after every load: rows added / removed /
+    changed / unchanged, with the exact-decimal balance delta per
+    class.  v2 is derived deterministically from v1 (drop key%17,
+    bump key%5 balances, append key%13 clones under new keys) so the
+    oracle reproduces the same pair.  ONE full-outer hash join on the
+    key + a 4-row aggregate; deltas sum as decimals (exact,
+    order-independent)."""
+    c = _t(spark, sf_dir, "customer")
+    v1 = c.select("c_custkey", "c_acctbal")
+    v2 = (
+        c.filter(F.col("c_custkey") % 17 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 250.0
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(100.0).alias("c_acctbal"),
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"),
+        F.col("a.c_custkey") == F.col("b.c_custkey"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("a.c_custkey").isNull(), "added")
+        .when(F.col("b.c_custkey").isNull(), "removed")
+        .when(F.col("a.c_acctbal") != F.col("b.c_acctbal"), "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.coalesce(
+        F.col("b.c_acctbal").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)")
+    ) - F.coalesce(
+        F.col("a.c_acctbal").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        j.select(status.alias("status"), delta.alias("delta"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("delta").cast("double").alias("total_delta"),
+        )
+    )
+
+
+@query(
+    "pseudonymize_user_ids",
+    oracle="""
+        WITH p AS (
+          SELECT md5('salt_v1:' || CAST(user_id AS VARCHAR)) AS token,
+                 user_id, event_type
+          FROM events
+        )
+        SELECT event_type,
+               count(*)::BIGINT AS n_events,
+               count(DISTINCT token)::BIGINT AS n_tokens,
+               (count(DISTINCT token) = count(DISTINCT user_id))
+                   AS tokens_bijective
+        FROM p GROUP BY event_type
+    """,
+)
+def pseudonymize_user_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization: replace user ids with a keyed
+    md5 surrogate — row-local (no lookup table to build or leak),
+    stable across tables and runs, so joins on the token still work.
+    The audit checks bijectivity per event type (distinct tokens ==
+    distinct source ids — a collision or a salt drift flips the
+    boolean driver-visibly).  Only aggregates and the token leave the
+    query; raw ids never appear in the output."""
+    e = _t(spark, sf_dir, "events")
+    p = e.select(
+        F.md5(F.concat(F.lit("salt_v1:"), F.col("user_id").cast("string"))).alias(
+            "token"
+        ),
+        "user_id",
+        "event_type",
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("token").alias("n_tokens"),
+        (F.count_distinct("token") == F.count_distinct("user_id")).alias(
+            "tokens_bijective"
+        ),
+    )
+
+
+@query(
+    "cumulative_unique_users_daily",
+    oracle="""
+        WITH act AS (
+          SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        daily AS (
+          SELECT day, count(DISTINCT user_id)::BIGINT AS n_active
+          FROM act GROUP BY day
+        ),
+        firsts AS (
+          SELECT user_id, min(day) AS first_day FROM act GROUP BY user_id
+        ),
+        news AS (
+          SELECT first_day AS day, count(*)::BIGINT AS n_new
+          FROM firsts GROUP BY first_day
+        )
+        SELECT d.day, d.n_active,
+               COALESCE(n.n_new, 0)::BIGINT AS n_new,
+               SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day)::BIGINT
+                   AS cum_unique
+        FROM daily d LEFT JOIN news n ON n.day = d.day
+    """,
+)
+def cumulative_unique_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-entity growth curve: active users, first-seen users, and
+    cumulative distinct users per day.  'First seen' is a hash
+    aggregate per user — the scalable substitute for the cumulative
+    COUNT(DISTINCT) window no engine can partition — and the running
+    sum cumulates over the bounded daily frame (calendar-sized at any
+    data scale)."""
+    e = _t(spark, sf_dir, "events")
+    act = e.select(F.col("ts").cast("date").alias("day"), "user_id")
+    daily = act.groupBy("day").agg(F.count_distinct("user_id").alias("n_active"))
+    firsts = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    j = daily.join(news, "day", "left").select(
+        "day",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.orderBy("day")
+    return j.select(
+        "day",
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_unique"),
+    )
