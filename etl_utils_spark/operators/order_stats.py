@@ -145,10 +145,29 @@ def weighted_quantile(
     over the value order, a 1-row total, and a bounded min-aggregate.
     Weights must be non-negative integers (casted); the result is an
     actual data value.  Returns None on empty/zero-weight input."""
+    return weighted_quantiles(
+        df, col, weight_col, [(q_num, q_den)], num_partitions=num_partitions
+    )[0]
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    fractions: list[tuple[int, int]],
+    num_partitions: int = 16,
+):
+    """Exact weighted quantiles for SEVERAL fractions from ONE pass:
+    the (value → weight-sum) aggregate, the distributed prefix sum,
+    and the 1-row total are built once and localCheckpointed; each
+    fraction then costs only a bounded min-aggregate over the cum
+    frame.  Same integer-exact rank test as :func:`weighted_quantile`
+    (which is now a 1-fraction wrapper)."""
     from etl_utils_spark.operators.ids import prefix_sum
 
-    if not (0 < q_num <= q_den):
-        raise ValueError(f"need 0 < q_num <= q_den, got {q_num}/{q_den}")
+    for q_num, q_den in fractions:
+        if not (0 < q_num <= q_den):
+            raise ValueError(f"need 0 < q_num <= q_den, got {q_num}/{q_den}")
     agg = (
         df.select(F.col(col).alias("x"), F.col(weight_col).cast("long").alias("w"))
         .filter(F.col("x").isNotNull() & (F.col("w") > 0))
@@ -159,8 +178,12 @@ def weighted_quantile(
     total_row = agg.agg(F.sum("wx").alias("tw")).collect()[0]
     tw = total_row["tw"]
     if not tw:
-        return None
-    cum = prefix_sum(agg, order_col="x", value_col="wx", out_col="cw",
-                     num_partitions=num_partitions)
-    hit = cum.filter(F.col("cw") * q_den >= q_num * tw).agg(F.min("x")).collect()[0][0]
-    return hit
+        return [None for _ in fractions]
+    cum = prefix_sum(
+        agg, order_col="x", value_col="wx", out_col="cw",
+        num_partitions=num_partitions,
+    ).localCheckpoint(eager=True)
+    return [
+        cum.filter(F.col("cw") * q_den >= q_num * tw).agg(F.min("x")).collect()[0][0]
+        for q_num, q_den in fractions
+    ]

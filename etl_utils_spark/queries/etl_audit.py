@@ -205,3 +205,60 @@ def cumulative_unique_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cum_unique"),
     )
+
+
+@query(
+    "user_activity_streaks",
+    oracle="""
+        WITH d AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        g AS (
+          SELECT user_id, day,
+                 day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                            AS INTEGER) AS grp
+          FROM d
+        ),
+        streaks AS (
+          SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+                 count(*)::BIGINT AS streak_days
+          FROM g GROUP BY user_id, grp
+        ),
+        best AS (
+          SELECT user_id, streak_start, streak_end, streak_days,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY streak_days DESC, streak_start) AS rk
+          FROM streaks
+        )
+        SELECT user_id, streak_start, streak_end, streak_days
+        FROM best WHERE rk = 1
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days, via the classic day − row_number() grouping key (consecutive
+    days share a constant difference).  Every window partitions on the
+    high-cardinality user key — fully parallel at any scale; the
+    distinct (user, day) projection collapses the corpus first.
+    Tie-break: earliest streak wins."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    streaks = g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), "streak_start"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+    )

@@ -650,11 +650,12 @@ def weighted_median_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float thresholds anywhere).  The oracle's cumulative window is
     the single-reducer stage the operator avoids.  Outputs are actual
     data values — bit-exact."""
-    from etl_utils_spark.operators.order_stats import weighted_quantile
+    from etl_utils_spark.operators.order_stats import weighted_quantiles
 
     l = _t(spark, sf_dir, "lineitem")
-    med = weighted_quantile(l, "l_extendedprice", "l_quantity", 1, 2)
-    p90 = weighted_quantile(l, "l_extendedprice", "l_quantity", 9, 10)
+    med, p90 = weighted_quantiles(
+        l, "l_extendedprice", "l_quantity", [(1, 2), (9, 10)]
+    )
     return spark.createDataFrame([(med, p90)], "w_median double, w_p90 double")
 
 
