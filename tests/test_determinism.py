@@ -19,6 +19,12 @@ SAMPLE = [
     "graph_bfs_reachability",
     "mixture_rebalance_langs",
     "pipeline_corpus_curation",
+    # session-3 reps: the layout-sensitive classes — partition-local
+    # Pareto prune, prefix-sum ranks, LCG resampling, heap-cut ranks
+    "skyline_orders_pareto",
+    "eval_auc_purchase_value",
+    "stats_bootstrap_ci_mean",
+    "rrf_fuse_multi_query",
 ]
 
 
