@@ -182,7 +182,11 @@ def weighted_quantiles(
     cum = prefix_sum(
         agg, order_col="x", value_col="wx", out_col="cw",
         num_partitions=num_partitions,
-    ).localCheckpoint(eager=True)
+    )
+    if len(fractions) > 1:
+        # several bounded min-aggregates will read cum — materialize it
+        # once; the single-fraction path streams straight through
+        cum = cum.localCheckpoint(eager=True)
     return [
         cum.filter(F.col("cw") * q_den >= q_num * tw).agg(F.min("x")).collect()[0][0]
         for q_num, q_den in fractions

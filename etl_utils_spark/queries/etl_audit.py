@@ -44,7 +44,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                       ELSE c_acctbal END AS c_acctbal
           FROM customer WHERE c_custkey % 17 <> 0
           UNION ALL
-          SELECT c_custkey + 1000000, 100.0 FROM customer WHERE c_custkey % 13 = 0
+          SELECT -c_custkey, 100.0 FROM customer WHERE c_custkey % 13 = 0
         ),
         d AS (
           SELECT CASE WHEN v1.c_custkey IS NULL THEN 'added'
@@ -65,7 +65,9 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse job emits after every load: rows added / removed /
     changed / unchanged, with the exact-decimal balance delta per
     class.  v2 is derived deterministically from v1 (drop key%17,
-    bump key%5 balances, append key%13 clones under new keys) so the
+    bump key%5 balances, append key%13 clones under NEGATED keys —
+    disjoint from the positive key space at ANY scale, unlike a fixed
+    offset) so the
     oracle reproduces the same pair.  ONE full-outer hash join on the
     key + a 4-row aggregate; deltas sum as decimals (exact,
     order-independent)."""
@@ -83,7 +85,7 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             c.filter(F.col("c_custkey") % 13 == 0).select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                (-F.col("c_custkey")).alias("c_custkey"),
                 F.lit(100.0).alias("c_acctbal"),
             )
         )

@@ -49,7 +49,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
                  rank() OVER (ORDER BY value) AS rk,
                  count(*) OVER (PARTITION BY value) AS c
-          FROM events
+          FROM events WHERE value IS NOT NULL
         ),
         s AS (
           SELECT SUM(y)::BIGINT AS np, count(*)::BIGINT AS n,
@@ -75,9 +75,17 @@ def eval_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_utils_spark.operators.ids import prefix_sum
 
-    e = _t(spark, sf_dir, "events").select(
-        "value",
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    e = (
+        _t(spark, sf_dir, "events")
+        # NULL scores are undefined for AUC — and the engines disagree
+        # on NULL rank placement (prefix_sum buckets them first,
+        # DuckDB's rank() puts them last), so they must not reach the
+        # rank map at all
+        .filter(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
     )
     counts = (
         e.groupBy("value")
@@ -105,12 +113,11 @@ def eval_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Portable Poisson(1) draw: two rounds of the classic LCG
-# (a=1103515245, c=12345, m=2^31) over an integer mixing key.  Every
-# intermediate fits int64 exactly (a·s < 2^61), so Spark and DuckDB
-# compute identical states; u = s/2^31 is an exactly-representable
-# dyadic rational, and the CDF thresholds are identical double
-# literals — the CASE comparisons therefore agree bit-for-bit.
+# Portable Poisson(1) draw over the shared LCG (operators/prng.py —
+# the single source of truth for both the Spark expression and the
+# oracle fragment).  u is a dyadic rational and the CDF thresholds are
+# identical double literals, so the CASE comparisons agree
+# bit-for-bit across engines.
 _POISSON_CDF = (
     0.36787944117144233,  # P(X<=0)
     0.7357588823428847,
@@ -124,18 +131,23 @@ _POISSON_CDF = (
 
 _BOOT_B = 32
 
-_BOOT_ORACLE = f"""
+
+def _boot_oracle() -> str:
+    from etl_utils_spark.operators.prng import lcg_uniform_sql
+
+    u = lcg_uniform_sql("o_orderkey", "rep", _BOOT_B)
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POISSON_CDF)
+    )
+    return f"""
     WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS rep),
     x AS (
-      SELECT rep, o_totalprice,
-             (1103515245 * ((1103515245 * ((o_orderkey * {_BOOT_B} + rep)
-                  % 2147483647) + 12345) % 2147483648) + 12345)
-                 % 2147483648 AS s2
+      SELECT rep, o_totalprice, o_orderkey
       FROM orders CROSS JOIN reps
     ),
     w AS (
       SELECT rep, o_totalprice,
-             CASE {' '.join(f"WHEN s2 / 2147483648.0 < {t} THEN {k}" for k, t in enumerate(_POISSON_CDF))}
+             CASE {cases}
                   ELSE 8 END AS w
       FROM x
     )
@@ -146,7 +158,7 @@ _BOOT_ORACLE = f"""
 """
 
 
-@query("stats_bootstrap_ci_mean", oracle=_BOOT_ORACLE)
+@query("stats_bootstrap_ci_mean", oracle=_boot_oracle())
 def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap of the mean order price: 32 replicates, each
     row weighted Poisson(1) per replicate (Chamandy et al. 2012 — the
@@ -157,16 +169,15 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE IEEE division (bit-identical to the oracle's identical-LCG
     replay).  Explode ×B collapses map-side: the shuffle carries B
     rows per partition, not B copies of the data."""
+    from etl_utils_spark.operators.prng import lcg_uniform
+
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     r = o.select(
         "o_orderkey",
         "o_totalprice",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep"),
     )
-    s0 = (F.col("o_orderkey") * _BOOT_B + F.col("rep")) % 2147483647
-    s1 = (F.lit(1103515245).cast("long") * s0 + 12345) % 2147483648
-    s2 = (F.lit(1103515245).cast("long") * s1 + 12345) % 2147483648
-    u = s2 / F.lit(2147483648.0)
+    u = lcg_uniform(F.col("o_orderkey"), F.col("rep"), _BOOT_B)
     w = F.lit(8)
     for k, t in reversed(list(enumerate(_POISSON_CDF))):
         w = F.when(u < F.lit(t), F.lit(k)).otherwise(w)

@@ -40,8 +40,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _PERM_B = 64
 
-# Same portable LCG as stats_bootstrap_ci_mean (eval_metrics.py): all
-# intermediates exact in int64 on both engines.
+
+def _perm_u_sql() -> str:
+    from etl_utils_spark.operators.prng import lcg_uniform_sql
+
+    return lcg_uniform_sql("b.event_id", "r.rep", _PERM_B)
+
+
+# The uniform comes from the shared portable LCG (operators/prng.py) —
+# the same primitive the Poisson bootstrap uses; the oracle fragment
+# is generated from the same constants as the Spark expression.
 _PERM_ORACLE = f"""
     WITH base AS (
       SELECT event_id, value,
@@ -59,9 +67,7 @@ _PERM_ORACLE = f"""
     reps AS (SELECT unnest(generate_series(0, {_PERM_B - 1})) AS rep),
     draws AS (
       SELECT r.rep, b.value,
-             CASE WHEN ((1103515245 * ((1103515245 * ((b.event_id * {_PERM_B} + r.rep)
-                      % 2147483647) + 12345) % 2147483648) + 12345)
-                      % 2147483648) / 2147483648.0 < o.p_share
+             CASE WHEN {_perm_u_sql()} < o.p_share
                   THEN 1 ELSE 0 END AS pgrp
       FROM base b CROSS JOIN reps r CROSS JOIN obs o
     ),
@@ -98,6 +104,8 @@ def stats_randomization_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame
         "value",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
     )
+    from etl_utils_spark.operators.prng import lcg_uniform
+
     vdec = F.col("value").cast("decimal(18,2)")
     obs = base.agg(
         (
@@ -107,16 +115,14 @@ def stats_randomization_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
         ).alias("diff_obs"),
         (F.sum("grp").cast("double") / F.count(F.lit(1))).alias("p_share"),
-    )
+    ).localCheckpoint(eager=True)  # 1-row frame with two consumers
     r = base.select(
         "event_id",
         "value",
         F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("rep"),
     ).crossJoin(F.broadcast(obs))
-    s0 = (F.col("event_id") * _PERM_B + F.col("rep")) % 2147483647
-    s1 = (F.lit(1103515245).cast("long") * s0 + 12345) % 2147483648
-    s2 = (F.lit(1103515245).cast("long") * s1 + 12345) % 2147483648
-    pgrp = F.when(s2 / F.lit(2147483648.0) < F.col("p_share"), 1).otherwise(0)
+    u = lcg_uniform(F.col("event_id"), F.col("rep"), _PERM_B)
+    pgrp = F.when(u < F.col("p_share"), 1).otherwise(0)
     perm = (
         r.withColumn("pgrp", pgrp)
         .groupBy("rep")
@@ -225,9 +231,19 @@ def stats_theilsen_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "seasonal_decompose_daily",
     oracle="""
-        WITH d AS (
+        WITH raw AS (
           SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
           FROM events GROUP BY 1
+        ),
+        cal AS (
+          SELECT CAST(unnest(generate_series(
+                   (SELECT min(day) FROM raw),
+                   (SELECT max(day) FROM raw),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+        ),
+        d AS (
+          SELECT cal.day, COALESCE(raw.n, 0) AS n
+          FROM cal LEFT JOIN raw USING (day)
         ),
         t AS (
           SELECT day, n,
@@ -262,8 +278,17 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual are each a fixed sequence of IEEE ops on exact integers —
     bit-identical cross-engine, no rounding needed."""
     e = _t(spark, sf_dir, "events")
-    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    raw = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
+    )
+    # Gap-fill against a dense calendar so the ROWS window really is a
+    # 7-DAY average: a missing day would otherwise make the frame span
+    # more than a week and smear the weekday attribution.
+    cal = raw.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    d = cal.join(raw, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     t = d.select(

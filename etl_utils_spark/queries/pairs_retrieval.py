@@ -269,6 +269,23 @@ _SNM_ORACLE = f"""
 """
 
 
+def _trigram_shingles() -> F.Column:
+    """Distinct word-trigram shingles of a ``toks`` array column.
+    Spark's sequence(0, -1) is a DESCENDING [0, -1], not empty, so a
+    doc with <3 tokens would index toks out of bounds — guard with an
+    explicit empty-shingle branch (DuckDB's generate_series(1, len-2)
+    is genuinely empty there, so the engines agree)."""
+    return F.when(
+        F.size("toks") >= 3,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @query("dedup_sorted_neighborhood", oracle=_SNM_ORACLE)
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood near-duplicate detection (Hernández &
@@ -301,15 +318,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     cand = pairs.distinct()
-    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
-    sh = docs.select("doc_id", toks.alias("toks")).select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(0, greatest(size(toks) - 3, -1)),"
-                " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
-            )
-        ).alias("sh"),
+    from etl_utils_spark.operators.text import _alpha_tokens
+
+    sh = docs.select("doc_id", _alpha_tokens("text").alias("toks")).select(
+        "doc_id", _trigram_shingles().alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     sa = sh.select(
         F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")

@@ -198,3 +198,23 @@ def test_markov_top1_accuracy_bounds(spark, sf_dir):
 def test_jl_gate_passes(spark, sf_dir):
     row = _run("gate_jl_distortion_bounded", spark, sf_dir).collect()[0]
     assert row["median_ratio_in_bounds"] is True
+
+
+def test_snm_shingles_safe_on_short_docs(spark):
+    """Spark's sequence(0, -1) is [0, -1], not empty — docs with <3
+    tokens must yield an empty shingle set, not an index crash."""
+    from etl_utils_spark.operators.text import _alpha_tokens
+    from etl_utils_spark.queries.pairs_retrieval import _trigram_shingles
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = (
+        df.select("doc_id", _alpha_tokens("text").alias("toks"))
+        .select("doc_id", _trigram_shingles().alias("sh"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["sh"] for r in rows}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c", "b c d"]
