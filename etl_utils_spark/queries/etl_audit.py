@@ -264,3 +264,82 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "streak_start", "streak_end", "streak_days")
     )
+
+
+_PYDS_ROWS = 20000
+
+
+def _pyds_oracle() -> str:
+    from etl_utils_spark.sources import pyds
+
+    return f"""
+        WITH src AS ({pyds.oracle_sql(_PYDS_ROWS)})
+        SELECT bucket::INT AS bucket, count(*)::BIGINT AS n,
+               SUM(cents)::BIGINT AS total_cents,
+               MIN(row_id) AS first_row, MAX(row_id) AS last_row
+        FROM src GROUP BY bucket
+    """
+
+
+@query("io_python_datasource", oracle=_pyds_oracle())
+def io_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python Data Source API
+    (sources/pyds.py): a deterministic synthetic transaction log read
+    through real planned InputPartitions — one executor-side read()
+    per range, no driver materialization.  Every value is closed-form
+    integer arithmetic through the shared LCG, so the DuckDB oracle
+    REGENERATES the identical feed from generate_series and the hash
+    match certifies the whole connector path (partition planning,
+    executor generation, schema mapping) end-to-end."""
+    from etl_utils_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("synthlog")
+        .option("rows", str(_PYDS_ROWS))
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.min("row_id").alias("first_row"),
+        F.max("row_id").alias("last_row"),
+    )
+
+
+@query(
+    "udf_arrow_batch_stats",
+    oracle="""
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars_arrow,
+               (length(text) - length(replace(text, ' ', '')))::BIGINT
+                   AS n_spaces
+        FROM documents
+    """,
+)
+def udf_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy Arrow batch path (no pandas
+    conversion layer): per-row character and space counts computed
+    with pyarrow.compute kernels.  Row-aligned outputs only, so the
+    result is independent of Arrow batch boundaries; this is the API
+    tier below the pandas UDFs (C7) for kernels Arrow already ships."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, pattern=" "), pa.int64()),
+                ],
+                ["doc_id", "n_chars_arrow", "n_spaces"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        _stats, schema="doc_id long, n_chars_arrow long, n_spaces long"
+    )

@@ -1,0 +1,100 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource``): a
+deterministic synthetic transaction-log connector.
+
+Reference parity: the reference delegates ALL data access to the host
+engine's sources (query_wrapper.sql:255 pquery); this is the
+engine-extension path a Spark deployment uses when a feed has no
+built-in connector (internal APIs, queues, proprietary formats).  The
+connector surface under test is the real one — `DataSource` /
+`DataSourceReader` with planned `InputPartition`s — not a mock: Spark
+schedules one `read()` call per partition on executors, in parallel.
+
+Determinism contract: every generated value is integer arithmetic on
+(row_id) through the shared portable LCG (operators/prng.py), so a SQL
+engine can regenerate the identical rows from a `generate_series` —
+the DuckDB oracle for `io_python_datasource` does exactly that, making
+even this connector hash-checkable end-to-end.
+
+Scale shape: partitions are independent closed-form ranges (no driver
+materialization, no state); `partitions()` returns metadata only, and
+each executor generates exactly its slice — the same contract a real
+partitioned connector (Kafka ranges, JDBC splits, object-store
+listings) must honor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# LCG constants mirrored from operators/prng.py (this module runs on
+# executors where we keep the import surface minimal and explicit).
+_A = 1103515245
+_C = 12345
+_M31 = 2147483647
+_M = 2147483648
+
+SCHEMA = "row_id bigint, bucket int, cents bigint"
+
+
+def synth_row(row_id: int) -> tuple[int, int, int]:
+    """Closed-form row for ``row_id``: two LCG rounds → bucket 0..9
+    and an integer cents amount 0..9999.  Pure integer arithmetic —
+    replayable verbatim in SQL."""
+    s0 = row_id % _M31
+    s1 = (_A * s0 + _C) % _M
+    s2 = (_A * s1 + _C) % _M
+    return (row_id, s1 % 10, s2 % 10000)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SynthLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", "10000"))
+        self.n_parts = int(options.get("partitions", "8"))
+
+    def partitions(self):
+        step = max(1, (self.n_rows + self.n_parts - 1) // self.n_parts)
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for rid in range(partition.start, partition.end):
+            yield synth_row(rid)
+
+
+class SynthLogDataSource(DataSource):
+    """``spark.read.format("synthlog").option("rows", N)`` — see module
+    docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthlog"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> _SynthLogReader:
+        return _SynthLogReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SynthLogDataSource)
+
+
+def oracle_sql(n_rows: int) -> str:
+    """DuckDB SQL regenerating the identical rows from generate_series
+    — the closed form the connector computes per executor."""
+    return f"""
+        SELECT i AS row_id,
+               (({_A} * (i % {_M31}) + {_C}) % {_M}) % 10 AS bucket,
+               (({_A} * (({_A} * (i % {_M31}) + {_C}) % {_M}) + {_C}) % {_M})
+                   % 10000 AS cents
+        FROM (SELECT unnest(generate_series(0, {n_rows - 1})) AS i)
+    """
