@@ -343,3 +343,55 @@ def udf_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         _stats, schema="doc_id long, n_chars_arrow long, n_spaces long"
     )
+
+
+@query("stream_python_datasource_live", oracle=_pyds_oracle())
+def stream_python_datasource_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthlog connector consumed as a REAL stream: the custom
+    SimpleDataSourceStreamReader emits offset-tracked micro-batches
+    (4 × 5000 rows), a complete-mode aggregation folds them, and the
+    final state must hash-match the SAME regenerated-feed oracle as
+    the batch read — certifying offset planning, micro-batch replay,
+    and streaming aggregation over a user-defined Python source."""
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from etl_utils_spark.sources import pyds
+
+    pyds.register(spark)
+    s = (
+        spark.readStream.format("synthlog")
+        .option("rows", str(_PYDS_ROWS))
+        .option("batch_rows", str(_PYDS_ROWS // 4))
+        .load()
+    )
+    agg = s.groupBy("bucket").agg(
+        F2.count(F2.lit(1)).alias("n"),
+        F2.sum("cents").alias("total_cents"),
+        F2.min("row_id").alias("first_row"),
+        F2.max("row_id").alias("last_row"),
+    )
+    name = f"pyds_sink_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        F2.col("bucket").cast("int").alias("bucket"),
+        "n",
+        "total_cents",
+        "first_row",
+        "last_row",
+    )

@@ -24,7 +24,12 @@ listings) must honor.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # LCG constants mirrored from operators/prng.py (this module runs on
 # executors where we keep the import surface minimal and explicit).
@@ -69,9 +74,34 @@ class _SynthLogReader(DataSourceReader):
             yield synth_row(rid)
 
 
+class _SynthLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same feed: offsets are row positions, each
+    micro-batch is a closed-form range — replayable (readBetweenOffsets
+    regenerates any offset span exactly, the recovery contract), and
+    FINITE (past ``rows`` the offset stops advancing, so
+    processAllAvailable() terminates — the harness's bounded-stream
+    pattern)."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", "10000"))
+        self.batch = int(options.get("batch_rows", "2500"))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.n_rows)
+        return iter([synth_row(r) for r in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(r) for r in range(start["pos"], end["pos"])])
+
+
 class SynthLogDataSource(DataSource):
     """``spark.read.format("synthlog").option("rows", N)`` — see module
-    docstring."""
+    docstring.  Also streamable: ``spark.readStream.format("synthlog")``
+    yields the identical rows in offset-tracked micro-batches."""
 
     @classmethod
     def name(cls) -> str:
@@ -82,6 +112,9 @@ class SynthLogDataSource(DataSource):
 
     def reader(self, schema) -> _SynthLogReader:
         return _SynthLogReader(self.options)
+
+    def simpleStreamReader(self, schema) -> _SynthLogStreamReader:
+        return _SynthLogStreamReader(self.options)
 
 
 def register(spark) -> None:
