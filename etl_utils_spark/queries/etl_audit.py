@@ -395,3 +395,38 @@ def stream_python_datasource_live(spark: SparkSession, sf_dir: str) -> DataFrame
         "first_row",
         "last_row",
     )
+
+
+@query("io_python_datasink", oracle=_pyds_oracle())
+def io_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom Python Data Source WRITER
+    (sources/pyds.py:CsvDirSink): the synthlog feed is written by a
+    two-phase-commit sink (executors stage task-attempt-unique files,
+    the driver's commit() promotes them and drops _SUCCESS), read back
+    from the committed files, and aggregated — hash-matched against
+    the same regenerated-feed oracle.  Certifies the writer path:
+    per-partition write(), commit-message collection, atomic
+    promotion."""
+    import os
+    import tempfile
+
+    from etl_utils_spark.sources import pyds
+
+    pyds.register(spark)
+    pyds.register_sink(spark)
+    src = (
+        spark.read.format("synthlog")
+        .option("rows", str(_PYDS_ROWS))
+        .option("partitions", "8")
+        .load()
+    )
+    out = tempfile.mkdtemp(prefix="pyds_sink_")
+    src.write.format("csvdir").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.schema(pyds.SCHEMA).csv(os.path.join(out, "part-*.csv"))
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.min("row_id").alias("first_row"),
+        F.max("row_id").alias("last_row"),
+    )

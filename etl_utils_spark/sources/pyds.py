@@ -131,3 +131,76 @@ def oracle_sql(n_rows: int) -> str:
                    % 10000 AS cents
         FROM (SELECT unnest(generate_series(0, {n_rows - 1})) AS i)
     """
+
+
+# --------------------------------------------------------- custom sink
+
+import dataclasses
+import os
+import uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclasses.dataclass
+class _PartFile(WriterCommitMessage):
+    staged_path: str
+    n_rows: int
+
+
+class _CsvDirWriter(DataSourceWriter):
+    """Two-phase-commit CSV directory sink: executors write their
+    partition to a STAGED file (task-attempt-unique name), the driver's
+    ``commit()`` atomically renames every staged file into the final
+    directory and drops a ``_SUCCESS`` manifest; ``abort()`` removes
+    the stage.  Failed/speculative task attempts therefore never leak
+    into the result — the exactly-once contract every real object-store
+    sink must implement (same pattern as fsutil.promote_dir)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("csvdir sink requires a path")
+
+    def write(self, iterator) -> _PartFile:
+        stage = os.path.join(self.path, "_staging")
+        os.makedirs(stage, exist_ok=True)
+        fname = os.path.join(stage, f"part-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(",".join("" if v is None else str(v) for v in row) + "\n")
+                n += 1
+        return _PartFile(staged_path=fname, n_rows=n)
+
+    def commit(self, messages) -> None:
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"part-{i:05d}.csv")
+            os.replace(m.staged_path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
+class CsvDirSink(DataSource):
+    """``df.write.format("csvdir").option("path", dir).save()`` — the
+    writer face of the Python Data Source API (module docstring)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "csvdir"
+
+    def writer(self, schema, overwrite: bool) -> _CsvDirWriter:
+        return _CsvDirWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(CsvDirSink)
