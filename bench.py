@@ -84,6 +84,11 @@ def main() -> None:
         "exact_quantiles_orders",
         "stats_spearman_price_qty",
         "max_concurrent_sessions",
+        # session-3 representatives: distributed AUC, LCG bootstrap,
+        # custom Python Data Source connector
+        "eval_auc_purchase_value",
+        "stats_bootstrap_ci_mean",
+        "io_python_datasource",
     ]
 
     # Warm the JVM + parquet footers once so per-query times measure

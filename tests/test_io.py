@@ -72,3 +72,33 @@ def test_compact_dir_cluster_by_recluster(spark, tmp_path):
         .agg(F.countDistinct("f").alias("nf"))
     )
     assert per_key.agg(F.max("nf")).collect()[0][0] == 1
+
+
+def test_csvdir_sink_two_phase_commit(spark, tmp_path):
+    """The custom Python Data Source writer must leave ONLY committed
+    part files plus the _SUCCESS manifest (with the exact row total) —
+    nothing staged."""
+    import os
+
+    from etl_utils_spark.sources import pyds
+
+    pyds.register(spark)
+    pyds.register_sink(spark)
+    out = str(tmp_path / "csvdir_out")
+    df = (
+        spark.read.format("synthlog")
+        .option("rows", "1000")
+        .option("partitions", "4")
+        .load()
+    )
+    df.write.format("csvdir").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert f.read() == "1000"
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) == 4
+    staged = os.listdir(os.path.join(out, "_staging"))
+    assert staged == []
+    n_lines = sum(
+        sum(1 for _ in open(os.path.join(out, p))) for p in parts
+    )
+    assert n_lines == 1000
