@@ -430,3 +430,32 @@ def io_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_id").alias("first_row"),
         F.max("row_id").alias("last_row"),
     )
+
+
+@query(
+    "udtf_split_priority_cols",
+    oracle="""
+        SELECT o_orderkey,
+               split_part(o_orderpriority, '-', 1) AS prio_rank,
+               split_part(o_orderpriority, '-', 2) AS prio_name
+        FROM orders
+    """,
+)
+def udtf_split_priority_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF in LATERAL position: the output schema
+    (N string columns) is computed by the UDTF's static ``analyze``
+    from a literal argument at analysis time — Spark 4's
+    dynamic-schema table-function surface
+    (operators/py_udtf.py:SplitColsUDTF).  The oracle is the
+    split_part spelling of the same wide-split."""
+    from etl_utils_spark.operators.py_udtf import register_polymorphic_udtfs
+    from etl_utils_spark.sources.tables import register_views
+
+    register_polymorphic_udtfs(spark)
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.c0 AS prio_rank, t.c1 AS prio_name
+        FROM orders o, LATERAL split_cols_udtf(o.o_orderpriority, '-', 2) t
+        """
+    )
