@@ -459,3 +459,37 @@ def udtf_split_priority_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o, LATERAL split_cols_udtf(o.o_orderpriority, '-', 2) t
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > 1000
+        GROUP BY o_orderstatus, o_orderpriority
+        HAVING count(*) > 10
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (|> operators): the linear
+    filter → aggregate → filter → project dataflow spelling of a
+    grouped report — each stage reads top-to-bottom, the engine plans
+    it identically to the nested standard-SQL form the oracle uses.
+    Exact-decimal sum, cast once at the end."""
+    from etl_utils_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 1000
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+           GROUP BY o_orderstatus, o_orderpriority
+        |> WHERE n > 10
+        |> SELECT o_orderstatus, o_orderpriority, n,
+                  CAST(total_dec AS DOUBLE) AS total
+        """
+    )
