@@ -298,6 +298,14 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the all-pairs or LSH machinery — the cheap first-line
     dedup pass."""
     docs = _t(spark, sf_dir, "documents")
+    # The fixture ships as one parquet file → one input partition, and
+    # every row-level stage here (regex normalize, tokenize, shingle)
+    # would run single-threaded AND be recomputed once per consumer.
+    # Spread the text across the cluster first; at scale the input is
+    # already many splits and this repartition collapses to a no-op
+    # decision.
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(F.col("doc_id"))
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
     k = docs.select(
         "doc_id",
@@ -317,12 +325,19 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("doc_id", col).alias("id_b"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+    # Bounded id-pair frame with one downstream consumer chain but a
+    # doubled upstream (the two lead() branches) — pin it.
+    cand = pairs.distinct().localCheckpoint(eager=True)
     from etl_utils_spark.operators.text import _alpha_tokens
 
-    sh = docs.select("doc_id", _alpha_tokens("text").alias("toks")).select(
-        "doc_id", _trigram_shingles().alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    # The shingle frame feeds BOTH join sides — materialize the one
+    # evaluation instead of re-tokenizing the corpus per side.
+    sh = (
+        docs.select("doc_id", _alpha_tokens("text").alias("toks"))
+        .select("doc_id", _trigram_shingles().alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint(eager=True)
+    )
     sa = sh.select(
         F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
     )
