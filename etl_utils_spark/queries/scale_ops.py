@@ -465,6 +465,10 @@ def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_utils_spark.operators.ids import prefix_sum
 
     d = _t(spark, sf_dir, "documents")
+    # Single-file fixture → one input partition: spread the text before
+    # the tokenize/explode stages (no-op decision on a split input).
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d = d.repartition(F.col("doc_id"))
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
     n_chunks = F.ceil(F.size("toks") / float(_CHUNK)).cast("long")

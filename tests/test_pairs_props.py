@@ -1,0 +1,99 @@
+"""Hypothesis property tests for the pairs/eval primitives: the
+partition-local skyline prune and the portable LCG — correctness pins
+that hold on ARBITRARY inputs, not just the driver fixtures."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_utils_spark.queries.pairs_retrieval import _skyline_batch
+
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # price grid (forces ties)
+        st.integers(min_value=0, max_value=30),  # day grid
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _brute_skyline(pts: set) -> set:
+    return {
+        a
+        for a in pts
+        if not any(
+            b[0] >= a[0] and b[1] >= a[1] and b != a for b in pts
+        )
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(pts=_points)
+def test_skyline_batch_equals_bruteforce(pts):
+    """_skyline_batch on the DISTINCT grid must equal the quadratic
+    dominance definition for any point set (ties in either dim
+    included)."""
+    distinct = set(pts)
+    pdf = pd.DataFrame(
+        sorted(distinct), columns=["o_totalprice", "odi"], dtype="int64"
+    )
+    out = _skyline_batch(pdf)
+    got = set(zip(out["o_totalprice"], out["odi"]))
+    assert got == _brute_skyline(distinct)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pts=_points,
+    n_splits=st.integers(min_value=1, max_value=5),
+)
+def test_skyline_local_prune_is_lossless(pts, n_splits):
+    """Two-phase decomposition: local skyline per arbitrary split,
+    then a global pass over the union of survivors, must equal the
+    single-pass skyline — the soundness property the distributed
+    operator relies on (dominance transitivity)."""
+    distinct = sorted(set(pts))
+    splits = [distinct[i::n_splits] for i in range(n_splits)]
+    survivors = []
+    for s in splits:
+        if s:
+            pdf = pd.DataFrame(s, columns=["o_totalprice", "odi"], dtype="int64")
+            survivors.append(_skyline_batch(pdf))
+    if survivors:
+        merged = pd.concat(survivors, ignore_index=True)
+        out = _skyline_batch(merged)
+        got = set(zip(out["o_totalprice"], out["odi"]))
+    else:
+        got = set()
+    assert got == _brute_skyline(set(pts))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50),
+    b=st.sampled_from([16, 32, 64]),
+)
+def test_lcg_uniform_matches_sql_fragment(keys, b):
+    """operators/prng.py single-source contract: the pure-Python replay
+    of the Spark expression must equal DuckDB evaluating the generated
+    SQL fragment, for any key — and land in [0, 1)."""
+    import duckdb
+
+    from etl_utils_spark.operators.prng import lcg_uniform_sql
+
+    con = duckdb.connect()
+    frag = lcg_uniform_sql("k", "r", b)
+    for k in keys:
+        for rep in (0, b - 1):
+            s0 = (k * b + rep) % 2147483647
+            s1 = (1103515245 * s0 + 12345) % 2147483648
+            s2 = (1103515245 * s1 + 12345) % 2147483648
+            expect = s2 / 2147483648.0
+            got = con.execute(
+                f"SELECT {frag} FROM (SELECT {k}::BIGINT AS k, {rep}::BIGINT AS r)"
+            ).fetchone()[0]
+            assert got == expect
+            assert 0.0 <= got < 1.0
