@@ -1,0 +1,190 @@
+"""Model-training queries: oracle-backed closed-form OLS and a
+gradient-descent logistic language classifier with an AUC quality
+gate (operators/ml_train.py for the shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_utils_spark.operators.text import LANG_MARKERS
+from etl_utils_spark.queries.registry import query
+from etl_utils_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------ closed-form OLS
+
+# The SAME det3/Cramer structure as operators/ml_train.py, spelled in
+# SQL: every moment is an exact BIGINT sum < 2^53 (doubles represent it
+# exactly), so the fixed-order determinant arithmetic agrees
+# bit-for-bit across engines.
+_OLS_ORACLE = """
+    WITH f AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n,
+             SUM(x1)::BIGINT AS s1, SUM(x2)::BIGINT AS s2,
+             SUM(x1*x1)::BIGINT AS s11, SUM(x1*x2)::BIGINT AS s12,
+             SUM(x2*x2)::BIGINT AS s22,
+             SUM(y)::BIGINT AS sy, SUM(x1*y)::BIGINT AS s1y,
+             SUM(x2*y)::BIGINT AS s2y
+      FROM f
+    ),
+    d AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                  - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+             - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                     - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+                                     - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 AS da,
+             CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                   - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+             - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                     - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+             + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)
+                                     - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE))
+                 AS d0,
+             CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                  - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+             - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                     - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)
+                                     - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 AS d1,
+             CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)
+                                  - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+             - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)
+                                     - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+             + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+                                     - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 AS d2
+      FROM m
+    )
+    SELECT n, d0 / da AS b0_cents, d1 / da AS b1_cents_per_qty,
+           d2 / da AS b2_cents_per_disc_pt
+    FROM d
+"""
+
+
+@query("train_price_ols_normal_eq", oracle=_OLS_ORACLE)
+def train_price_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS trained DISTRIBUTED and verified EXACTLY:
+    price_cents ~ b0 + b1·quantity + b2·discount_points, fit by normal
+    equations whose moments are ONE exact-integer aggregate (mergeable
+    map-side partials — the whole training pass is a single reduction,
+    no iteration, no sampling).  The 3×3 Cramer solve runs over nine
+    < 2⁵³ integers with a fixed IEEE formula, so the DuckDB oracle
+    reproduces the learned coefficients bit-for-bit — a hash-certified
+    trained model."""
+    from etl_utils_spark.operators.ml_train import ols_moments_2f, solve_normal_eq_2f
+
+    li = _t(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    m = ols_moments_2f(li, x1, x2, y)
+    b0, b1, b2 = solve_normal_eq_2f(m)
+    return spark.createDataFrame(
+        [(m["n"], b0, b1, b2)],
+        "n long, b0_cents double, b1_cents_per_qty double, b2_cents_per_disc_pt double",
+    )
+
+
+# --------------------------------------- logistic language classifier
+
+_LOGREG_FEATURES = ("f_en", "f_de", "f_fr", "f_es")
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc marker frequencies (per 100 tokens) for four language
+    families + the en label — all row-local array ops."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
+    cols = {"doc_id": F.col("doc_id"), "y": (F.col("lang") == "en").cast("double")}
+    fam = {
+        "f_en": LANG_MARKERS["en"],
+        "f_de": LANG_MARKERS["de"],
+        "f_fr": LANG_MARKERS["fr"],
+        "f_es": LANG_MARKERS["es"],
+    }
+    base = d.select("doc_id", "lang", toks.alias("toks")).where(F.size("toks") > 0)
+    out = [F.col("doc_id"), (F.col("lang") == "en").cast("double").alias("y")]
+    for name, markers in fam.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter("toks", lambda t: F.array_contains(arr, t)))
+        out.append((hits * 100.0 / F.size("toks")).alias(name))
+    return base.select(*out)
+
+
+@query("train_quality_logreg", oracle=None)
+def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch gradient-descent logistic regression (is this doc
+    English?) over language-marker frequency features: 12 steps, each
+    ONE mean-gradient aggregate over the materialized feature frame;
+    the driver holds only the 5-float weight vector.  Rows-only by
+    design (iterated exp() compounds last-ulp libm differences across
+    engines); `gate_logreg_quality_auc` pins the model's quality
+    driver-visibly instead."""
+    from etl_utils_spark.operators.ml_train import train_logreg_gd
+
+    feats = _logreg_features(spark, sf_dir).localCheckpoint(eager=True)
+    w = train_logreg_gd(feats, list(_LOGREG_FEATURES), "y")
+    names = ("intercept",) + _LOGREG_FEATURES
+    return spark.createDataFrame(
+        [(n, round(v, 6)) for n, v in zip(names, w)], "feature string, weight double"
+    )
+
+
+@query(
+    "gate_logreg_quality_auc",
+    oracle="""
+        SELECT 'logreg_langid_gd12' AS variant,
+               CAST(true AS BOOLEAN) AS auc_ge_090
+    """,
+)
+def gate_logreg_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality gate for the trained classifier: score
+    the corpus with the learned weights and compute the exact
+    Mann-Whitney AUC of score vs label (midrank formula over one
+    per-score aggregate — the same integer-exact machinery as
+    eval_auc_purchase_value).  AUC ≥ 0.90 must hold; a training or
+    feature regression flips the boolean."""
+    from etl_utils_spark.operators.ids import prefix_sum
+    from etl_utils_spark.operators.ml_train import train_logreg_gd
+
+    feats = _logreg_features(spark, sf_dir).localCheckpoint(eager=True)
+    w = train_logreg_gd(feats, list(_LOGREG_FEATURES), "y")
+    z = F.lit(w[0])
+    for wi, c in zip(w[1:], _LOGREG_FEATURES):
+        z = z + F.lit(wi) * F.col(c)
+    scored = feats.select(z.alias("score"), F.col("y").cast("long").alias("yl"))
+    counts = (
+        scored.groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_c"),
+            F.sum("yl").cast("long").alias("_p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pc = prefix_sum(counts, order_col="score", value_col="_c", out_col="_cum")
+    mid2 = 2 * F.col("_cum") - F.col("_c") + 1
+    s = pc.agg(
+        F.sum("_p").cast("long").alias("np"),
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.col("_p") * mid2).cast("long").alias("rs2"),
+    ).collect()[0]
+    auc = (s["rs2"] - s["np"] * (s["np"] + 1)) / (2 * s["np"] * (s["n"] - s["np"]))
+    return spark.createDataFrame(
+        [("logreg_langid_gd12", bool(auc >= 0.90))],
+        "variant string, auc_ge_090 boolean",
+    )
