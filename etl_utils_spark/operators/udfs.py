@@ -66,7 +66,23 @@ def cogrouped_conversion_lag(purchases: DataFrame, clicks: DataFrame) -> DataFra
     materialize candidate pairs for.  Here: per user, count purchases
     and clicks and average the purchase→latest-preceding-click lag via
     a vectorized searchsorted — one co-shuffle on user_id, Arrow both
-    ways, no pair explosion."""
+    ways, no pair explosion.
+
+    Scale bound: cogrouped applyInPandas invokes Python ONCE PER KEY
+    and builds a 1-row frame per call — fine for 10⁴-10⁶ users, a 10⁸
+    Python-round-trip wall at 10⁸ keys.  At that scale prefer the pure
+    relational as-of (union + last(click_ts) window + one groupBy) or
+    mapInPandas over frames co-sorted by (user_id, ts), both of which
+    batch thousands of keys per Arrow exchange; this function is the
+    declared C7c cogroup API surface, not the 100 TB plan.
+
+    Cross-engine parity (docs/SCALE.md): the lag average is a
+    small-denominator rational, so it is NEVER rounded — we return the
+    single IEEE division of two exact integers (int64 microsecond lag
+    sum / (match count · 10⁶)), which the oracle reproduces bit-for-bit
+    with CAST(SUM(..us..) AS DOUBLE) / (COUNT(..) * 1000000.0).
+    np.mean + round() was the r4 hash mismatch (pairwise vs sequential
+    summation pre-round)."""
     schema = (
         "user_id long, n_purchases long, n_clicks long, avg_lag_s double"
     )
@@ -90,8 +106,8 @@ def cogrouped_conversion_lag(purchases: DataFrame, clicks: DataFrame) -> DataFra
             idx = np.searchsorted(cts, pts, side="right") - 1
             ok = idx >= 0
             if ok.any():
-                lags = (pts[ok] - cts[idx[ok]]) / 1e6
-                avg = round(float(np.mean(lags)), 6)
+                lag_us = pts[ok] - cts[idx[ok]]
+                avg = int(lag_us.sum()) / (int(ok.sum()) * 1_000_000)
         return pd.DataFrame(
             [
                 {

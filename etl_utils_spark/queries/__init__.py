@@ -54,108 +54,27 @@ from etl_utils_spark.queries import ml_train  # noqa: E402,F401
 # queries that most need a driver-verified row THIS round; everything
 # else keeps its registration order behind them.
 #
-# Round-4 window: the three queries that crashed on the TIMESTAMP_NTZ
-# fixture flavor in r3 (now fixed — prove them first), then only
-# never-driver-verified oracle-backed queries: the TPC-H extra pack,
-# the io_* round-trips, text-quality, the unsampled approximate-
-# operator gates, multimodal, the cogrouped-map UDF, and C6g
-# map_funcs_events (the last §2 component with no driver row).
+# Round-5 window: the four repaired queries first (r4's two reds —
+# map_funcs_events array output, cogrouped lag rounding — plus the
+# retargeted logreg AUC gate and array_advanced_ops, fixed in r2 but
+# never re-verified), the two §2 streaming rows with no driver row
+# (C10b sliding window, C10e stateful stream dedup), then ONLY
+# never-driver-verified oracle-backed packs in VERDICT-r4 priority
+# order: stat_tests, drift_metrics, rank_analytics, eval_metrics,
+# pairs_retrieval, inference_v2, the two unsampled llm dedup/ANN
+# entries, and the first scale_ops entry.  Everything past #50 stays
+# in backlog order for the r6 rotation.
 _WINDOW = [
-    # r3's red/crashed rows, fixed by the NTZ loader normalization
-    "sessionize_events",
-    "resample_ohlc_15min",
-    "window_lag_event_gap",
-    # last §2 component with no driver row + formerly-crashing UDF
+    # repaired r4 reds + never-re-verified fix + retargeted gate
     "map_funcs_events",
     "udf_cogrouped_conversion_lag",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    # TPC-H extra pack (never sampled)
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    # io / storage-layout round-trips (never sampled)
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "io_partitioned_prune",
-    "io_compact_small_files",
-    "io_schema_evolution",
-    "io_dynamic_partition_overwrite",
-    "bucketed_join_orders_lineitem",
-    "zorder_block_locality",
-    "snapshot_time_travel",
-    "incremental_agg_refresh",
-    "point_in_time_join_purchases",
-    "ingest_new_documents_only",
-    # text-quality / LM pack (never sampled)
-    "ngram_top_bigrams",
-    "quality_repetition_ratio",
-    "text_redact_numbers",
-    "lm_bigram_doc_score",
-    "text_char_entropy",
-    "tfidf_top_terms",
-    # corpus-curation chain (never sampled)
-    "dedup_chunks_cdc",
-    "dedup_graph_degree_hist",
-    "triangle_local_clustering",
-    "split_leakage_safe_docs",
-    "tokenize_docs_to_ids",
-    "ewma_user_value",
-    "funnel_view_click_purchase",
-    # round-4 additions: real-format decode + exact-recall dedup chain
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "dedup_jaccard_prefix_pairs",
-    "dedup_keep_best_quality",
-    "graph_bfs_reachability",
-    # approximate-operator quality gates (VERDICT: "the four unsampled gates")
-    "gate_ivf_recall_floor",
-    "gate_pagerank_mass",
-    "gate_kcore_min_degree",
-    # --- entries past #50: sampled only if the driver widens its window
-    # (newest capabilities first: the round-4-session-2 scale-ops pack,
-    # then the round-5 curation pack, then the round-4 block: composed
-    # pipeline, PQ gate, salted join, decontamination, containment,
-    # weighted sampling, chunking)
-    # round-4 behavioral / graph-v2 / timeseries-v2 packs (newest)
-    "rfm_segmentation",
-    "gini_spend_by_nation",
-    "trimmed_mean_prices_by_priority",
-    "kaplan_meier_user_churn",
-    "interevent_gap_deciles",
-    "business_days_order_to_ship",
-    "graph_modularity_cc",
-    "link_predict_common_neighbors",
-    "graph_assortativity_degree",
-    "acf_hourly_events",
-    "holt_linear_user_value",
-    "stream_topk_users_live",
-    "stream_purchase_share_hourly_live",
-    "stream_ohlc_hourly_live",
-    "embedding_centroids_by_label",
-    "centroid_separation_by_label",
-    "zipf_slope_vocab",
-    "heaps_vocab_growth",
-    # round-4 rank-analytics pack
-    "stats_spearman_price_qty",
-    "dq_benford_totalprice",
-    "join_lateral_top_orders",
-    "window_nth_cume_dist",
-    # round-4 drift & information metrics pack
-    "drift_psi_value_split",
-    "stream_psi_daily_live",
-    "drift_js_lang_by_source",
-    "stats_mutual_info_lang_source",
-    "feature_target_encode_priority",
-    "langid_confusion_matrix",
-    # round-4 statistics & sampling pack
+    "array_advanced_ops",
+    "gate_logreg_quality_auc",
+    "train_price_ols_normal_eq",
+    # §2 streaming rows with no driver row (C10b, C10e)
+    "stream_sliding_counts_live",
+    "stream_dedup_within_watermark",
+    # stat_tests pack (never sampled)
     "stats_chi2_lang_source",
     "stats_ttest_price_by_status",
     "stats_ks_binned_prices",
@@ -167,23 +86,54 @@ _WINDOW = [
     "sample_weighted_docs_es",
     "exact_quantiles_orders",
     "stats_skew_kurtosis_by_type",
-    "vocab_coverage_top100",
-    "dq_referential_integrity",
-    "observe_scan_metrics",
     "grouped_median_prices_by_priority",
-    "topk_similar_doc_pairs",
-    "revenue_wow_change",
     "weighted_median_price_by_qty",
     "exact_percentile_cont_orders",
+    # drift & information metrics pack
+    "drift_psi_value_split",
+    "stream_psi_daily_live",
+    "drift_js_lang_by_source",
+    "stats_mutual_info_lang_source",
+    "feature_target_encode_priority",
+    "langid_confusion_matrix",
+    # rank-analytics pack
+    "stats_spearman_price_qty",
+    "dq_benford_totalprice",
+    "join_lateral_top_orders",
+    "window_nth_cume_dist",
+    "topk_similar_doc_pairs",
+    "revenue_wow_change",
     "copurchase_lift_pairs",
     "xcorr_click_purchase_hourly",
-    "dedup_lines_boilerplate",
+    # eval-metrics pack
+    "eval_auc_purchase_value",
+    "stats_bootstrap_ci_mean",
+    "stats_mann_kendall_monthly",
+    # pairs/retrieval pack
+    "skyline_orders_pareto",
+    "rrf_fuse_multi_query",
+    "dedup_sorted_neighborhood",
+    # inference pack
+    "stats_randomization_test_diff",
+    "stats_theilsen_monthly",
+    "seasonal_decompose_daily",
+    "stats_two_proportion_ztest",
+    "markov_top1_accuracy",
+    "gate_jl_distortion_bounded",
+    # unsampled llm dedup/ANN gates + first scale_ops entry (= #50)
+    "gate_pq_recall_floor",
+    "dedup_overlap_containment",
     "bpe_learn_merges",
+    # --- entries past #50: the r6 rotation backlog, sampled only if
+    # the driver widens its window (scale_ops, modern_sql, etl_audit,
+    # curation_v3, ml_prep, features, profiling, streaming, behavioral,
+    # graph/timeseries/embeddings/text packs)
     "bpe_apply_corpus",
+    "dedup_lines_boilerplate",
     "shard_assign_docs",
     "pipeline_corpus_to_shards",
-    "copurchase_part_pairs",
     "assign_global_ids_docs",
+    "copurchase_part_pairs",
     "cdc_apply_changes",
     "match_pattern_user_journeys",
     "join_bloom_prefilter",
@@ -195,6 +145,20 @@ _WINDOW = [
     "agg_modern_ordered_set",
     "io_file_metadata_audit",
     "stats_corr_matrix_lineitem",
+    "agg_bitwise_boolean_ops",
+    "scalar_try_functions",
+    "date_edge_functions",
+    "string_advanced_funcs",
+    "snapshot_diff_audit",
+    "pseudonymize_user_ids",
+    "cumulative_unique_users_daily",
+    "user_activity_streaks",
+    "io_python_datasource",
+    "udf_arrow_batch_stats",
+    "stream_python_datasource_live",
+    "io_python_datasink",
+    "udtf_split_priority_cols",
+    "sql_pipe_syntax",
     "quality_gopher_rules",
     "quality_dup_ngram_fraction",
     "source_contamination_stats",
@@ -206,36 +170,74 @@ _WINDOW = [
     "cusum_user_value",
     "stream_cusum_live",
     "io_orc_roundtrip",
+    "pipeline_corpus_curation",
+    "decontaminate_test_split",
+    "sample_quality_weighted",
+    "chunk_tokens_sliding",
+    "mixture_rebalance_langs",
+    "embedding_quantize_int8",
+    "embedding_label_stats",
+    "binning_decile_prices",
     "feature_hash_docs",
     "time_decay_user_score",
     "feature_scale_events",
     "histogram2d_price_qty",
     "onehot_user_event_counts",
     "gate_pca_variance_explained",
-    "pipeline_corpus_curation",
-    "gate_pq_recall_floor",
+    "dq_referential_integrity",
+    "observe_scan_metrics",
+    "table_fingerprint_orders",
+    "dq_expectations_orders",
+    "dq_expectations_documents",
     "join_salted_skew_events",
-    "decontaminate_test_split",
-    "dedup_overlap_containment",
-    "sample_quality_weighted",
-    "chunk_tokens_sliding",
-    "mixture_rebalance_langs",
     "stats_regr_price_on_qty",
-    "embedding_quantize_int8",
-    "embedding_label_stats",
-    "rollup_time_grains_events",
-    "window_rolling_median_spikes",
-    "retention_cohorts_weekly",
     "gate_approx_quantiles_tolerance",
     "gate_approx_distinct_tolerance",
     "gate_stratified_fractions",
     "gate_freq_items_contains_mode",
     "gate_cms_overestimate",
+    "winsorized_order_prices",
+    "winsorized_prices_by_priority",
+    "agg_grouping_sets_region_segment",
+    "histogram_order_prices",
+    "stats_corr_price_quantity",
+    "skew_profile_events",
+    "outliers_mad_user_value",
+    "stream_tumbling_counts_live",
+    "stream_session_window_live",
+    "stream_cdc_merge_live",
+    "stream_interval_join_live",
+    "stream_stateful_user_counts",
+    "stream_ewma_live",
+    "stream_static_enrich_live",
+    "stream_topk_users_live",
+    "stream_purchase_share_hourly_live",
+    "stream_ohlc_hourly_live",
+    "join_null_safe_regions",
+    "union_by_name_missing_cols",
+    "sql_group_by_all",
+    "rfm_segmentation",
+    "gini_spend_by_nation",
+    "trimmed_mean_prices_by_priority",
+    "kaplan_meier_user_churn",
+    "interevent_gap_deciles",
+    "business_days_order_to_ship",
+    "graph_modularity_cc",
+    "link_predict_common_neighbors",
+    "graph_assortativity_degree",
+    "acf_hourly_events",
+    "holt_linear_user_value",
+    "embedding_centroids_by_label",
+    "centroid_separation_by_label",
+    "zipf_slope_vocab",
+    "heaps_vocab_growth",
+    "vocab_coverage_top100",
+    "rollup_time_grains_events",
+    "window_rolling_median_spikes",
+    "retention_cohorts_weekly",
     "attribution_last_touch",
     "attribution_first_touch",
     "markov_event_transitions",
-    "winsorized_order_prices",
-    "winsorized_prices_by_priority",
 ]
 
 

@@ -352,7 +352,13 @@ def stream_python_datasource_live(spark: SparkSession, sf_dir: str) -> DataFrame
     (4 × 5000 rows), a complete-mode aggregation folds them, and the
     final state must hash-match the SAME regenerated-feed oracle as
     the batch read — certifying offset planning, micro-batch replay,
-    and streaming aggregation over a user-defined Python source."""
+    and streaming aggregation over a user-defined Python source.
+
+    Note: the shuffle-partition override below mutates SESSION state
+    (restored in finally) — safe because the registry runner contract
+    is single-threaded (one query at a time per session, as the driver
+    and bench both execute); concurrent submission on a shared session
+    would race on the conf and should use a per-stream session clone."""
     import uuid
 
     from pyspark.sql import functions as F2
@@ -406,8 +412,11 @@ def io_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the committed files, and aggregated — hash-matched against
     the same regenerated-feed oracle.  Certifies the writer path:
     per-partition write(), commit-message collection, atomic
-    promotion."""
+    promotion.  The staging directory is removed before returning (the
+    tiny per-bucket aggregate is pinned with an eager localCheckpoint
+    first), so repeated bench/parity runs do not leak /tmp dirs."""
     import os
+    import shutil
     import tempfile
 
     from etl_utils_spark.sources import pyds
@@ -421,15 +430,18 @@ def io_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     out = tempfile.mkdtemp(prefix="pyds_sink_")
-    src.write.format("csvdir").option("path", out).mode("append").save()
-    assert os.path.exists(os.path.join(out, "_SUCCESS"))
-    back = spark.read.schema(pyds.SCHEMA).csv(os.path.join(out, "part-*.csv"))
-    return back.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("total_cents"),
-        F.min("row_id").alias("first_row"),
-        F.max("row_id").alias("last_row"),
-    )
+    try:
+        src.write.format("csvdir").option("path", out).mode("append").save()
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        back = spark.read.schema(pyds.SCHEMA).csv(os.path.join(out, "part-*.csv"))
+        return back.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+            F.min("row_id").alias("first_row"),
+            F.max("row_id").alias("last_row"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 @query(

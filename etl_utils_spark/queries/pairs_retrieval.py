@@ -303,8 +303,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would run single-threaded AND be recomputed once per consumer.
     # Spread the text across the cluster first; at scale the input is
     # already many splits and this repartition collapses to a no-op
-    # decision.
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # decision.  inputFiles() reads the scan's file listing without the
+    # RDD-conversion lineage a .rdd probe would compile.
+    if len(docs.inputFiles()) < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(F.col("doc_id"))
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
     k = docs.select(

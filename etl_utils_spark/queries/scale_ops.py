@@ -467,7 +467,9 @@ def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # Single-file fixture → one input partition: spread the text before
     # the tokenize/explode stages (no-op decision on a split input).
-    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # inputFiles() reads the scan's file listing without converting the
+    # frame to an RDD (the .rdd probe compiles a second physical plan).
+    if len(d.inputFiles()) < spark.sparkContext.defaultParallelism:
         d = d.repartition(F.col("doc_id"))
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)

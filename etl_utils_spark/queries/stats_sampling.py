@@ -160,8 +160,10 @@ def salted_group_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs_events",
     oracle="""
         SELECT event_id,
-               ['k', 'user'] AS keys,
-               [CAST(json_extract_string(props, '$.k') AS BIGINT), user_id] AS vals,
+               'k,user' AS keys_csv,
+               COALESCE(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                             AS VARCHAR), 'null')
+                   || ',' || COALESCE(CAST(user_id AS VARCHAR), 'null') AS vals_csv,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         FROM events
     """,
@@ -170,7 +172,11 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6g map functions: build a map from JSON props, read it back via
     map_keys/map_values/element_at — hash-checked through the map's
     array projections (map literals keep insertion order, so the key
-    and value arrays are deterministic)."""
+    and value arrays are deterministic).  Output columns are SCALARS
+    only: the driver's canonicalizer hashes rows with pandas, which
+    cannot hash array-typed cells (the r4 red), so the key/value arrays
+    are array_join'ed on BOTH sides — same fix class as
+    array_advanced_ops (queries/timeseries.py)."""
     e = _t(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("k"), F.get_json_object("props", "$.k").cast("long"),
@@ -178,8 +184,10 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.map_keys(m).alias("keys"),
-        F.map_values(m).alias("vals"),
+        F.array_join(F.map_keys(m), ",", "null").alias("keys_csv"),
+        F.array_join(
+            F.transform(F.map_values(m), lambda v: v.cast("string")), ",", "null"
+        ).alias("vals_csv"),
         F.element_at(m, "k").alias("k_value"),
     )
 

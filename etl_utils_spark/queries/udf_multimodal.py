@@ -176,9 +176,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pu AS (
             SELECT user_id, count(*) AS n_purchases,
-                   ROUND(AVG(CASE WHEN cts IS NOT NULL THEN
-                       (epoch_us(ts) - epoch_us(cts)) / 1000000.0 END), 6)
-                       AS avg_lag_s
+                   CASE WHEN COUNT(cts) > 0 THEN
+                       CAST(SUM(epoch_us(ts) - epoch_us(cts)) AS DOUBLE)
+                       / (COUNT(cts) * 1000000.0)
+                   END AS avg_lag_s
             FROM lagt GROUP BY user_id
         ),
         cu AS (SELECT user_id, count(*) AS n_clicks FROM c GROUP BY user_id)

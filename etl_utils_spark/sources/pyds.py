@@ -155,7 +155,15 @@ class _CsvDirWriter(DataSourceWriter):
     directory and drops a ``_SUCCESS`` manifest; ``abort()`` removes
     the stage.  Failed/speculative task attempts therefore never leak
     into the result — the exactly-once contract every real object-store
-    sink must implement (same pattern as fsutil.promote_dir)."""
+    sink must implement (same pattern as fsutil.promote_dir).
+
+    DEPLOYMENT ASSUMPTION: ``path`` is a plain local-filesystem
+    directory that executors and the driver BOTH see — i.e. local mode
+    or a shared filesystem (NFS).  On a real cluster with executor-local
+    disks the staged files would be invisible to the driver's commit();
+    an object-store port must stage via the store's multipart/temp-key
+    API instead.  The two-phase structure (stage per task attempt,
+    promote in commit, drop a manifest) is the part that carries over."""
 
     def __init__(self, options):
         self.path = options.get("path")
