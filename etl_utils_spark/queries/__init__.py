@@ -46,6 +46,7 @@ from etl_utils_spark.queries import modern_sql  # noqa: E402,F401
 from etl_utils_spark.queries import etl_audit  # noqa: E402,F401
 from etl_utils_spark.queries import ml_train  # noqa: E402,F401
 from etl_utils_spark.queries import pipeline_v5  # noqa: E402,F401
+from etl_utils_spark.queries import privacy_ops  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
