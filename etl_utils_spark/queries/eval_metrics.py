@@ -275,3 +275,117 @@ def stats_mann_kendall_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         var18.alias("var18"),
         F.round(z, 6).alias("z_mk"),
     )
+
+
+# ------------------------------------------------- retrieval quality
+
+@query(
+    "eval_ndcg_quantized_retrieval",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   127.0 / list_max(list_transform(embedding::DOUBLE[],
+                                                   x -> abs(x))) AS s
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id, v,
+                   list_transform(v, x -> floor(x * s + 0.5)) AS vq
+            FROM base
+        ),
+        a AS (SELECT vec_id AS query_id, v AS av, vq AS avq
+              FROM qz WHERE vec_id < 8),
+        pairs AS (
+            SELECT a.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(a.av, c.v) AS cos_e,
+                   list_cosine_similarity(a.avq, c.vq) AS cos_q
+            FROM a, qz c WHERE a.query_id != c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos_e, 9) DESC, neighbor_id)
+                       AS exact_rank,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos_q, 9) DESC, neighbor_id)
+                       AS quant_rank
+            FROM pairs
+        ),
+        dcg AS (
+            SELECT query_id,
+                   SUM(CASE WHEN exact_rank <= 5 THEN
+                           (6.0 - exact_rank) / log2(quant_rank + 1.0)
+                       ELSE 0.0 END) AS dcg
+            FROM ranked WHERE quant_rank <= 5 GROUP BY query_id
+        ),
+        idcg AS (
+            SELECT SUM((6.0 - j) / log2(j + 1.0)) AS idcg
+            FROM (SELECT unnest(generate_series(1, 5)) AS j)
+        )
+        SELECT query_id, ROUND(dcg / idcg, 6) AS ndcg
+        FROM dcg, idcg
+    """,
+)
+def eval_ndcg_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of int8-QUANTIZED retrieval against exact-cosine ground
+    truth: per anchor, the graded-relevance list is the exact top-5
+    (rel = 6−rank); the system under test ranks by cosine over
+    symmetric int8 vectors (per-vector scale 127/max|x|, FLOOR(x·s+0.5)
+    — explicit half-up on both engines, docs/SCALE.md double→int rule).
+    The metric quantifies what the 4× memory compression costs in
+    ranking quality — the evaluation every quantized vector store
+    needs.  Broadcast anchors × one corpus scan (bounded BNL, same
+    shape as topk_cosine_neighbors); log2 is the irrational map →
+    round 6 AFTER the DCG ratio.  IDCG is the closed five-term
+    constant."""
+    import math
+
+    from pyspark.sql import Window
+
+    from etl_utils_spark.operators.dedup import cosine, dvec
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = dvec("embedding")
+    s = 127.0 / F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.transform(v, lambda x: F.floor(x * s + 0.5).cast("double")).alias("vq"),
+    )
+    a = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("av"),
+        F.col("vq").alias("avq"),
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(base)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("av"), F.col("v")).alias("cos_e"),
+            cosine(F.col("avq"), F.col("vq")).alias("cos_q"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_e", 9)), F.asc("neighbor_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_q", 9)), F.asc("neighbor_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(we).alias("exact_rank"),
+        F.row_number().over(wq).alias("quant_rank"),
+    )
+    gain = F.when(
+        F.col("exact_rank") <= 5,
+        (6.0 - F.col("exact_rank")) / F.log2(F.col("quant_rank") + 1.0),
+    ).otherwise(0.0)
+    idcg = sum((6.0 - j) / math.log2(j + 1.0) for j in range(1, 6))
+    return (
+        ranked.filter(F.col("quant_rank") <= 5)
+        .groupBy("query_id")
+        .agg(F.round(F.sum(gain) / F.lit(idcg), 6).alias("ndcg"))
+    )

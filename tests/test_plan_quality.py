@@ -134,10 +134,12 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         # aggregate (calendar-bounded, ~80 rows at any data scale)
         # plus two 1-row n/tie frames cross-joined at the end
         "stats_mann_kendall_monthly",
-        # hard-negative mining: broadcast anchor set (8 vectors) × one
-        # corpus scan — the same bounded-BNL shape as
-        # topk_cosine_neighbors
+        # hard-negative mining / NDCG eval: broadcast anchor set (8
+        # vectors) × one corpus scan — the same bounded-BNL shape as
+        # topk_cosine_neighbors (the NDCG query also cross-joins the
+        # 1-row IDCG constant on the oracle side only)
         "mine_hard_negatives",
+        "eval_ndcg_quantized_retrieval",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
