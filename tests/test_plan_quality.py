@@ -403,3 +403,32 @@ def test_cbo_statistics_surface(spark, sf_dir, tmp_path):
         assert has_broadcast_join(j)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a fact table PARTITIONED BY join key,
+    joined to a dimension with a selective filter, must prune fact
+    partitions at RUNTIME via a dynamicpruning subquery on the scan —
+    at 100 TB this is the difference between scanning one partition
+    and scanning the table.  (Static pruning is pinned by
+    io_partitioned_prune; this pins the join-driven form.)"""
+    fact_dir = str(tmp_path / "dpp_fact")
+    events = load_table(spark, sf_dir, "events")
+    events.withColumn("type_key", F.col("event_type")).write.partitionBy(
+        "type_key"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # An aggregated dim with a PREFIX filter on the join key: the
+    # sargable prefix transposes statically, and the exact key set is
+    # enforced at runtime through the dynamicpruning IN-subquery (a
+    # literal equality would be fully transposed and need no DPP).
+    dim = (
+        events.groupBy(F.col("event_type").alias("type_key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("type_key").startswith("p"))
+    )
+    j = fact.join(dim, "type_key").select("type_key", "event_id")
+    plan = formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    # and the pruned scan must actually return only the one 'p' type
+    assert j.select("type_key").distinct().count() == 1
