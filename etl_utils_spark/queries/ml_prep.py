@@ -480,7 +480,12 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (hash_bucket(F.col("doc_id").cast("string"), 10) >= 8).alias("is_test")
     )
     sh = hashed_shingles(docs, "doc_id", "text", n=8).withColumnRenamed("sid", "doc_id")
-    sh = sh.join(lab, "doc_id")
+    # Two consumers (train gram set + test probe) would re-run the
+    # tokenize/explode lineage twice; materialize the narrow
+    # (8-byte gram hash, doc_id, flag) frame once — measured 7.0→2.1s
+    # cold at sf0.1.  At 100 TB swap for persist(DISK_ONLY) or a
+    # staged write: the frame is ~|tokens| rows but only 17 bytes wide.
+    sh = sh.join(lab, "doc_id").localCheckpoint(eager=True)
     train_g = sh.filter(~F.col("is_test")).select("sh").distinct()
     test_g = sh.filter(F.col("is_test")).select("doc_id", "sh")
     return (
