@@ -218,8 +218,10 @@ def tokenize_docs_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT e.vec_id,
                ROUND(s.scale, 9) AS scale,
-               list_transform(e.embedding::DOUBLE[],
-                              x -> CAST(floor(x / s.scale + 0.5) AS INTEGER)) AS q
+               array_to_string(
+                   list_transform(e.embedding::DOUBLE[],
+                                  x -> CAST(CAST(floor(x / s.scale + 0.5) AS INTEGER)
+                                            AS VARCHAR)), ',') AS q_csv
         FROM embeddings e JOIN s ON e.vec_id = s.vec_id
     """,
 )
@@ -228,7 +230,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     absmax scale) — the storage/bandwidth step before shipping vectors
     to an ANN index; 4× smaller than float32, pure higher-order array
     functions (no Python).  floor(x/scale + 0.5) is used on BOTH
-    engines instead of round() so half-way ties break identically."""
+    engines instead of round() so half-way ties break identically.
+    The int8 vector is emitted array_join'ed to one CSV scalar: the
+    driver's pandas canonicalizer cannot hash array cells (the
+    map_funcs_events r4 red), and the join certifies every element in
+    order anyway."""
     emb = _t(spark, sf_dir, "embeddings")
     xs = F.transform("embedding", lambda x: x.cast("double"))
     scale = F.array_max(F.transform(xs, F.abs)) / 127.0
@@ -237,7 +243,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round("scale", 9).alias("scale"),
-            F.transform("xs", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")).alias("q"),
+            F.array_join(
+                F.transform(
+                    "xs",
+                    lambda x: F.floor(x / F.col("scale") + 0.5)
+                    .cast("int")
+                    .cast("string"),
+                ),
+                ",",
+            ).alias("q_csv"),
         )
     )
 
