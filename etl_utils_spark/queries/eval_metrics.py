@@ -389,3 +389,103 @@ def eval_ndcg_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("query_id")
         .agg(F.round(F.sum(gain) / F.lit(idcg), 6).alias("ndcg"))
     )
+
+
+@query(
+    "eval_recall_mrr_quantized",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   127.0 / list_max(list_transform(embedding::DOUBLE[],
+                                                   x -> abs(x))) AS s
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id, v,
+                   list_transform(v, x -> floor(x * s + 0.5)) AS vq
+            FROM base
+        ),
+        a AS (SELECT vec_id AS query_id, v AS av, vq AS avq
+              FROM qz WHERE vec_id < 8),
+        pairs AS (
+            SELECT query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(a.av, c.v) AS cos_e,
+                   list_cosine_similarity(a.avq, c.vq) AS cos_q
+            FROM a, qz c WHERE a.query_id != c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos_e, 9) DESC, neighbor_id)
+                       AS exact_rank,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos_q, 9) DESC, neighbor_id)
+                       AS quant_rank
+            FROM pairs
+        )
+        SELECT query_id,
+               CAST(SUM(CASE WHEN exact_rank <= 5 AND quant_rank <= 5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_at5,
+               CAST(MIN(CASE WHEN exact_rank <= 5 THEN quant_rank END)
+                    AS BIGINT) AS first_relevant_rank
+        FROM ranked GROUP BY query_id
+    """,
+)
+def eval_recall_mrr_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 numerator and first-relevant rank (the MRR
+    reciprocal's denominator) for the int8-quantized ranking against
+    exact-cosine relevance — the set-overlap companions to
+    eval_ndcg_quantized_retrieval, emitted as EXACT INTEGERS so no
+    float crosses the engine boundary (recall@5 = n_hits_at5/5 and
+    MRR = avg(1/first_relevant_rank) are single divisions downstream).
+    Same broadcast-anchor pair frame and rank stabilization as the
+    NDCG query."""
+    from pyspark.sql import Window
+
+    from etl_utils_spark.operators.dedup import cosine, dvec
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = dvec("embedding")
+    s = 127.0 / F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.transform(v, lambda x: F.floor(x * s + 0.5).cast("double")).alias("vq"),
+    )
+    a = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("av"),
+        F.col("vq").alias("avq"),
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(base)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            cosine(F.col("av"), F.col("v")).alias("cos_e"),
+            cosine(F.col("avq"), F.col("vq")).alias("cos_q"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_e", 9)), F.asc("neighbor_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_q", 9)), F.asc("neighbor_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(we).alias("exact_rank"),
+        F.row_number().over(wq).alias("quant_rank"),
+    )
+    return ranked.groupBy("query_id").agg(
+        F.sum(
+            ((F.col("exact_rank") <= 5) & (F.col("quant_rank") <= 5)).cast("int")
+        )
+        .cast("long")
+        .alias("n_hits_at5"),
+        F.min(F.when(F.col("exact_rank") <= 5, F.col("quant_rank")))
+        .cast("long")
+        .alias("first_relevant_rank"),
+    )

@@ -140,6 +140,7 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         # 1-row IDCG constant on the oracle side only)
         "mine_hard_negatives",
         "eval_ndcg_quantized_retrieval",
+        "eval_recall_mrr_quantized",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
