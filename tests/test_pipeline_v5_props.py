@@ -25,33 +25,39 @@ def _hamming(a: str, b: str) -> int:
 @settings(max_examples=300, deadline=None)
 @given(codes=_codes)
 def test_pigeonhole_blocking_recall_is_one(codes):
-    """The (5,4) half-split blocking of join_fuzzy_hamming_ids must
+    """Position-partition blocking of join_fuzzy_hamming_ids must
     produce EXACTLY the Hamming-1 pairs the quadratic definition
-    gives: a single mismatch lies in one half, so the pair shares the
-    other half verbatim (recall 1); the exact verify removes any
-    same-block pair at distance >1 (precision 1)."""
+    gives, for BOTH the interleaved partition the query uses and the
+    contiguous half-split: a single mismatch lies in one position set,
+    so the pair shares the other set's projection verbatim (recall 1);
+    the exact verify removes any same-block pair at distance >1
+    (precision 1).  Correctness is partition-independent — only COST
+    depends on the choice (query docstring)."""
+    from collections import defaultdict
+
     brute = {
-        (a, b)
+        (min(a, b), max(a, b))
         for i, a in enumerate(codes)
         for b in codes[i + 1 :]
         if _hamming(a, b) == 1
     }
-    # block join: (half-id, half-value) buckets, then exact verify
-    from collections import defaultdict
-
-    buckets = defaultdict(list)
-    for c in codes:
-        buckets[(0, c[:5])].append(c)
-        buckets[(1, c[5:])].append(c)
-    blocked = set()
-    for members in buckets.values():
-        for i, a in enumerate(members):
-            for b in members[i + 1 :]:
-                pair = (a, b) if a < b else (b, a)
-                if _hamming(*pair) == 1:
-                    blocked.add(pair)
-    brute = {(min(a, b), max(a, b)) for a, b in brute}
-    assert blocked == brute
+    partitions = [
+        ((0, 2, 4, 6, 8), (1, 3, 5, 7)),  # interleaved (0-based, query's choice)
+        ((0, 1, 2, 3, 4), (5, 6, 7, 8)),  # contiguous halves
+    ]
+    for set_a, set_b in partitions:
+        buckets = defaultdict(list)
+        for c in codes:
+            buckets[(0, "".join(c[i] for i in set_a))].append(c)
+            buckets[(1, "".join(c[i] for i in set_b))].append(c)
+        blocked = set()
+        for members in buckets.values():
+            for i, a in enumerate(members):
+                for b in members[i + 1 :]:
+                    pair = (min(a, b), max(a, b))
+                    if _hamming(*pair) == 1:
+                        blocked.add(pair)
+        assert blocked == brute
 
 
 # -------------------------------------------- span-corruption identity
