@@ -467,3 +467,79 @@ def join_fuzzy_hamming_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ham") == 1)
         .select("custkey_a", "custkey_b", diff_pos.cast("int").alias("diff_pos"))
     )
+
+
+# ------------------------------------- deletion-neighborhood spell join
+
+# SymSpell / FastSS blocking for edit distance ≤ 1: each string s emits
+# the key set K(s) = {s} ∪ {s with one char deleted}.  lev(t, w) ≤ 1 ⇒
+# K(t) ∩ K(w) ≠ ∅ (equal → s itself; substitution at i → both delete
+# i; deletion → t equals one of w's deletes; insertion → one of t's
+# deletes equals w), so the equi-join on keys is recall-1 — the
+# neighborhood is O(L) keys per string vs. the 26·L substitution
+# neighborhood, which is why spell-correction engines index deletes.
+
+def _del_neighborhood(w):
+    """{w} ∪ one-char deletions of w, as an array column."""
+    dels = F.transform(
+        F.sequence(F.lit(0), F.length(w) - 1),
+        lambda i: F.concat(w.substr(F.lit(1), i), w.substr(i + 2, F.length(w))),
+    )
+    return F.array_union(F.array(w), dels)
+
+
+_SPELL_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '' AND length(x) >= 4) AS ws
+        FROM documents
+    ),
+    vocab AS (SELECT DISTINCT unnest(ws) AS w FROM toks),
+    probe AS (
+        SELECT doc_id,
+               substr(ws[1], 1, CAST(doc_id % length(ws[1]) AS INT))
+                   || substr(ws[1], CAST(doc_id % length(ws[1]) AS INT) + 2)
+                   AS typo
+        FROM toks WHERE len(ws) > 0
+    )
+    SELECT p.doc_id, p.typo, v.w AS suggestion,
+           CAST(levenshtein(p.typo, v.w) AS INT) AS dist
+    FROM probe p JOIN vocab v ON levenshtein(p.typo, v.w) <= 1
+"""
+
+
+@query("spell_correct_tokens", oracle=_SPELL_ORACLE)
+def spell_correct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-correction JOIN at dictionary scale: each document's
+    first long token is deterministically corrupted (delete the char
+    at doc_id mod len — the typo model), then matched back to the
+    corpus vocabulary within edit distance 1 using the SymSpell
+    deletion-neighborhood equi-join (module comment: recall 1, O(L)
+    keys per string, no vocab × probe product).  Candidates sharing
+    multiple keys are deduped BEFORE the exact levenshtein verify.
+    The oracle brute-forces vocab × probe with levenshtein ≤ 1, so
+    the hash match PROVES the neighborhood blocking is complete.  At
+    100 TB the dictionary side is the broadcast/bucketed build and
+    the probe side streams."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"),
+        lambda t: (t != "") & (F.length(t) >= 4),
+    )
+    base = d.select("doc_id", toks.alias("ws")).where(F.size("ws") > 0)
+    vocab = base.select(F.explode("ws").alias("w")).distinct()
+    first = F.element_at("ws", 1)
+    pos = (F.col("doc_id") % F.length(first)).cast("int")
+    typo = F.concat(
+        first.substr(F.lit(1), pos), first.substr(pos + 2, F.length(first))
+    )
+    probe = base.select("doc_id", typo.alias("typo"))
+    vk = vocab.select("w", F.explode(_del_neighborhood(F.col("w"))).alias("k"))
+    pk = probe.select(
+        "doc_id", "typo", F.explode(_del_neighborhood(F.col("typo"))).alias("k")
+    )
+    cand = pk.join(vk, "k").select("doc_id", "typo", "w").distinct()
+    return cand.withColumn("dist", F.levenshtein("typo", "w").cast("int")).filter(
+        F.col("dist") <= 1
+    ).select("doc_id", "typo", F.col("w").alias("suggestion"), "dist")
