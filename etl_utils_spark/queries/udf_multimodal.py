@@ -252,3 +252,30 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_wav_features(synth_wav(docs))
+
+
+@query(
+    "multimodal_decode_png",
+    oracle="""
+        SELECT doc_id,
+               10 AS width, 8 AS height,
+               CAST(doc_id % 200 + 8.0 AS DOUBLE) AS mean_r,
+               CAST(doc_id % 100 + 4.5 AS DOUBLE) AS mean_g,
+               CAST(doc_id % 50 + 3.5 AS DOUBLE) AS mean_b
+        FROM documents
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-image decode, no libraries: a genuine PNG per
+    doc (zlib IDAT, CRC-correct chunks) parsed back by a real reader —
+    signature, chunk walk with CRC verification, IHDR fields, inflate,
+    scanline-filter strip — with per-channel means hash-checked
+    against the synthesis closed form.  Complements the uncompressed
+    BMP round-trip: here the pixel bytes are opaque until inflate, so
+    the hash match certifies the compression layer too
+    (operators/multimodal.py:synth_png/decode_png_features).  The
+    means are exact dyadic rationals, so the double compare is safe."""
+    from etl_utils_spark.operators.multimodal import decode_png_features, synth_png
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_png_features(synth_png(docs))

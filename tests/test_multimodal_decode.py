@@ -81,3 +81,37 @@ def test_wav_decoder_walks_past_foreign_chunks(spark, sf_dir):
     assert row.sample_rate == 8000
     assert row.n_samples == 64 + doc_id % 64
     assert row.rms == float(1000 + doc_id % 1000)
+
+
+def test_png_payloads_are_real_files_and_crc_guarded(spark, sf_dir):
+    """The synthesized PNGs must be genuine: correct signature,
+    CRC-valid chunks, and a decode that matches the closed form; a
+    single flipped pixel byte inside the compressed IDAT must fail
+    the CRC check like any real reader."""
+    from etl_utils_spark.operators.multimodal import (
+        decode_png_features,
+        synth_png,
+    )
+
+    payloads = _payloads(spark, sf_dir, synth_png, n=1)
+    doc_id, b = next(iter(payloads.items()))
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    row = (
+        decode_png_features(
+            spark.createDataFrame(
+                [(doc_id, bytearray(b))], "doc_id long, payload binary"
+            )
+        )
+        .collect()[0]
+    )
+    assert (row.width, row.height) == (10, 8)
+    assert row.mean_r == doc_id % 200 + 8.0
+    assert row.mean_g == doc_id % 100 + 4.5
+    assert row.mean_b == doc_id % 50 + 3.5
+    # flip one byte inside the IDAT body -> CRC must catch it
+    idat_at = b.index(b"IDAT")
+    bad = bytearray(b)
+    bad[idat_at + 6] ^= 0xFF
+    df = spark.createDataFrame([(doc_id, bad)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="CRC mismatch"):
+        decode_png_features(df).collect()
