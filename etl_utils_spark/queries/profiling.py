@@ -318,3 +318,57 @@ def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_price"], m["n_finished"])],
         "n_rows bigint, sum_price double, n_finished bigint",
     )
+
+
+@query(
+    "dq_merkle_bucket_fingerprints",
+    oracle="""
+        WITH d AS (
+            SELECT o_orderkey % 16 AS bucket,
+                   o_orderkey,
+                   ('0x' || substr(md5(concat_ws('|',
+                       CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR),
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       o_orderstatus)), 1, 8))::BIGINT AS h
+            FROM orders
+        )
+        SELECT bucket,
+               count(*) AS n_rows,
+               CAST(SUM(h) AS BIGINT) AS digest_sum,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key
+        FROM d GROUP BY bucket
+    """,
+)
+def dq_merkle_bucket_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style BUCKETED reconciliation: per-row canonical md5
+    digests (same rendering rules as table_fingerprint_orders) folded
+    into 16 key-bucket fingerprints via an ORDER-INDEPENDENT integer
+    sum — two table copies are compared bucket-by-bucket and only
+    mismatching buckets need row-level diffing, turning a full-table
+    reconciliation into O(changed buckets) at 100 TB (the two-level
+    form of the single root fingerprint; deeper trees recurse the same
+    move).  One hash aggregate; the 32-bit digest slice keeps the sum
+    exact in int64 up to ~2^31 rows per bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    digest = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.col("o_orderstatus"),
+        )
+    )
+    h = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    return (
+        o.select((F.col("o_orderkey") % 16).alias("bucket"), "o_orderkey", h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("long").alias("digest_sum"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
