@@ -279,67 +279,50 @@ def stats_mann_kendall_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- retrieval quality
 
-@query(
-    "eval_ndcg_quantized_retrieval",
-    oracle="""
-        WITH base AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v,
-                   127.0 / list_max(list_transform(embedding::DOUBLE[],
-                                                   x -> abs(x))) AS s
-            FROM embeddings
-        ),
-        qz AS (
-            SELECT vec_id, v,
-                   list_transform(v, x -> floor(x * s + 0.5)) AS vq
-            FROM base
-        ),
-        a AS (SELECT vec_id AS query_id, v AS av, vq AS avq
-              FROM qz WHERE vec_id < 8),
-        pairs AS (
-            SELECT a.query_id, c.vec_id AS neighbor_id,
-                   list_cosine_similarity(a.av, c.v) AS cos_e,
-                   list_cosine_similarity(a.avq, c.vq) AS cos_q
-            FROM a, qz c WHERE a.query_id != c.vec_id
-        ),
-        ranked AS (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY round(cos_e, 9) DESC, neighbor_id)
-                       AS exact_rank,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY round(cos_q, 9) DESC, neighbor_id)
-                       AS quant_rank
-            FROM pairs
-        ),
-        dcg AS (
-            SELECT query_id,
-                   SUM(CASE WHEN exact_rank <= 5 THEN
-                           (6.0 - exact_rank) / log2(quant_rank + 1.0)
-                       ELSE 0.0 END) AS dcg
-            FROM ranked WHERE quant_rank <= 5 GROUP BY query_id
-        ),
-        idcg AS (
-            SELECT SUM((6.0 - j) / log2(j + 1.0)) AS idcg
-            FROM (SELECT unnest(generate_series(1, 5)) AS j)
-        )
-        SELECT query_id, ROUND(dcg / idcg, 6) AS ndcg
-        FROM dcg, idcg
-    """,
-)
-def eval_ndcg_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@5 of int8-QUANTIZED retrieval against exact-cosine ground
-    truth: per anchor, the graded-relevance list is the exact top-5
-    (rel = 6−rank); the system under test ranks by cosine over
-    symmetric int8 vectors (per-vector scale 127/max|x|, FLOOR(x·s+0.5)
-    — explicit half-up on both engines, docs/SCALE.md double→int rule).
-    The metric quantifies what the 4× memory compression costs in
-    ranking quality — the evaluation every quantized vector store
-    needs.  Broadcast anchors × one corpus scan (bounded BNL, same
-    shape as topk_cosine_neighbors); log2 is the irrational map →
-    round 6 AFTER the DCG ratio.  IDCG is the closed five-term
-    constant."""
-    import math
+# Shared scaffold for the quantized-retrieval metrics: per-vector
+# symmetric int8 quantization (scale 127/max|x|, FLOOR(x·s+0.5) — the
+# explicit half-up both engines agree on), broadcast anchors × one
+# corpus scan, and the dual (exact_rank, quant_rank) assignment with
+# round-9 + id tie-breaks.  ONE definition feeds both the NDCG and
+# recall/MRR queries on BOTH engine sides — a change to the
+# quantization or rank stabilization cannot desynchronize the metrics.
 
+_QUANT_RANKED_CTE = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               127.0 / list_max(list_transform(embedding::DOUBLE[],
+                                               x -> abs(x))) AS s
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id, v,
+               list_transform(v, x -> floor(x * s + 0.5)) AS vq
+        FROM base
+    ),
+    a AS (SELECT vec_id AS query_id, v AS av, vq AS avq
+          FROM qz WHERE vec_id < 8),
+    pairs AS (
+        SELECT a.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(a.av, c.v) AS cos_e,
+               list_cosine_similarity(a.avq, c.vq) AS cos_q
+        FROM a, qz c WHERE a.query_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(cos_e, 9) DESC, neighbor_id)
+                   AS exact_rank,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(cos_q, 9) DESC, neighbor_id)
+                   AS quant_rank
+        FROM pairs
+    )"""
+
+
+def _quantized_rank_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, exact_rank, quant_rank) per anchor×candidate — the
+    Spark half of _QUANT_RANKED_CTE (docstrings on the two consumer
+    queries)."""
     from pyspark.sql import Window
 
     from etl_utils_spark.operators.dedup import cosine, dvec
@@ -374,11 +357,46 @@ def eval_ndcg_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame
     wq = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cos_q", 9)), F.asc("neighbor_id")
     )
-    ranked = pairs.select(
+    return pairs.select(
         "query_id",
         F.row_number().over(we).alias("exact_rank"),
         F.row_number().over(wq).alias("quant_rank"),
     )
+
+
+@query(
+    "eval_ndcg_quantized_retrieval",
+    oracle=_QUANT_RANKED_CTE
+    + """,
+    dcg AS (
+        SELECT query_id,
+               SUM(CASE WHEN exact_rank <= 5 THEN
+                       (6.0 - exact_rank) / log2(quant_rank + 1.0)
+                   ELSE 0.0 END) AS dcg
+        FROM ranked WHERE quant_rank <= 5 GROUP BY query_id
+    ),
+    idcg AS (
+        SELECT SUM((6.0 - j) / log2(j + 1.0)) AS idcg
+        FROM (SELECT unnest(generate_series(1, 5)) AS j)
+    )
+    SELECT query_id, ROUND(dcg / idcg, 6) AS ndcg
+    FROM dcg, idcg
+    """,
+)
+def eval_ndcg_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of int8-QUANTIZED retrieval against exact-cosine ground
+    truth: per anchor, the graded-relevance list is the exact top-5
+    (rel = 6−rank); the system under test ranks by cosine over
+    symmetric int8 vectors (_quantized_rank_frame — shared with the
+    recall/MRR query on both engine sides).  The metric quantifies
+    what the 4× memory compression costs in ranking quality — the
+    evaluation every quantized vector store needs.  Broadcast anchors
+    × one corpus scan (bounded BNL, same shape as
+    topk_cosine_neighbors); log2 is the irrational map → round 6
+    AFTER the DCG ratio.  IDCG is the closed five-term constant."""
+    import math
+
+    ranked = _quantized_rank_frame(spark, sf_dir)
     gain = F.when(
         F.col("exact_rank") <= 5,
         (6.0 - F.col("exact_rank")) / F.log2(F.col("quant_rank") + 1.0),
@@ -393,42 +411,14 @@ def eval_ndcg_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "eval_recall_mrr_quantized",
-    oracle="""
-        WITH base AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v,
-                   127.0 / list_max(list_transform(embedding::DOUBLE[],
-                                                   x -> abs(x))) AS s
-            FROM embeddings
-        ),
-        qz AS (
-            SELECT vec_id, v,
-                   list_transform(v, x -> floor(x * s + 0.5)) AS vq
-            FROM base
-        ),
-        a AS (SELECT vec_id AS query_id, v AS av, vq AS avq
-              FROM qz WHERE vec_id < 8),
-        pairs AS (
-            SELECT query_id, c.vec_id AS neighbor_id,
-                   list_cosine_similarity(a.av, c.v) AS cos_e,
-                   list_cosine_similarity(a.avq, c.vq) AS cos_q
-            FROM a, qz c WHERE a.query_id != c.vec_id
-        ),
-        ranked AS (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY round(cos_e, 9) DESC, neighbor_id)
-                       AS exact_rank,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY round(cos_q, 9) DESC, neighbor_id)
-                       AS quant_rank
-            FROM pairs
-        )
-        SELECT query_id,
-               CAST(SUM(CASE WHEN exact_rank <= 5 AND quant_rank <= 5
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_at5,
-               CAST(MIN(CASE WHEN exact_rank <= 5 THEN quant_rank END)
-                    AS BIGINT) AS first_relevant_rank
-        FROM ranked GROUP BY query_id
+    oracle=_QUANT_RANKED_CTE
+    + """
+    SELECT query_id,
+           CAST(SUM(CASE WHEN exact_rank <= 5 AND quant_rank <= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_at5,
+           CAST(MIN(CASE WHEN exact_rank <= 5 THEN quant_rank END)
+                AS BIGINT) AS first_relevant_rank
+    FROM ranked GROUP BY query_id
     """,
 )
 def eval_recall_mrr_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,47 +428,9 @@ def eval_recall_mrr_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_ndcg_quantized_retrieval, emitted as EXACT INTEGERS so no
     float crosses the engine boundary (recall@5 = n_hits_at5/5 and
     MRR = avg(1/first_relevant_rank) are single divisions downstream).
-    Same broadcast-anchor pair frame and rank stabilization as the
-    NDCG query."""
-    from pyspark.sql import Window
-
-    from etl_utils_spark.operators.dedup import cosine, dvec
-
-    emb = _t(spark, sf_dir, "embeddings")
-    v = dvec("embedding")
-    s = 127.0 / F.array_max(F.transform(v, lambda x: F.abs(x)))
-    base = emb.select(
-        "vec_id",
-        v.alias("v"),
-        F.transform(v, lambda x: F.floor(x * s + 0.5).cast("double")).alias("vq"),
-    )
-    a = base.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("av"),
-        F.col("vq").alias("avq"),
-    )
-    pairs = (
-        F.broadcast(a)
-        .crossJoin(base)
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            cosine(F.col("av"), F.col("v")).alias("cos_e"),
-            cosine(F.col("avq"), F.col("vq")).alias("cos_q"),
-            F.col("vec_id").alias("neighbor_id"),
-        )
-    )
-    we = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("cos_e", 9)), F.asc("neighbor_id")
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("cos_q", 9)), F.asc("neighbor_id")
-    )
-    ranked = pairs.select(
-        "query_id",
-        F.row_number().over(we).alias("exact_rank"),
-        F.row_number().over(wq).alias("quant_rank"),
-    )
+    Shares _quantized_rank_frame / _QUANT_RANKED_CTE with the NDCG
+    query on both engine sides."""
+    ranked = _quantized_rank_frame(spark, sf_dir)
     return ranked.groupBy("query_id").agg(
         F.sum(
             ((F.col("exact_rank") <= 5) & (F.col("quant_rank") <= 5)).cast("int")

@@ -527,7 +527,14 @@ def spell_correct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower("text"), "[^a-z]+"),
         lambda t: (t != "") & (F.length(t) >= 4),
     )
-    base = d.select("doc_id", toks.alias("ws")).where(F.size("ws") > 0)
+    # Two consumers (dictionary build + probe) would re-run the scan +
+    # regex tokenize twice — materialize the narrow token frame once
+    # (same recompute-amplification fix as decontaminate_test_split).
+    base = (
+        d.select("doc_id", toks.alias("ws"))
+        .where(F.size("ws") > 0)
+        .localCheckpoint(eager=True)
+    )
     vocab = base.select(F.explode("ws").alias("w")).distinct()
     first = F.element_at("ws", 1)
     pos = (F.col("doc_id") % F.length(first)).cast("int")

@@ -140,7 +140,9 @@ def gate_span_corruption_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("tok"),
         F.sum("n_masked").cast("long").alias("masked"),
     ).collect()[0]
-    ok = (s["tok"] <= 10 * s["masked"]) and (5 * s["masked"] <= s["tok"])
+    tok = s["tok"] or 0  # empty/untokenizable corpus → SUM is NULL
+    masked = s["masked"] or 0
+    ok = tok > 0 and (tok <= 10 * masked) and (5 * masked <= tok)
     return spark.createDataFrame(
         [("span_corruption_p05_len3", bool(ok))],
         "variant string, rate_in_band boolean",
@@ -395,16 +397,12 @@ def lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     read driver-side like the repo's other 1-row anchors.  ln() is the
     irrational map, so the per-doc mean rounds to 6 AFTER it
     (docs/SCALE.md; same probed policy as lm_bigram_doc_score)."""
+    from etl_utils_spark.operators.text import _alpha_tokens, ngrams_array
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
     fold = F.floor(lcg_uniform(F.col("doc_id"), F.lit(0), 1) * 5).cast("long")
-    base = d.select("doc_id", fold.alias("fold"), toks.alias("toks"))
-    n = F.size("toks")
-    pl = F.greatest(n - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice("toks", 1, pl), F.slice("toks", 2, pl),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    base = d.select("doc_id", fold.alias("fold"), _alpha_tokens("text").alias("toks"))
+    bigrams = ngrams_array(F.col("toks"), 2)
     db = base.select("doc_id", "fold", F.explode(bigrams).alias("bigram")).withColumn(
         "w1", F.split("bigram", " ")[0]
     ).localCheckpoint(eager=True)  # train counts + heldout probe reuse it

@@ -130,6 +130,17 @@ def compare_types(spark, sf_dir: str, name: str):
     if q.oracle is None:
         return (True, "rows-only")
     sdf = q.fn(spark, sf_dir)
+    # The driver's pandas canonicalizer cannot hash array/map/struct
+    # cells (the r2 array_advanced_ops / r4 map_funcs_events reds) —
+    # every oracle-backed query must emit scalars only (array_join
+    # nested values to CSV on both sides; docs/SCALE.md).
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString().startswith(("array", "map", "struct"))
+    ]
+    if nested:
+        return (False, f"nested output columns {nested} crash the driver canonicalizer")
     s_types = {f.name: spark_type_family(f.dataType.simpleString()) for f in sdf.schema.fields}
 
     con = duckdb_connect(sf_dir)

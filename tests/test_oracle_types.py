@@ -26,23 +26,9 @@ def test_query_types_match_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_no_nested_output_columns_in_oracle_backed_queries(spark, sf_dir):
-    """The driver's pandas canonicalizer hashes rows with
-    sort_values/factorize, which CRASHES on array/map/struct cells
-    (r4 red `map_funcs_events`; r2 red `array_advanced_ops`).  Every
-    oracle-backed query must therefore emit SCALAR columns only —
-    array_join nested values to CSV on both engine sides.  Schema-only
-    sweep (lazy analysis, nothing executes)."""
-    from pyspark.sql import types as T
-
-    offenders = []
-    for name in _names():
-        schema = q.REGISTRY[name].fn(spark, sf_dir).schema
-        nested = [
-            f.name
-            for f in schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
-        ]
-        if nested:
-            offenders.append((name, nested))
-    assert not offenders, offenders
+# The nested-output-column guard (array/map/struct cells crash the
+# driver's pandas canonicalizer — the r2 array_advanced_ops / r4
+# map_funcs_events reds) lives INSIDE compare_types above, so the
+# parametrized test covers it per query without constructing every
+# frame a second time (gates and _live streams execute driver-side
+# actions at construction, so a separate sweep would re-run them all).
