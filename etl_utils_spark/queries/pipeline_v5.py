@@ -420,3 +420,67 @@ def lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg(nll), 6).alias("nll"),
     )
+
+
+# ------------------------------------------------ missing-value repair
+
+_IMPUTE_U = lcg_uniform_sql("event_id", "0", 1)
+
+
+@query(
+    "ml_impute_group_median",
+    oracle=f"""
+        WITH m AS (
+            SELECT event_id, event_type, value,
+                   ({_IMPUTE_U}) < 0.1 AS miss
+            FROM events
+        ),
+        med AS (
+            SELECT event_type, quantile_disc(value, 0.5) AS med
+            FROM m WHERE NOT miss GROUP BY event_type
+        )
+        SELECT event_id, m.event_type, miss AS was_missing,
+               CASE WHEN miss THEN med ELSE value END AS value_filled
+        FROM m JOIN med USING (event_type)
+    """,
+)
+def ml_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair by per-group EXACT median: ~10% of values
+    are deterministically masked (LCG of event_id — the
+    oracle-replayable missingness model) and refilled with their
+    event type's discrete median over the OBSERVED values.  The
+    median uses the bounded count-frame decomposition of
+    grouped_median_prices_by_priority (one (group, value) aggregate,
+    cumulative over that bounded frame, min value past the target
+    rank) — no corpus-sized per-group window — and the fill is a
+    broadcast join of the |groups|-row median table back onto the
+    stream.  No float arithmetic: filled values are carried doubles,
+    so the compare is exact."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    miss = lcg_uniform(F.col("event_id"), F.lit(0), 1) < 0.1
+    m = e.select("event_id", "event_type", "value", miss.alias("miss"))
+    obs = m.filter(~F.col("miss"))
+    c = obs.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.select("event_type", "value", F.sum("c").over(w).alias("cum"))
+    tot = c.groupBy("event_type").agg(F.sum("c").alias("n"))
+    med = (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("cum") >= F.floor((F.col("n") - 1) / 2) + 1)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("med"))
+    )
+    return m.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("miss").alias("was_missing"),
+        F.when(F.col("miss"), F.col("med")).otherwise(F.col("value")).alias(
+            "value_filled"
+        ),
+    )
