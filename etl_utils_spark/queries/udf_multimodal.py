@@ -279,3 +279,48 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_png_features(synth_png(docs))
+
+
+@query(
+    "udf_grouped_arrow_stats",
+    oracle="""
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS sum_cents,
+               min(value) AS v_min,
+               max(value) AS v_max
+        FROM events GROUP BY event_type
+    """,
+)
+def udf_grouped_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth Arrow UDF face (C7): grouped-map ``applyInArrow`` —
+    the whole group arrives as ONE pyarrow.Table and the kernels run
+    in Arrow compute (no pandas materialization, unlike applyInPandas).
+    Per event type: count, exact integer cent sum (round(value·100) →
+    int64 — associative, order-independent), and min/max (carried
+    doubles, no arithmetic) — every output is engine-exact, so the
+    Arrow path is hash-certified, not just row-counted."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _stats(table: "pa.Table") -> "pa.Table":
+        v = table.column("value")
+        cents = pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [table.column("event_type")[0].as_py()], pa.string()
+                ),
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "v_min": pa.array([pc.min(v).as_py()], pa.float64()),
+                "v_max": pa.array([pc.max(v).as_py()], pa.float64()),
+            }
+        )
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInArrow(
+        _stats,
+        schema="event_type string, n long, sum_cents long, v_min double, v_max double",
+    )
