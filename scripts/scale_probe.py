@@ -1,0 +1,154 @@
+"""Scaling probe: measure headline operators at sf0.1 AND a 10×
+synthetic scale-up, and report the wall-clock ratio per operator.
+
+The driver fixtures stop at sf0.1; to substantiate the repo's
+100 TB-shaped claims with MEASUREMENTS rather than prose, this script
+derives a 10× dataset in /tmp by unioning ten key-offset copies of the
+sf0.1 tables (text perturbed with a per-copy prefix so duplicate
+structure stays proportional instead of creating 10-member duplicate
+cliques; users/orders get fresh key ranges so group COUNTS grow 10×
+while per-group sizes stay constant — the realistic growth shape).
+
+A plan that is truly linear-in-data on fixed parallelism should show a
+time ratio near 10 (or below, where fixed JVM/stage overhead dominates
+at sf0.1); a super-linear operator (all-pairs join, corpus-wide sort)
+shows 30-100× and fails the probe.  Usage:
+
+    python scripts/scale_probe.py            # build + measure
+    python scripts/scale_probe.py --reuse    # reuse /tmp/sparkgraft_sf1
+
+Writes SCALING.json next to the repo root and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+BIG = "/tmp/sparkgraft_sf1"
+COPIES = 10
+KEY_OFF = 10_000_000
+
+# operator -> registered query name (timed with the bench's count action)
+PROBES = [
+    "agg_pricing_summary",
+    "q18_large_volume_customers",
+    "sessionize_events",
+    "window_lag_event_gap",
+    "dedup_documents_exact",
+    "dedup_documents_minhash",
+    "dedup_documents_simhash",
+    "tfidf_top_terms",
+    "tokenize_docs_to_ids",
+    "text_char_entropy",
+    "augment_span_corruption",
+    "assign_global_ids_docs",
+    "topk_cosine_neighbors_lsh",
+    "eval_auc_purchase_value",
+    "max_concurrent_sessions",
+    "decontaminate_test_split",
+]
+
+
+def build_big(spark) -> None:
+    os.makedirs(BIG, exist_ok=True)
+    from etl_utils_spark.sources.tables import load_table
+
+    def replicate(name, key_cols, fix=None):
+        df = load_table(spark, BASE, name)
+        parts = []
+        for k in range(COPIES):
+            p = df
+            for c in key_cols:
+                p = p.withColumn(c, F.col(c) + F.lit(k * KEY_OFF))
+            if fix is not None:
+                p = fix(p, k)
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(BIG, f"{name}.parquet"))
+
+    def fix_docs(p, k):
+        t = F.concat(F.lit(f"c{k} "), F.col("text"))
+        return p.withColumn("text", t).withColumn("n_chars", F.length(t))
+
+    def fix_customer(p, k):
+        return p.withColumn(
+            "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+        )
+
+    replicate("documents", ["doc_id"], fix_docs)
+    replicate("embeddings", ["vec_id"])
+    replicate("events", ["event_id", "user_id"])
+    replicate("orders", ["o_orderkey", "o_custkey"])
+    replicate("lineitem", ["l_orderkey"])
+    replicate("customer", ["c_custkey"], fix_customer)
+    for small in ("supplier", "part", "nation", "region"):
+        src = os.path.join(BASE, f"{small}.parquet")
+        dst = os.path.join(BIG, f"{small}.parquet")
+        if os.path.isfile(src):
+            shutil.copyfile(src, dst)
+        else:  # directory-style parquet
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+
+
+def main() -> None:
+    from etl_utils_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-probe",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "32g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--reuse" not in sys.argv or not os.path.isdir(BIG):
+        t0 = time.time()
+        build_big(spark)
+        print(f"built {BIG} in {time.time()-t0:.0f}s", flush=True)
+
+    from etl_utils_spark.queries import REGISTRY
+
+    results = {}
+    for name in PROBES:
+        fn = REGISTRY[name].fn
+        times = {}
+        for label, sf in (("sf0.1", BASE), ("sf1", BIG)):
+            best = None
+            for _ in range(2):  # keep the warm minimum, like bench.py
+                t0 = time.time()
+                fn(spark, sf).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = round(best, 3)
+        ratio = round(times["sf1"] / times["sf0.1"], 2) if times["sf0.1"] else None
+        results[name] = {**times, "ratio": ratio}
+        print(
+            f"{name:35s} {times['sf0.1']:7.2f}s  {times['sf1']:7.2f}s  x{ratio}",
+            flush=True,
+        )
+
+    out = {"copies": COPIES, "results": results}
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print("| query | sf0.1 (s) | 10x (s) | ratio |")
+    print("|---|---|---|---|")
+    for n, r in results.items():
+        print(f"| {n} | {r['sf0.1']} | {r['sf1']} | {r['ratio']} |")
+
+
+if __name__ == "__main__":
+    main()
