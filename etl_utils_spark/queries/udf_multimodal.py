@@ -159,9 +159,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, n_frames=4)
 
 
-@query(
-    "udf_cogrouped_conversion_lag",
-    oracle="""
+# ONE oracle for BOTH conversion-lag implementations below: the C7c
+# cogrouped-map API surface and its scale-safe relational twin must
+# hash-match the identical SQL — a two-sided equivalence certificate.
+_CONVERSION_LAG_ORACLE = """
         WITH p AS (
             SELECT user_id, ts FROM events WHERE event_type = 'purchase'
         ),
@@ -188,8 +189,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(n_clicks, 0) AS n_clicks,
                avg_lag_s
         FROM pu FULL OUTER JOIN cu ON pu.user_id = cu.user_id
-    """,
-)
+"""
+
+
+@query("udf_cogrouped_conversion_lag", oracle=_CONVERSION_LAG_ORACLE)
 def udf_cogrouped_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 cogrouped-map surface: per-user purchase/click frames arrive
     as a pandas pair (operators/udfs.py:cogrouped_conversion_lag); the
@@ -323,4 +326,46 @@ def udf_grouped_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInArrow(
         _stats,
         schema="event_type string, n long, sum_cents long, v_min double, v_max double",
+    )
+
+
+@query("conversion_lag_relational", oracle=_CONVERSION_LAG_ORACLE)
+def conversion_lag_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB plan for the SAME computation as
+    udf_cogrouped_conversion_lag (identical oracle — the hash match on
+    both queries is a machine-checked equivalence certificate): the
+    per-purchase latest-preceding click comes from the union-and-carry
+    as-of join (operators/sessionize.py — ONE shuffle on user_id, no
+    candidate pairs, no per-key Python round-trips), then two hash
+    aggregates and a full outer join.  Where the cogrouped version
+    invokes Python once per user, this stays entirely in
+    whole-stage-codegen JVM operators — the alternative the cogrouped
+    docstring points to, here as a first-class query."""
+    from etl_utils_spark.operators.sessionize import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    m = asof_join(purchases, clicks, on="user_id", right_cols=[])
+    lag_us = F.unix_micros("ts") - F.unix_micros("right_ts")
+    pu = m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(lag_us).alias("lag_sum_us"),  # nulls (no match) skipped
+        F.count("right_ts").alias("n_match"),
+    ).select(
+        "user_id",
+        "n_purchases",
+        F.when(
+            F.col("n_match") > 0,
+            F.col("lag_sum_us").cast("double")
+            / (F.col("n_match") * F.lit(1_000_000.0)),
+        ).alias("avg_lag_s"),
+    )
+    cu = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    j = pu.join(cu, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        "avg_lag_s",
     )
