@@ -926,3 +926,80 @@ def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, r)"
         )
     )
+
+
+@query(
+    "sql_udf_scalar_discount",
+    oracle="""
+        SELECT l_returnflag,
+               count(*)::BIGINT AS n,
+               CAST(SUM(CAST(
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                   AS DECIMAL(28,4))) AS DOUBLE) AS disc_revenue
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_udf_scalar_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE SQL-defined scalar function (CREATE FUNCTION ... RETURN
+    expr, Spark 4): the discounted-price rule is declared ONCE in pure
+    SQL and reused by name — Catalyst inlines the body at analysis
+    time, so the call costs nothing at runtime (no Python, no serde;
+    the plan is identical to writing the expression inline, which is
+    exactly what the oracle does).  Decimal arithmetic inside the
+    function keeps the revenue sum exact."""
+    from etl_utils_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DECIMAL(18,2), d DECIMAL(4,2))
+        RETURNS DECIMAL(28,4)
+        RETURN CAST(p * (1 - d) AS DECIMAL(28,4))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(disc_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+                                   CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS disc_revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_named_param_binding",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders
+        WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_named_param_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE named-parameter SQL (spark.sql(..., args={...}), Spark
+    3.4+): the engine-level twin of the wrapper's :NAME value binding
+    (params.py) — markers are typed AST parameters, not string
+    splices, so injection is structurally impossible and plans cache
+    across bindings.  The oracle folds the same literals in."""
+    from etl_utils_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 50000.0, "status": "F"},
+    )
