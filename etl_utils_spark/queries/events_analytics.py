@@ -522,3 +522,109 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+@query(
+    "join_interval_overlap_binned",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        wins AS (
+            SELECT w_start, w_start + INTERVAL 90 MINUTE AS w_end
+            FROM (SELECT unnest(generate_series(
+                     TIMESTAMP '2024-01-01 10:00:00',
+                     TIMESTAMP '2024-01-31 10:00:00',
+                     INTERVAL 1 DAY)) AS w_start)
+            UNION ALL
+            SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end
+            FROM (SELECT unnest(generate_series(
+                     TIMESTAMP '2024-01-01 22:00:00',
+                     TIMESTAMP '2024-01-31 22:00:00',
+                     INTERVAL 1 DAY)) AS w_start)
+        )
+        SELECT s.user_id, s.day, w.w_start,
+               CAST(epoch_us(least(s.s_end, w.w_end))
+                    - epoch_us(greatest(s.s_start, w.w_start)) AS BIGINT)
+                   AS overlap_us
+        FROM spans s JOIN wins w
+          ON s.s_start < w.w_end AND w.w_start < s.s_end
+    """,
+)
+def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN without the theta product: per-user daily
+    activity spans × synthetic maintenance windows (two per day,
+    engine-replayable from literals).  Each interval explodes into the
+    HOUR BINS it covers and candidates meet on an equi-join over the
+    bin key — any overlapping pair shares the hour containing their
+    intersection, so binning is recall-1 — then the exact overlap
+    predicate verifies and the exact integer microsecond overlap is
+    emitted.  The oracle runs the direct theta join, so the hash match
+    certifies bin completeness.  At 100 TB the bin key is the shuffle
+    partitioner (interval join = equi join + bounded dup factor =
+    interval_len/bin_width + 1), the same move Spark's streaming
+    interval join makes internally."""
+    e = _t(spark, sf_dir, "events")
+    spans = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    wins = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_timestamp(F.lit("2024-01-01 10:00:00")),
+                    F.to_timestamp(F.lit("2024-01-31 10:00:00")),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("w_start")
+        )
+        .select("w_start", (F.col("w_start") + F.expr("interval 90 minutes")).alias("w_end"))
+        .unionByName(
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.to_timestamp(F.lit("2024-01-01 22:00:00")),
+                        F.to_timestamp(F.lit("2024-01-31 22:00:00")),
+                        F.expr("interval 1 day"),
+                    )
+                ).alias("w_start")
+            )
+            .select("w_start", (F.col("w_start") + F.expr("interval 60 minutes")).alias("w_end"))
+        )
+    )
+
+    def hour_bins(start, end):
+        return F.sequence(
+            F.date_trunc("hour", start), F.date_trunc("hour", end),
+            F.expr("interval 1 hour"),
+        )
+
+    s_b = spans.select(
+        "user_id", "day", "s_start", "s_end",
+        F.explode(hour_bins(F.col("s_start"), F.col("s_end"))).alias("bin"),
+    )
+    w_b = wins.select(
+        "w_start", "w_end",
+        F.explode(hour_bins(F.col("w_start"), F.col("w_end"))).alias("bin"),
+    )
+    cand = (
+        s_b.join(w_b, "bin")
+        .select("user_id", "day", "s_start", "s_end", "w_start", "w_end")
+        .distinct()
+    )
+    ov = cand.filter(
+        (F.col("s_start") < F.col("w_end")) & (F.col("w_start") < F.col("s_end"))
+    )
+    return ov.select(
+        "user_id",
+        "day",
+        "w_start",
+        (
+            F.unix_micros(F.least("s_end", "w_end"))
+            - F.unix_micros(F.greatest("s_start", "w_start"))
+        ).alias("overlap_us"),
+    )
