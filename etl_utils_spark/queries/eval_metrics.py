@@ -441,3 +441,42 @@ def eval_recall_mrr_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_relevant_rank"),
     )
+
+
+@query(
+    "eval_calibration_bins",
+    oracle="""
+        WITH s AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   least(CAST(floor(value / 100.0) AS BIGINT), 9) AS bin,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS score_cents
+            FROM events
+        )
+        SELECT bin,
+               count(*)::BIGINT AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(score_cents) AS BIGINT) AS sum_score_cents
+        FROM s GROUP BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a score/label pair (here: event
+    value as the score, purchase as the positive label): per score
+    decile, the exact counts a calibration plot needs — n, positives,
+    and the EXACT integer cent sum of scores (mean predicted score =
+    sum/100n and empirical rate = n_pos/n are single divisions
+    downstream; nothing order-dependent crosses the engine boundary).
+    One hash aggregate, output bounded by the bin count — at 100 TB
+    the whole metric is a 10-row frame."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.least(F.floor(F.col("value") / 100.0).cast("long"), F.lit(9)).alias("bin"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("score_cents"),
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("score_cents").cast("long").alias("sum_score_cents"),
+    )
