@@ -14,10 +14,13 @@ time ratio near 10 (or below, where fixed JVM/stage overhead dominates
 at sf0.1); a super-linear operator (all-pairs join, corpus-wide sort)
 shows 30-100× and fails the probe.  Usage:
 
-    python scripts/scale_probe.py            # build + measure
-    python scripts/scale_probe.py --reuse    # reuse /tmp/sparkgraft_sf1
+    python scripts/scale_probe.py                 # 10x build + measure
+    python scripts/scale_probe.py --reuse         # reuse the derived dir
+    python scripts/scale_probe.py --factor 100    # 100x decade (cheap
+                                                  # linear ops only)
 
-Writes SCALING.json next to the repo root and prints a markdown table.
+Writes SCALING.json (or SCALING_100x.json) next to the repo root and
+prints a markdown table.
 """
 
 from __future__ import annotations
@@ -33,12 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-BIG = "/tmp/sparkgraft_sf1"
-COPIES = 10
+COPIES = 100 if "--factor" in sys.argv and "100" in sys.argv else 10
+BIG = f"/tmp/sparkgraft_sf{COPIES//10}"
 KEY_OFF = 10_000_000
 
 # operator -> registered query name (timed with the bench's count action)
-PROBES = [
+PROBES_10 = [
     "agg_pricing_summary",
     "q18_large_volume_customers",
     "sessionize_events",
@@ -56,6 +59,18 @@ PROBES = [
     "max_concurrent_sessions",
     "decontaminate_test_split",
 ]
+# the 100x decade probes only the data-linear headline ops (the
+# quadratic-candidate families are measured at 10x above)
+PROBES_100 = [
+    "agg_pricing_summary",
+    "sessionize_events",
+    "dedup_documents_exact",
+    "tokenize_docs_to_ids",
+    "text_char_entropy",
+    "augment_span_corruption",
+    "eval_auc_purchase_value",
+]
+PROBES = PROBES_100 if COPIES == 100 else PROBES_10
 
 
 def build_big(spark) -> None:
@@ -126,7 +141,8 @@ def main() -> None:
     for name in PROBES:
         fn = REGISTRY[name].fn
         times = {}
-        for label, sf in (("sf0.1", BASE), ("sf1", BIG)):
+        big_label = "sf1" if COPIES == 10 else f"sf{COPIES//10}"
+        for label, sf in (("sf0.1", BASE), (big_label, BIG)):
             best = None
             for _ in range(2):  # keep the warm minimum, like bench.py
                 t0 = time.time()
@@ -134,20 +150,24 @@ def main() -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             times[label] = round(best, 3)
-        ratio = round(times["sf1"] / times["sf0.1"], 2) if times["sf0.1"] else None
+        ratio = (
+            round(times[big_label] / times["sf0.1"], 2) if times["sf0.1"] else None
+        )
         results[name] = {**times, "ratio": ratio}
         print(
-            f"{name:35s} {times['sf0.1']:7.2f}s  {times['sf1']:7.2f}s  x{ratio}",
+            f"{name:35s} {times['sf0.1']:7.2f}s  {times[big_label]:7.2f}s  x{ratio}",
             flush=True,
         )
 
     out = {"copies": COPIES, "results": results}
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"), "w") as f:
+    fname = "SCALING.json" if COPIES == 10 else f"SCALING_{COPIES}x.json"
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), fname), "w") as f:
         json.dump(out, f, indent=2)
-    print("| query | sf0.1 (s) | 10x (s) | ratio |")
+    print(f"| query | sf0.1 (s) | {COPIES}x (s) | ratio |")
     print("|---|---|---|---|")
+    big_label = "sf1" if COPIES == 10 else f"sf{COPIES//10}"
     for n, r in results.items():
-        print(f"| {n} | {r['sf0.1']} | {r['sf1']} | {r['ratio']} |")
+        print(f"| {n} | {r['sf0.1']} | {r[big_label]} | {r['ratio']} |")
 
 
 if __name__ == "__main__":
