@@ -73,3 +73,54 @@ def cms_point_estimates(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# -------------------------------------------------------- Misra-Gries
+
+def misra_gries_partials(df, col: str, k: int = 8):
+    """Per-partition Misra-Gries heavy-hitter summaries: each partition
+    reduces to ≤ k (value, counter) rows via the classic k-counter
+    stream algorithm (Misra & Gries 1982), Arrow-batched through
+    mapInPandas.  Partials are MERGEABLE (Agarwal et al., PODS 2012):
+    summing counters value-wise and subtracting the (k+1)-th largest
+    keeps the deterministic error bound  true_count − estimate ≤
+    n/(k+1)  for the merged summary — the driver merge in
+    :func:`misra_gries_merge` applies exactly that rule.  At 100 TB
+    the shuffle carries ≤ k rows per partition, nothing else."""
+    import pandas as pd
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["value"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:  # decrement-all step
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"value": list(counters), "cnt": list(counters.values())}
+            )
+
+    return df.select(F.col(col).alias("value")).mapInPandas(
+        _mg, schema=f"value {df.schema[col].dataType.simpleString()}, cnt long"
+    )
+
+
+def misra_gries_merge(partials, k: int = 8) -> dict:
+    """Driver-side merge of per-partition MG summaries (bounded input:
+    ≤ k rows per partition): value-wise counter sum, then subtract the
+    (k+1)-th largest counter and drop non-positives — the mergeability
+    rule that preserves the n/(k+1) error bound."""
+    merged: dict = {}
+    for row in partials.groupBy("value").agg(F.sum("cnt").alias("cnt")).collect():
+        merged[row["value"]] = int(row["cnt"])
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {v: c - cut for v, c in merged.items() if c - cut > 0}
+    return merged

@@ -574,3 +574,45 @@ def outliers_mad_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 6).alias("mad"),
         )
     )
+
+
+@query(
+    "gate_misra_gries_heavy_hitters",
+    oracle="""
+        SELECT CAST(true AS BOOLEAN) AS all_heavy_present,
+               CAST(true AS BOOLEAN) AS bound_holds
+    """,
+)
+def gate_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the mergeable Misra-Gries sketch
+    (operators/sketches.py): with k=4 counters over the 7 event types
+    the deterministic THEOREM guarantees (1) every value whose exact
+    count exceeds n/(k+1) survives the merged summary, and (2) every
+    surviving estimate underestimates by at most n/(k+1).  Both hold
+    for ANY data, so the oracle is a literal; a merge-rule or
+    decrement bug flips a boolean.  k < |values| on purpose — the
+    decrement path and the merged (k+1)-th-largest subtraction
+    actually execute."""
+    from etl_utils_spark.operators.sketches import (
+        misra_gries_merge,
+        misra_gries_partials,
+    )
+
+    k = 4
+    e = _t(spark, sf_dir, "events").select("event_type")
+    merged = misra_gries_merge(misra_gries_partials(e, "event_type", k=k), k=k)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(exact.values())
+    bound = n / (k + 1)
+    heavy_present = all(v in merged for v, c in exact.items() if c > bound)
+    bound_holds = all(
+        exact.get(v, 0) - est <= bound and est <= exact.get(v, 0)
+        for v, est in merged.items()
+    )
+    return spark.createDataFrame(
+        [(bool(heavy_present), bool(bound_holds))],
+        "all_heavy_present boolean, bound_holds boolean",
+    )
