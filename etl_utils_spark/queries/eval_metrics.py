@@ -480,3 +480,54 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("n_pos"),
         F.sum("score_cents").cast("long").alias("sum_score_cents"),
     )
+
+
+@query(
+    "eval_roc_points",
+    oracle="""
+        WITH t AS (SELECT unnest([100.0, 200.0, 300.0, 400.0, 500.0,
+                                  600.0, 700.0, 800.0, 900.0]::DOUBLE[])
+                       AS thr),
+        s AS (
+            SELECT value AS score,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        )
+        SELECT thr,
+               CAST(SUM(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN score >= thr AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN score <  thr AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn,
+               CAST(SUM(CASE WHEN score <  thr AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM t CROSS JOIN s GROUP BY thr
+    """,
+)
+def eval_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating points at nine fixed thresholds: the exact
+    confusion-matrix integers (TP/FP/TN/FN) per threshold — TPR/FPR
+    and the plotted curve are single divisions downstream, so nothing
+    order-dependent crosses the engine boundary (the rank-decomposed
+    AUC in eval_auc_purchase_value summarizes the same curve; these
+    are the inspectable points).  ONE scan: the 9-row threshold array
+    explodes against each row map-side and the conditional sums
+    collapse in the partial aggregate — no 9× shuffle amplification."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in range(100, 1000, 100)])
+    ).alias("thr")
+    x = s.select("score", "y", thr)
+    hit = F.col("score") >= F.col("thr")
+    pos = F.col("y") == 1
+    return x.groupBy("thr").agg(
+        F.sum((hit & pos).cast("int")).cast("long").alias("tp"),
+        F.sum((hit & ~pos).cast("int")).cast("long").alias("fp"),
+        F.sum((~hit & ~pos).cast("int")).cast("long").alias("tn"),
+        F.sum((~hit & pos).cast("int")).cast("long").alias("fn"),
+    )

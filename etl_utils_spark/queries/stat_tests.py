@@ -773,3 +773,129 @@ def sample_weighted_docs_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "n_chars", F.round("es_key", 9).alias("es_key"))
     )
+
+
+@query(
+    "stats_cramers_v_lang_source",
+    oracle="""
+        WITH obs AS (SELECT lang, source, count(*)::DOUBLE AS o
+                     FROM documents GROUP BY 1, 2),
+             rl  AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+             cl  AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1),
+             n   AS (SELECT sum(o) AS n FROM obs),
+             grid AS (
+               SELECT rl.lang, cl.source, rl.rt * cl.ct / n.n AS e,
+                      coalesce(obs.o, 0) AS o
+               FROM rl CROSS JOIN cl CROSS JOIN n
+               LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cl.source
+             )
+        SELECT ROUND(sqrt(SUM((o - e) * (o - e) / e)
+                          / (SUM(o) * least(count(DISTINCT lang) - 1,
+                                            count(DISTINCT source) - 1))), 6)
+                   AS cramers_v,
+               CAST(SUM(o) AS BIGINT) AS n
+        FROM grid
+    """,
+)
+def stats_cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the lang × source association — the
+    [0,1]-normalized companion to stats_chi2_lang_source (a chi²
+    p-value says WHETHER the mix drifts with source; V says HOW MUCH,
+    comparably across table sizes).  Identical bounded-grid shape: one
+    count aggregate, margins from the observed cells, all arithmetic
+    on the |langs|×|sources| grid; sqrt is the irrational map → round
+    6 after it (docs/SCALE.md)."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rl = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cl = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rl.crossJoin(cl)
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+            F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
+        )
+    )
+    return grid.agg(
+        F.round(
+            F.sqrt(
+                F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+                / (
+                    F.sum("o")
+                    * F.least(
+                        F.countDistinct("lang") - F.lit(1),
+                        F.countDistinct("source") - F.lit(1),
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.sum("o").cast("long").alias("n"),
+    )
+
+
+@query(
+    "stats_brown_forsythe_components",
+    oracle="""
+        WITH med AS (
+            SELECT o_orderpriority,
+                   quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5)
+                       AS med
+            FROM orders GROUP BY o_orderpriority
+        ),
+        z AS (
+            SELECT o.o_orderpriority,
+                   abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - m.med) AS z
+            FROM orders o JOIN med m USING (o_orderpriority)
+        )
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n,
+               CAST(SUM(z) AS DOUBLE) / count(*) AS mean_z,
+               CAST(SUM(z * z) AS DOUBLE) AS sum_z2
+        FROM z GROUP BY o_orderpriority
+    """,
+)
+def stats_brown_forsythe_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity components per group:
+    |x − group median| deviations (the robust Levene variant) reduced
+    to (n, mean deviation, exact deviation-square sum) — every
+    quantity EXACT (decimal medians are rank-selected, decimal
+    absolute differences sum associatively, the mean is one division),
+    so no float summation order crosses the engine boundary.  The W
+    statistic is two more folds over these 5 rows; emitting the
+    per-group components keeps the output engine-exact AND more useful
+    (they feed Welch/ANOVA variants too).  Median via the bounded
+    count-frame decomposition, then one hash aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    c = o.select("o_orderpriority", x.alias("x")).groupBy(
+        "o_orderpriority", "x"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.select("o_orderpriority", "x", F.sum("c").over(w).alias("cum"))
+    tot = c.groupBy("o_orderpriority").agg(F.sum("c").alias("n"))
+    med = (
+        cum.join(F.broadcast(tot), "o_orderpriority")
+        .filter(F.col("cum") >= F.floor((F.col("n") - 1) / 2) + 1)
+        .groupBy("o_orderpriority")
+        .agg(F.min("x").alias("med"))
+    )
+    z = o.select("o_orderpriority", x.alias("x")).join(
+        F.broadcast(med), "o_orderpriority"
+    ).select("o_orderpriority", F.abs(F.col("x") - F.col("med")).alias("z"))
+    return z.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("z").cast("double") / F.count(F.lit(1))).alias("mean_z"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("sum_z2"),
+    )

@@ -141,6 +141,9 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         "mine_hard_negatives",
         "eval_ndcg_quantized_retrieval",
         "eval_recall_mrr_quantized",
+        # Cramér's V: the same |langs|×|sources| margins grid + 1-row N
+        # cross join as the allowlisted stats_chi2_lang_source
+        "stats_cramers_v_lang_source",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
