@@ -297,15 +297,18 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate texts sort adjacent, so the w-window recovers them
     without the all-pairs or LSH machinery — the cheap first-line
     dedup pass."""
+    from etl_utils_spark.sources.tables import estimated_scan_splits
+
     docs = _t(spark, sf_dir, "documents")
-    # The fixture ships as one parquet file → one input partition, and
-    # every row-level stage here (regex normalize, tokenize, shingle)
-    # would run single-threaded AND be recomputed once per consumer.
-    # Spread the text across the cluster first; at scale the input is
-    # already many splits and this repartition collapses to a no-op
-    # decision.  inputFiles() reads the scan's file listing without the
-    # RDD-conversion lineage a .rdd probe would compile.
-    if len(docs.inputFiles()) < spark.sparkContext.defaultParallelism:
+    # The fixture ships as one small parquet file → one scan partition,
+    # and every row-level stage here (regex normalize, tokenize,
+    # shingle) would run single-threaded AND be recomputed once per
+    # consumer.  Spread the text across the cluster first; the gate is
+    # on ESTIMATED SCAN SPLITS (size/maxPartitionBytes), not file
+    # count, so a single large splittable file — already many scan
+    # partitions — skips the shuffle at scale.
+    splits = estimated_scan_splits(docs)
+    if splits is not None and splits < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(F.col("doc_id"))
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
     k = docs.select(

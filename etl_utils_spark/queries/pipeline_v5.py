@@ -160,7 +160,8 @@ _KFOLD_U = lcg_uniform_sql("src_num", "0", 1)
     oracle=f"""
         WITH s AS (
             SELECT doc_id, lang, n_chars,
-                   CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+                   COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1)
+                                     AS BIGINT), -1)
                        AS src_num
             FROM documents
         ),
@@ -182,9 +183,14 @@ def split_kfold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is stable under corpus growth — no shuffle beyond the
     final bounded (fold × lang) aggregate.  FLOOR before the int cast
     per docs/SCALE.md (double→int truncation differs across engines
-    for negatives; floor is explicit)."""
+    for negatives; floor is explicit).  A digitless source id maps to
+    the sentinel -1 (one deterministic fold) on BOTH engines — Spark's
+    cast yields NULL while DuckDB's plain CAST would raise, so the
+    oracle uses COALESCE(TRY_CAST(...), -1) and Spark mirrors it."""
     d = _t(spark, sf_dir, "documents")
-    src_num = F.regexp_extract("source", r"([0-9]+)", 1).cast("long")
+    src_num = F.coalesce(
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("long"), F.lit(-1)
+    )
     fold = F.floor(
         lcg_uniform(src_num, F.lit(0), 1) * _KFOLD
     ).cast("long")

@@ -464,12 +464,16 @@ def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is the post-dedup doc order)."""
     from etl_utils_spark.operators.ids import prefix_sum
 
+    from etl_utils_spark.sources.tables import estimated_scan_splits
+
     d = _t(spark, sf_dir, "documents")
-    # Single-file fixture → one input partition: spread the text before
-    # the tokenize/explode stages (no-op decision on a split input).
-    # inputFiles() reads the scan's file listing without converting the
-    # frame to an RDD (the .rdd probe compiles a second physical plan).
-    if len(d.inputFiles()) < spark.sparkContext.defaultParallelism:
+    # Single-small-file fixture → one scan partition: spread the text
+    # before the tokenize/explode stages.  Gate on ESTIMATED SCAN
+    # SPLITS (size/maxPartitionBytes), not file count — one large
+    # splittable file is already many partitions and must not pay an
+    # extra shuffle at scale.
+    splits = estimated_scan_splits(d)
+    if splits is not None and splits < spark.sparkContext.defaultParallelism:
         d = d.repartition(F.col("doc_id"))
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)

@@ -234,20 +234,31 @@ def stats_ks_binned_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_rolling_corr_price_qty",
     oracle="""
-        WITH w AS (
+        WITH b AS (
+          SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS px,
+                 CAST(l_quantity AS BIGINT) AS qy
+          FROM lineitem
+        ), w AS (
           SELECT l_orderkey, l_linenumber,
                  count(*) OVER fr AS n,
-                 covar_samp(l_extendedprice, l_quantity) OVER fr AS cv,
-                 stddev_samp(l_extendedprice) OVER fr AS sx,
-                 stddev_samp(l_quantity) OVER fr AS sy
-          FROM lineitem
+                 SUM(px) OVER fr AS sx,
+                 SUM(qy) OVER fr AS sy,
+                 SUM(px * qy) OVER fr AS sxy,
+                 SUM(px * px) OVER fr AS sxx,
+                 SUM(qy * qy) OVER fr AS syy
+          FROM b
           WINDOW fr AS (PARTITION BY l_suppkey
                         ORDER BY l_shipdate, l_orderkey, l_linenumber
                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         )
         SELECT l_orderkey, l_linenumber,
-               CASE WHEN n >= 2 AND sx > 0 AND sy > 0
-                    THEN ROUND(cv / (sx * sy), 4) END AS rcorr
+               CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                      * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+                         + 0.0
+               END AS rcorr
         FROM w
     """,
 )
@@ -255,27 +266,54 @@ def stats_rolling_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 10-row price/quantity correlation per supplier — the
     drift monitor for a joint distribution.  Window partitioned by the
     HIGH-cardinality supplier key (parallel at any scale; never a
-    corpus-wide frame), deterministic (shipdate, orderkey, linenumber)
-    total order, and the correlation is assembled from guarded
-    covariance/stddev components so degenerate frames yield NULL
-    identically on both engines (Spark's corr would emit NaN)."""
+    corpus-wide frame) with a deterministic (shipdate, orderkey,
+    linenumber) total order.  The frame moments n, Sx, Sy, Sxy, Sxx,
+    Syy are EXACT BIGINT window sums over cents (price·100 and
+    quantity are integer-exact), so both engines feed the identical
+    IEEE inputs into one shared double expression
+    (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²)) and the
+    round-after-sqrt is hash-stable — engine-builtin covar/stddev
+    accumulate differently at the ulp level and are NOT (the r5
+    driver red this replaces).  Degenerate frames yield NULL
+    identically on both engines."""
     l = _t(spark, sf_dir, "lineitem")
+    base = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("px"),
+        F.col("l_quantity").cast("long").alias("qy"),
+    )
     fr = (
         Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(-9, Window.currentRow)
     )
-    w = l.select(
+    w = base.select(
         "l_orderkey",
         "l_linenumber",
         F.count(F.lit(1)).over(fr).alias("n"),
-        F.covar_samp("l_extendedprice", "l_quantity").over(fr).alias("cv"),
-        F.stddev_samp("l_extendedprice").over(fr).alias("sx"),
-        F.stddev_samp("l_quantity").over(fr).alias("sy"),
+        F.sum("px").over(fr).alias("sx"),
+        F.sum("qy").over(fr).alias("sy"),
+        F.sum(F.col("px") * F.col("qy")).over(fr).alias("sxy"),
+        F.sum(F.col("px") * F.col("px")).over(fr).alias("sxx"),
+        F.sum(F.col("qy") * F.col("qy")).over(fr).alias("syy"),
     )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     rcorr = F.when(
-        (F.col("n") >= 2) & (F.col("sx") > 0) & (F.col("sy") > 0),
-        F.round(F.col("cv") / (F.col("sx") * F.col("sy")), 4),
+        (F.col("n") >= 2) & (dx > 0) & (dy > 0),
+        # + 0.0 canonicalizes IEEE negative zero (DuckDB's ROUND keeps
+        # the sign of -0.00002 → -0.0; Spark's emits +0.0) — identity
+        # for every other value on both engines.
+        F.round(
+            num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")), 4
+        )
+        + F.lit(0.0),
     )
     return w.select("l_orderkey", "l_linenumber", rcorr.alias("rcorr"))
 

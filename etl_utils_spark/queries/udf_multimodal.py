@@ -169,11 +169,25 @@ _CONVERSION_LAG_ORACLE = """
         c AS (
             SELECT user_id, ts FROM events WHERE event_type = 'click'
         ),
+        -- Row-preserving as-of (carry the latest click ts forward over
+        -- a union, keep only purchase rows): two purchases by one user
+        -- at the SAME timestamp stay two rows, unlike a join + GROUP BY
+        -- p.user_id, p.ts which would collapse them.  'c' < 'p' sorts
+        -- same-instant clicks before purchases, so c.ts <= p.ts ties
+        -- count — identical to both Spark implementations.
         lagt AS (
-            SELECT p.user_id, p.ts, max(c.ts) AS cts
-            FROM p LEFT JOIN c
-              ON c.user_id = p.user_id AND c.ts <= p.ts
-            GROUP BY p.user_id, p.ts
+            SELECT user_id, ts, cts FROM (
+                SELECT user_id, ts, kind,
+                       max(CASE WHEN kind = 'c' THEN ts END) OVER (
+                           PARTITION BY user_id ORDER BY ts, kind
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cts
+                FROM (
+                    SELECT user_id, ts, 'c' AS kind FROM c
+                    UNION ALL
+                    SELECT user_id, ts, 'p' AS kind FROM p
+                )
+            ) WHERE kind = 'p'
         ),
         pu AS (
             SELECT user_id, count(*) AS n_purchases,
@@ -289,7 +303,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*)::BIGINT AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
                    AS sum_cents,
                min(value) AS v_min,
                max(value) AS v_max
@@ -300,8 +314,13 @@ def udf_grouped_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fourth Arrow UDF face (C7): grouped-map ``applyInArrow`` —
     the whole group arrives as ONE pyarrow.Table and the kernels run
     in Arrow compute (no pandas materialization, unlike applyInPandas).
-    Per event type: count, exact integer cent sum (round(value·100) →
-    int64 — associative, order-independent), and min/max (carried
+    Per event type: count, exact integer cent sum (floor(v·100+0.5) →
+    int64 — associative, order-independent, and the SAME IEEE
+    expression the oracle computes: Arrow's pc.round is half-to-even
+    on the raw binary product while DuckDB's double→DECIMAL cast is
+    half-up on the shortest decimal repr, so neither builtin rounding
+    can match the other on 3-decimal or dyadic inputs; a shared
+    floor(x+0.5) is engine-exact for any input), and min/max (carried
     doubles, no arithmetic) — every output is engine-exact, so the
     Arrow path is hash-certified, not just row-counted."""
     import pyarrow as pa
@@ -309,7 +328,7 @@ def udf_grouped_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _stats(table: "pa.Table") -> "pa.Table":
         v = table.column("value")
-        cents = pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)), pa.int64())
         return pa.table(
             {
                 "event_type": pa.array(

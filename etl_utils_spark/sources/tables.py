@@ -88,3 +88,49 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register fixture tables as temp views for spark.sql access."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g')."""
+    v = v.strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if v.endswith(suffix):
+            v = v[: -len(suffix)]
+            mult = m
+            break
+    return int(float(v)) * mult
+
+
+def estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimated number of scan partitions for ``df``'s file source:
+    ``sum(ceil(size / maxPartitionBytes))`` over its input files.
+
+    File COUNT alone is the wrong spread signal — one LARGE splittable
+    parquet already yields many scan partitions, and repartitioning it
+    would add a gratuitous shuffle at scale; only a scan whose total
+    estimated splits are few genuinely needs a repartition before
+    per-row-heavy work (the single-small-file fixture case).  Returns
+    None (caller should assume the input is already well split) for
+    non-local URIs or unreadable paths — a remote object store at
+    100 TB is many files by construction."""
+    import math
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return 0
+    max_bytes = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    splits = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("file", ""):
+            return None
+        try:
+            size = os.path.getsize(unquote(p.path))
+        except OSError:
+            return None
+        splits += max(1, math.ceil(size / max_bytes))
+    return splits
