@@ -271,10 +271,17 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     per_char = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
     n = F.sum("c").cast("double")
     c = F.col("c").cast("double")
+    # The c·ln(c) terms are irrational doubles: quantize each at 2^-30
+    # (shared floor IEEE expression) so the per-doc sum is exact
+    # integer arithmetic — raw float sums are summation-order-dependent
+    # and a ROUND on top flips digits across engines.
+    q = F.floor(c * F.log(c) * 1073741824.0 + 0.5).cast("long")
     return per_char.groupBy(id_col).agg(
         F.sum("c").alias("n_chars_total"),
         F.count(F.lit(1)).alias("n_distinct_chars"),
-        F.round(F.log2(n) - F.sum(c * F.log(c)) / (n * F.lit(ln2)), 6).alias(
-            "entropy_bits"
-        ),
+        F.round(
+            F.log2(n)
+            - (F.sum(q).cast("double") / 1073741824.0) / (n * F.lit(ln2)),
+            6,
+        ).alias("entropy_bits"),
     )

@@ -27,8 +27,16 @@ def l2_norm(v: pd.Series) -> pd.Series:
 @pandas_udf(T.DoubleType())
 def mean_value(v: pd.Series) -> float:
     """C7b grouped-aggregate pandas UDF (used with groupBy().agg());
-    the Series→scalar type hints mark it GROUPED_AGG."""
-    return float(v.mean())
+    the Series→scalar type hints mark it GROUPED_AGG.  Exact-sum
+    discipline: elements quantize to integer cents with the shared
+    floor(v*100+0.5) IEEE expression, the sum is exact int64, and the
+    mean is ONE IEEE division — bit-identical to the SQL oracle's
+    SUM(cents)/(n*100.0), where np.mean's pairwise float summation
+    would drift at the ulp level."""
+    import numpy as np
+
+    cents = np.floor(v.to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+    return float(cents.sum()) / (len(cents) * 100.0)
 
 
 def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -40,13 +48,27 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame
     )
 
     def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         import numpy as np
 
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        mu = x.mean() if len(x) else 0.0
-        sd = x.std() if len(x) else 0.0
+        # Exact-moment z-score: cents via the shared floor(x*100+0.5)
+        # IEEE expression, exact integer n/S/Sxx, then the single
+        # shared double expression (n*c - S)/sqrt(n*Sxx - S^2) — scale-
+        # invariant (equals the dollars z-score for 2-decimal data) and
+        # bit-identical to the SQL oracle, unlike np.mean/np.std whose
+        # pairwise summation drifts at the ulp level.
+        c = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        n = len(c)
+        s = int(c.sum())
+        sxx = int(np.dot(c, c))
+        d = n * sxx - s * s
         pdf = pdf.copy()
-        pdf["zscore"] = (x - mu) / sd if sd > 0 else 0.0
+        if d > 0:
+            pdf["zscore"] = (n * c - s).astype(np.float64) / math.sqrt(float(d))
+        else:
+            pdf["zscore"] = 0.0
         return pdf
 
     return df.groupBy(group_col).applyInPandas(_z, schema)

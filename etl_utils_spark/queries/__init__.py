@@ -67,69 +67,15 @@ from etl_utils_spark.queries import privacy_ops  # noqa: E402,F401
 # entries, and the first scale_ops entry.  Everything past #50 stays
 # in backlog order for the r6 rotation.
 _WINDOW = [
-    # repaired r4 reds + never-re-verified fix + retargeted gate
-    "map_funcs_events",
-    "udf_cogrouped_conversion_lag",
-    "array_advanced_ops",
-    "gate_logreg_quality_auc",
-    "train_price_ols_normal_eq",
-    # §2 streaming rows with no driver row (C10b, C10e)
-    "stream_sliding_counts_live",
-    "stream_dedup_within_watermark",
-    # stat_tests pack (never sampled)
-    "stats_chi2_lang_source",
-    "stats_ttest_price_by_status",
-    "stats_ks_binned_prices",
+    # --- r6 window (driver checks the FIRST 50 registry entries):
+    # entry 1 = the repaired r5 red; entries 2-50 = never-driver-
+    # verified backlog in VERDICT-r5 staged order (the two C2c
+    # approximate-quality gates + the PNG decoder promoted up front,
+    # then scale_ops / modern_sql / etl_audit / curation_v3 / ml_prep).
     "stats_rolling_corr_price_qty",
-    "seasonal_hourly_baseline",
-    "max_concurrent_sessions",
-    "sliding_distinct_users_7d",
-    "sample_reservoir_per_type",
-    "sample_weighted_docs_es",
-    "exact_quantiles_orders",
-    "stats_skew_kurtosis_by_type",
-    "grouped_median_prices_by_priority",
-    "weighted_median_price_by_qty",
-    "exact_percentile_cont_orders",
-    # drift & information metrics pack
-    "drift_psi_value_split",
-    "stream_psi_daily_live",
-    "drift_js_lang_by_source",
-    "stats_mutual_info_lang_source",
-    "feature_target_encode_priority",
-    "langid_confusion_matrix",
-    # rank-analytics pack
-    "stats_spearman_price_qty",
-    "dq_benford_totalprice",
-    "join_lateral_top_orders",
-    "window_nth_cume_dist",
-    "topk_similar_doc_pairs",
-    "revenue_wow_change",
-    "copurchase_lift_pairs",
-    "xcorr_click_purchase_hourly",
-    # eval-metrics pack
-    "eval_auc_purchase_value",
-    "stats_bootstrap_ci_mean",
-    "stats_mann_kendall_monthly",
-    # pairs/retrieval pack
-    "skyline_orders_pareto",
-    "rrf_fuse_multi_query",
-    "dedup_sorted_neighborhood",
-    # inference pack
-    "stats_randomization_test_diff",
-    "stats_theilsen_monthly",
-    "seasonal_decompose_daily",
-    "stats_two_proportion_ztest",
-    "markov_top1_accuracy",
-    "gate_jl_distortion_bounded",
-    # unsampled llm dedup/ANN gates + first scale_ops entry (= #50)
-    "gate_pq_recall_floor",
-    "dedup_overlap_containment",
-    "bpe_learn_merges",
-    # --- entries past #50: the r6 rotation backlog, sampled only if
-    # the driver widens its window (scale_ops, modern_sql, etl_audit,
-    # curation_v3, ml_prep, features, profiling, streaming, behavioral,
-    # graph/timeseries/embeddings/text packs)
+    "gate_approx_quantiles_tolerance",
+    "gate_approx_distinct_tolerance",
+    "multimodal_decode_png",
     "bpe_apply_corpus",
     "dedup_lines_boilerplate",
     "shard_assign_docs",
@@ -176,6 +122,7 @@ _WINDOW = [
     "decontaminate_test_split",
     "sample_quality_weighted",
     "chunk_tokens_sliding",
+    # --- entries past #50: the r7 rotation backlog, in order.
     "mixture_rebalance_langs",
     "embedding_quantize_int8",
     "embedding_label_stats",
@@ -193,8 +140,6 @@ _WINDOW = [
     "dq_expectations_documents",
     "join_salted_skew_events",
     "stats_regr_price_on_qty",
-    "gate_approx_quantiles_tolerance",
-    "gate_approx_distinct_tolerance",
     "gate_stratified_fractions",
     "gate_freq_items_contains_mode",
     "gate_cms_overestimate",

@@ -265,7 +265,8 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_user_counts",
     oracle="""
         SELECT user_id, count(*) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value
         FROM events
         GROUP BY user_id
     """,

@@ -110,7 +110,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0) * 1.5
+            FROM orders)
     """,
 )
 def subq_scalar_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +125,11 @@ def subq_scalar_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM {orders}
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM {orders})
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0) * 1.5
+            FROM {orders})
         """,
         orders=register,
     )

@@ -36,7 +36,8 @@ from etl_utils_spark.sources.tables import load_table as _t
                    date_diff('day', max(o_orderdate), (SELECT r0 FROM ref))
                        AS recency_days,
                    CAST(count(*) AS BIGINT) AS frequency,
-                   round(sum(o_totalprice), 2) AS monetary
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS DOUBLE) / 100.0 AS monetary
             FROM orders GROUP BY o_custkey
         ),
         scored AS (
@@ -65,7 +66,12 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            (
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("monetary"),
         )
         .crossJoin(F.broadcast(ref))
         .select(
@@ -92,21 +98,24 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH spend AS (
             SELECT c.c_nationkey, o.o_custkey,
-                   round(sum(o.o_totalprice), 2) AS s
+                   SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS sc
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
         ),
         ranked AS (
-            SELECT c_nationkey, s,
+            SELECT c_nationkey, sc,
                    row_number() OVER (
-                       PARTITION BY c_nationkey ORDER BY s, o_custkey
+                       PARTITION BY c_nationkey ORDER BY sc, o_custkey
                    ) AS i
             FROM spend
         )
         SELECT n.n_name,
                CAST(count(*) AS BIGINT) AS n_customers,
-               round(2.0 * sum(i * s) / (count(*) * sum(s))
-                     - (count(*) + 1.0) / count(*), 6) AS gini
+               2.0 * CAST(SUM(CAST(i AS HUGEINT) * sc) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * CAST(SUM(sc) AS DOUBLE))
+                   - (CAST(count(*) AS DOUBLE) + 1.0)
+                     / CAST(count(*) AS DOUBLE) AS gini
         FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
     """,
@@ -116,32 +125,41 @@ def gini_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending
     spend — a window rank + one aggregate, no pairwise |x_i - x_j| join
     (the naive formulation is O(n^2) and unusable at scale).  Spend is
-    rounded to cents BEFORE ranking so tile order matches the oracle."""
+    EXACT integer cents end-to-end: the rank order, the rank-weighted
+    sum Σi·s and the spend sum are all exact integers (decimal sums —
+    rank products pass int64 at scale), and the Gini is one shared
+    IEEE expression emitted unrounded (the cents scale cancels in
+    2Σis/(nΣs)); a float spend sum would be summation-order-dependent
+    on both the value and the tie order."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     spend = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("sc")
+        )
     )
     ranked = spend.select(
         "c_nationkey",
-        "s",
+        "sc",
         F.row_number()
-        .over(Window.partitionBy("c_nationkey").orderBy("s", "o_custkey"))
+        .over(Window.partitionBy("c_nationkey").orderBy("sc", "o_custkey"))
         .alias("i"),
     )
+    n_d = F.count(F.lit(1)).cast("double")
+    sis = F.sum(F.col("i").cast("decimal(18,0)") * F.col("sc").cast("decimal(18,0)"))
     return (
         ranked.join(F.broadcast(n), ranked.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                2.0 * F.sum(F.col("i") * F.col("s"))
-                / (F.count(F.lit(1)) * F.sum("s"))
-                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
-                6,
+            (
+                2.0 * sis.cast("double") / (n_d * F.sum("sc").cast("double"))
+                - (n_d + 1.0) / n_d
             ).alias("gini"),
         )
     )
@@ -162,8 +180,12 @@ def gini_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                CAST(max(n) AS BIGINT) AS n_orders,
                CAST(count(*) AS BIGINT) AS n_kept,
-               round(avg(o_totalprice), 4) AS trimmed_mean,
-               round(sum(o_totalprice) / count(*), 4) AS trimmed_mean_check
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0) AS trimmed_mean,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0) AS trimmed_mean_check
         FROM ranked
         WHERE rn > n // 10 AND rn <= n - n // 10
         GROUP BY o_orderpriority
@@ -188,13 +210,16 @@ def trimmed_mean_prices_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("rn") > F.floor(F.col("n") / 10))
         & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 10))
     )
+    _cents_mean = (
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("double")
+        / (F.count(F.lit(1)).cast("double") * 100.0)
+    )
     return kept.groupBy("o_orderpriority").agg(
         F.max("n").cast("long").alias("n_orders"),
         F.count(F.lit(1)).alias("n_kept"),
-        F.round(F.avg("o_totalprice"), 4).alias("trimmed_mean"),
-        F.round(F.sum("o_totalprice") / F.count(F.lit(1)), 4).alias(
-            "trimmed_mean_check"
-        ),
+        _cents_mean.alias("trimmed_mean"),
+        _cents_mean.alias("trimmed_mean_check"),
     )
 
 
@@ -222,8 +247,10 @@ def trimmed_mean_prices_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
             FROM deaths d
         )
         SELECT t AS duration_days, n AS n_risk, d AS n_events,
-               round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n))
-                         OVER (ORDER BY t)), 6) AS survival
+               round(exp(CAST(sum(CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n)
+                                             * 1073741824.0 + 0.5) AS BIGINT))
+                              OVER (ORDER BY t) AS DOUBLE) / 1073741824.0), 6)
+                   AS survival
         FROM risk
     """,
 )
@@ -273,9 +300,23 @@ def kaplan_meier_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("duration_days"),
         F.col("n").alias("n_risk"),
         F.col("d").alias("n_events"),
+        # Each hazard term ln(1 - d/n) is 2^-30-quantized before the
+        # ordered cumulative sum: engines accumulate windowed float
+        # sums in different orders (segment tree vs sequential), so
+        # raw-double cumsums drift at the ulp level; the integer
+        # cumsum is exact, and round 6 sits after the irrational exp.
         F.round(
             F.exp(
-                F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n"))).over(w)
+                F.sum(
+                    F.floor(
+                        F.log(1.0 - F.col("d").cast("double") / F.col("n"))
+                        * 1073741824.0
+                        + 0.5
+                    ).cast("long")
+                )
+                .over(w)
+                .cast("double")
+                / 1073741824.0
             ),
             6,
         ).alias("survival"),
@@ -303,7 +344,8 @@ def kaplan_meier_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_gaps,
                min(gap_us) AS min_gap_us,
                max(gap_us) AS max_gap_us,
-               round(avg(gap_us) / 1000000.0, 3) AS avg_gap_s
+               CAST(SUM(gap_us) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_gap_s
         FROM tiled GROUP BY event_type, decile
     """,
 )
@@ -328,7 +370,10 @@ def interevent_gap_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
-        F.round(F.avg("gap_us") / 1000000.0, 3).alias("avg_gap_s"),
+        (
+            F.sum("gap_us").cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1000000.0)
+        ).alias("avg_gap_s"),
     )
 
 

@@ -99,9 +99,10 @@ def quality_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                count(*)::BIGINT AS n_docs,
                count(DISTINCT md5(text))::BIGINT AS n_distinct_texts,
-               ROUND(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
-                   AS dup_rate,
-               ROUND(avg(n_chars), 4) AS avg_chars
+               1.0 - count(DISTINCT md5(text))::DOUBLE
+                     / CAST(count(*) AS DOUBLE)        AS dup_rate,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS avg_chars
         FROM documents
         GROUP BY source
     """,
@@ -117,8 +118,8 @@ def source_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         n.alias("n_docs"),
         nd.alias("n_distinct_texts"),
-        F.round(1.0 - nd.cast("double") / n, 6).alias("dup_rate"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (1.0 - nd.cast("double") / n.cast("double")).alias("dup_rate"),
+        (F.sum("n_chars").cast("double") / n.cast("double")).alias("avg_chars"),
     )
 
 

@@ -57,7 +57,9 @@ _PSI_SMOOTH = 0.5
           FROM bins b CROSS JOIN tot t CROSS JOIN nb
           LEFT JOIN c ON c.bin = b.bin AND c.g = t.g
         )
-        SELECT ROUND(SUM((a.p - b.p) * ln(a.p / b.p)), 6) AS psi,
+        SELECT CAST(SUM(CAST(floor((a.p - b.p) * ln(a.p / b.p)
+                                   * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1073741824.0 AS psi,
                (SELECT CAST(b AS BIGINT) FROM nb) AS n_bins
         FROM (SELECT bin, p FROM grid WHERE g = 'a') a
         JOIN (SELECT bin, p FROM grid WHERE g = 'b') b USING (bin)
@@ -96,10 +98,14 @@ def drift_psi_value_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = grid.filter(F.col("g") == "a").select("bin", F.col("p").alias("p_a"))
     b = grid.filter(F.col("g") == "b").select("bin", F.col("p").alias("p_b"))
+    # Quantize each bin's PSI term at 2^-30 (shared floor IEEE
+    # expression), sum exactly, divide by the power-of-two grid once —
+    # summing raw double terms is order-dependent and a ROUND on top
+    # is the r5 red class.
+    term = (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b"))
+    q = F.floor(term * 1073741824.0 + 0.5).cast("long")
     psi = a.join(b, "bin").agg(
-        F.round(
-            F.sum((F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b"))), 6
-        ).alias("psi")
+        (F.sum(q).cast("double") / 1073741824.0).alias("psi")
     )
     return psi.crossJoin(nb.select(F.col("b").cast("long").alias("n_bins")))
 
@@ -127,7 +133,9 @@ def drift_psi_value_split(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN qb ON qb.bin = b.bin
           LEFT JOIN c ON c.day = d.day AND c.bin = b.bin
         )
-        SELECT day, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+        SELECT day,
+               CAST(SUM(CAST(floor((p - q) * ln(p / q) * 1073741824.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1073741824.0 AS psi
         FROM grid GROUP BY 1
     """,
 )
@@ -178,10 +186,10 @@ def stream_psi_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    qq = F.floor(term * 1073741824.0 + 0.5).cast("long")
     return grid.groupBy("day").agg(
-        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias(
-            "psi"
-        )
+        (F.sum(qq).cast("double") / 1073741824.0).alias("psi")
     )
 
 
@@ -207,7 +215,10 @@ def stream_psi_daily_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END AS tq
           FROM grid
         )
-        SELECT source, ROUND(0.5 * SUM(tp) + 0.5 * SUM(tq), 6) AS jsd
+        SELECT source,
+               CAST(SUM(CAST(floor(tp * 1073741824.0 + 0.5) AS BIGINT))
+                    + SUM(CAST(floor(tq * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 2147483648.0 AS jsd
         FROM terms GROUP BY 1
     """,
 )
@@ -240,7 +251,15 @@ def drift_js_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grid.select("source", tp.alias("tp"), tq.alias("tq"))
         .groupBy("source")
-        .agg(F.round(0.5 * F.sum("tp") + 0.5 * F.sum("tq"), 6).alias("jsd"))
+        .agg(
+            (
+                (
+                    F.sum(F.floor(F.col("tp") * 1073741824.0 + 0.5).cast("long"))
+                    + F.sum(F.floor(F.col("tq") * 1073741824.0 + 0.5).cast("long"))
+                ).cast("double")
+                / 2147483648.0
+            ).alias("jsd")
+        )
     )
 
 
@@ -253,10 +272,13 @@ def drift_js_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         n AS (SELECT sum(n) AS nn FROM c),
         rl AS (SELECT lang, sum(n) AS rt FROM c GROUP BY 1),
         cl AS (SELECT source, sum(n) AS ct FROM c GROUP BY 1)
-        SELECT ROUND(SUM((c.n / n.nn)
-                         * ln((c.n / n.nn) / ((rl.rt / n.nn) * (cl.ct / n.nn)))), 6)
+        SELECT CAST(SUM(CAST(floor((c.n / n.nn)
+                         * ln((c.n / n.nn) / ((rl.rt / n.nn) * (cl.ct / n.nn)))
+                         * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824.0
                    AS mutual_info,
-               ROUND(-SUM((c.n / n.nn) * ln(c.n / n.nn)), 6) AS joint_entropy
+               -(CAST(SUM(CAST(floor((c.n / n.nn) * ln(c.n / n.nn)
+                                     * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824.0)
+                   AS joint_entropy
         FROM c
         JOIN rl USING (lang) JOIN cl USING (source) CROSS JOIN n
     """,
@@ -281,8 +303,22 @@ def stats_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame
     pi = F.col("rt") / F.col("nn")
     pj = F.col("ct") / F.col("nn")
     return j.agg(
-        F.round(F.sum(pij * F.log(pij / (pi * pj))), 6).alias("mutual_info"),
-        F.round(-F.sum(pij * F.log(pij)), 6).alias("joint_entropy"),
+        (
+            F.sum(
+                F.floor(pij * F.log(pij / (pi * pj)) * 1073741824.0 + 0.5).cast(
+                    "long"
+                )
+            ).cast("double")
+            / 1073741824.0
+        ).alias("mutual_info"),
+        (
+            -(
+                F.sum(
+                    F.floor(pij * F.log(pij) * 1073741824.0 + 0.5).cast("long")
+                ).cast("double")
+                / 1073741824.0
+            )
+        ).alias("joint_entropy"),
     )
 
 

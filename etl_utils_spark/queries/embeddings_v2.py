@@ -30,7 +30,8 @@ from etl_utils_spark.sources.tables import load_table as _t
         SELECT CAST(label AS BIGINT) AS label,
                CAST(dim AS BIGINT) AS dim,
                CAST(count(*) AS BIGINT) AS n_vectors,
-               round(avg(e), 6) AS centroid
+               CAST(SUM(CAST(floor(e * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1048576.0) AS centroid
         FROM flat GROUP BY label, dim
     """,
 )
@@ -49,9 +50,17 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("dim"),  # 1-based like SQL
         F.col("e").cast("double").alias("e"),
     )
+    # Mean of floats is summation-order-dependent (a ROUND on top is
+    # the r5 red class): quantize each element at 2^-20 with the shared
+    # floor(e*2^20+0.5) IEEE expression (exact — power-of-two scaling
+    # of a float32 never rounds), sum as exact BIGINT, divide once.
+    q = F.floor(F.col("e") * 1048576.0 + 0.5).cast("long")
     return flat.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg("e"), 6).alias("centroid"),
+        (
+            F.sum(q).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1048576.0)
+        ).alias("centroid"),
     )
 
 
@@ -65,12 +74,18 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         ),
         cent AS (
-            SELECT label, dim, avg(e) AS c
+            SELECT label, dim,
+                   CAST(floor(
+                       CAST(SUM(CAST(floor(e * 1048576.0 + 0.5) AS BIGINT))
+                            AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE) * 1048576.0) * 1000000.0
+                       + 0.5) AS BIGINT) AS cq
             FROM flat GROUP BY label, dim
         )
         SELECT CAST(a.label AS BIGINT) AS label_a,
                CAST(b.label AS BIGINT) AS label_b,
-               round(sqrt(sum(pow(a.c - b.c, 2))), 6) AS euclidean_dist
+               sqrt(CAST(SUM((a.cq - b.cq) * (a.cq - b.cq)) AS DOUBLE))
+                   / 1000000.0 AS euclidean_dist
         FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
         GROUP BY a.label, b.label
     """,
@@ -90,9 +105,26 @@ def centroid_separation_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("dim"),
         F.col("e").cast("double").alias("e"),
     )
-    cent = flat.groupBy("label", "dim").agg(F.avg("e").alias("c"))
+    # Deterministic centroids: exact BIGINT sums of 2^-20-quantized
+    # elements, one IEEE division, then the centroid itself quantized
+    # at 1e-6 to a BIGINT so the pairwise distance sums EXACT integers
+    # (bounded by the quantization grid — overflow-free at any corpus
+    # scale) instead of order-dependent doubles; sqrt + one division
+    # at the very end, shared IEEE on both engines.
+    qe = F.floor(F.col("e") * 1048576.0 + 0.5).cast("long")
+    cent = flat.groupBy("label", "dim").agg(
+        F.floor(
+            F.sum(qe).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1048576.0)
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("cq")
+    )
     a = cent.alias("a")
     b = cent.alias("b")
+    d = F.col("a.cq") - F.col("b.cq")
     return (
         a.join(
             b,
@@ -102,8 +134,8 @@ def centroid_separation_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
         )
         .agg(
-            F.round(
-                F.sqrt(F.sum(F.pow(F.col("a.c") - F.col("b.c"), 2))), 6
-            ).alias("euclidean_dist")
+            (F.sqrt(F.sum(d * d).cast("double")) / 1000000.0).alias(
+                "euclidean_dist"
+            )
         )
     )

@@ -73,8 +73,9 @@ def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH anchor AS (SELECT max(ts) AS t0 FROM events)
         SELECT user_id,
                count(*) AS n_events,
-               ROUND(SUM(value * exp(-((epoch_us(t0) - epoch_us(ts))
-                                       / 86400000000.0) / 7.0)), 4)
+               CAST(SUM(CAST(floor(value * exp(-((epoch_us(t0) - epoch_us(ts))
+                                                 / 86400000000.0) / 7.0)
+                                   * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824.0
                    AS decayed_score
         FROM events, anchor
         GROUP BY user_id
@@ -94,9 +95,15 @@ def time_decay_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value") * F.exp(-age_days / 7.0)), 4).alias(
-                "decayed_score"
-            ),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("value") * F.exp(-age_days / 7.0) * 1073741824.0
+                        + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / 1073741824.0
+            ).alias("decayed_score"),
         )
     )
 
@@ -104,32 +111,54 @@ def time_decay_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "feature_scale_events",
     oracle="""
-        WITH m AS (
-            SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
-            FROM events GROUP BY event_type
+        WITH b AS (
+            SELECT event_id, event_type, value,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cv
+            FROM events
+        ),
+        m AS (
+            SELECT event_type, count(*) AS n, SUM(cv) AS s,
+                   SUM(cv * cv) AS sxx
+            FROM b GROUP BY event_type
         )
-        SELECT event_id, e.event_type,
-               ROUND((value - mu) / sigma, 6) AS value_z
-        FROM events e JOIN m USING (event_type)
+        SELECT event_id, b.event_type,
+               CASE WHEN m.n * m.sxx - m.s * m.s > 0
+                    THEN CAST(m.n * b.cv - m.s AS DOUBLE)
+                         / sqrt(CAST(m.n * m.sxx - m.s * m.s AS DOUBLE))
+                    ELSE 0.0 END AS value_z
+        FROM b JOIN m USING (event_type)
     """,
 )
 def feature_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group standardization (z-score of value within event_type)
     via a BROADCAST join of the per-group moments — never a window
     partitioned by a 5-value column, which would sort the corpus into
-    5 reducers at scale."""
-    e = _t(spark, sf_dir, "events")
-    m = e.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    5 reducers at scale.  Moments are EXACT integer cent sums feeding
+    the single shared IEEE expression (n·c − S)/sqrt(n·Sxx − S²) —
+    scale-invariant, so it equals the dollars z-score — because
+    builtin avg/stddev accumulate engine-specifically (the r5 red
+    class); degenerate groups emit 0.0 on both engines."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cv", F.floor(F.col("value") * 100.0 + 0.5).cast("long")
     )
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cv").alias("s"),
+        F.sum(F.col("cv") * F.col("cv")).alias("sxx"),
+    )
+    d = F.col("n") * F.col("sxx") - F.col("s") * F.col("s")
     return (
         e.join(F.broadcast(m), "event_type")
         .select(
             "event_id",
             "event_type",
-            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
-                "value_z"
-            ),
+            F.when(
+                d > 0,
+                (F.col("n") * F.col("cv") - F.col("s")).cast("double")
+                / F.sqrt(d.cast("double")),
+            )
+            .otherwise(0.0)
+            .alias("value_z"),
         )
     )
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_utils_spark.operators import exact_moments
 from etl_utils_spark.queries.registry import query
 from etl_utils_spark.queries.shared import jaccard_pair_graph
 
@@ -71,8 +72,9 @@ _PAIRS_CTE = """
         )
         SELECT (SELECT m_edges FROM m) AS m_edges,
                CAST(count(*) AS BIGINT) AS n_components,
-               round(1.0 - sum(pow(CAST(l_c AS DOUBLE)
-                                   / (SELECT m_edges FROM m), 2)), 6)
+               1.0 - CAST(SUM(CAST(l_c AS HUGEINT) * l_c) AS DOUBLE)
+                     / (CAST((SELECT m_edges FROM m) AS DOUBLE)
+                        * CAST((SELECT m_edges FROM m) AS DOUBLE))
                    AS modularity
         FROM lc
     """,
@@ -94,12 +96,17 @@ def graph_modularity_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("comp")
         .agg(F.count(F.lit(1)).alias("l_c"))
     )
+    # Q = 1 - (Σ l_c²)/m² with the squared sum EXACT (integer), then
+    # one shared IEEE division — summing per-component float squares
+    # is order-dependent and pow() itself differs across engines.
+    lsq = F.col("l_c").cast("decimal(18,0)") * F.col("l_c").cast("decimal(18,0)")
     return lc.agg(
         F.lit(m).cast("long").alias("m_edges"),
         F.count(F.lit(1)).alias("n_components"),
-        F.round(
-            1.0 - F.sum(F.pow(F.col("l_c").cast("double") / F.lit(float(m)), 2)),
-            6,
+        (
+            1.0
+            - F.sum(lsq).cast("double")
+            / (F.lit(m).cast("double") * F.lit(m).cast("double"))
         ).alias("modularity"),
     )
 
@@ -121,7 +128,7 @@ def graph_modularity_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE p.id_a IS NULL
         )
         SELECT n.u AS id_a, n.v AS id_b, n.common AS common_neighbors,
-               round(CAST(n.common AS DOUBLE) / (du.d + dv.d - n.common), 6)
+               CAST(n.common AS DOUBLE) / (du.d + dv.d - n.common)
                    AS neighbor_jaccard
         FROM nonedge n
         JOIN deg du ON n.u = du.node JOIN deg dv ON n.v = dv.node
@@ -161,10 +168,11 @@ def link_predict_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("u").alias("id_a"),
             F.col("v").alias("id_b"),
             F.col("common").alias("common_neighbors"),
-            F.round(
+            # one exact-integer IEEE division — emitted unrounded
+            # (engine ROUND diverges on rationals' shortest-repr ties)
+            (
                 F.col("common").cast("double")
-                / (F.col("du.d") + F.col("dv.d") - F.col("common")),
-                6,
+                / (F.col("du.d") + F.col("dv.d") - F.col("common"))
             ).alias("neighbor_jaccard"),
         )
         .orderBy(F.desc("common_neighbors"), "id_a", "id_b")
@@ -177,12 +185,16 @@ def link_predict_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=f"""
         WITH {_PAIRS_CTE},
         deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
-                FROM edges GROUP BY u)
-        SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
-               round(corr(CAST(du.d AS DOUBLE), CAST(dv.d AS DOUBLE)), 6)
-                   AS degree_assortativity
-        FROM edges e
-        JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+                FROM edges GROUP BY u),
+        j AS (
+            SELECT du.d AS da, dv.d AS db
+            FROM edges e
+            JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+        ),
+        m AS (SELECT {exact_moments.moments_sql("da", "db")} FROM j)
+        SELECT n AS n_directed_edges,
+               {exact_moments.corr_sql(6)} AS degree_assortativity
+        FROM m
     """,
 )
 def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,13 +210,16 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     du = deg.alias("du")
     dv = deg.alias("dv")
-    return (
+    j = (
         edges.join(du, edges.u == F.col("du.node"))
         .join(dv, edges.v == F.col("dv.node"))
-        .agg(
-            F.count(F.lit(1)).alias("n_directed_edges"),
-            F.round(
-                F.corr(F.col("du.d").cast("double"), F.col("dv.d").cast("double")), 6
-            ).alias("degree_assortativity"),
-        )
+        .select(F.col("du.d").alias("da"), F.col("dv.d").alias("db"))
+    )
+    # Exact integer degree moments -> one shared IEEE corr expression
+    # (operators/exact_moments.py): builtin corr is ulp-unstable under
+    # ROUND across engines.
+    m = exact_moments.moments_agg(j, F.col("da"), F.col("db"))
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        exact_moments.corr_col(6).alias("degree_assortativity"),
     )

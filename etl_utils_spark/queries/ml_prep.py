@@ -260,16 +260,22 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_stats",
     oracle="""
         WITH dims AS (
-            SELECT label, g.i AS dim, embedding[g.i]::DOUBLE AS x
+            SELECT label, g.i AS dim,
+                   CAST(floor(embedding[g.i]::DOUBLE * 1048576.0 + 0.5)
+                        AS BIGINT) AS xq
             FROM embeddings, generate_series(1, 64) AS g(i)
         ),
         per_dim AS (
-            SELECT label, dim, AVG(x) AS mu, var_pop(x) AS v
+            SELECT label, dim, count(*) AS n, SUM(xq) AS s,
+                   count(*) * SUM(xq * xq) - SUM(xq) * SUM(xq) AS d
             FROM dims GROUP BY label, dim
         )
         SELECT label,
-               ROUND(SUM(v), 6) AS trace_var,
-               ROUND(SUM(CASE WHEN dim = 1 THEN mu ELSE 0 END), 6) AS mu_d1
+               CAST(SUM(d) AS DOUBLE)
+                   / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+                      * 1099511627776.0) AS trace_var,
+               CAST(SUM(CASE WHEN dim = 1 THEN s ELSE 0 END) AS DOUBLE)
+                   / (CAST(MAX(n) AS DOUBLE) * 1048576.0) AS mu_d1
         FROM per_dim GROUP BY label
     """,
 )
@@ -281,16 +287,38 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the shuffle key is (label, dim) — cardinality
     classes × 64, independent of corpus size."""
     emb = _t(spark, sf_dir, "embeddings")
+    # 2^-20-quantized elements -> exact integer per-dim moments; the
+    # variance trace sums the EXACT integer d = n*Sxx - S^2 across dims
+    # (n identical for every dim of a label), and mu_d1 is one shared
+    # division — builtin avg/var_pop over floats accumulate engine-
+    # specifically (the r5 red class) and the 64-dim float sum of
+    # variances is summation-order-dependent.
     dims = emb.select(
         "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
-    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x"))
-    per_dim = dims.groupBy("label", "dim").agg(
-        F.avg("x").alias("mu"), F.var_pop("x").alias("v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("col") * 1048576.0 + 0.5)
+        .cast("long")
+        .cast("decimal(18,0)")
+        .alias("xq"),
     )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("s"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("xq") * F.col("xq"))
+            - F.sum("xq") * F.sum("xq")
+        ).alias("d"),
+    )
+    n_d = F.max("n").cast("double")
     return per_dim.groupBy("label").agg(
-        F.round(F.sum("v"), 6).alias("trace_var"),
-        F.round(
-            F.sum(F.when(F.col("dim") == 1, F.col("mu")).otherwise(0.0)), 6
+        (
+            F.sum("d").cast("double") / (n_d * n_d * 1099511627776.0)
+        ).alias("trace_var"),
+        (
+            F.sum(F.when(F.col("dim") == 1, F.col("s")).otherwise(0)).cast("double")
+            / (n_d * 1048576.0)
         ).alias("mu_d1"),
     )
 

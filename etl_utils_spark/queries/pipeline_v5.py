@@ -381,8 +381,11 @@ _LM_FOLD_U = lcg_uniform_sql("doc_id", "0", 1)
         V AS (SELECT count(DISTINCT w1) AS v FROM db WHERE fold != 0)
         SELECT h.doc_id,
                count(*) AS n_bigrams,
-               ROUND(AVG(-ln((COALESCE(B.nb, 0) + 1.0)
-                             / (COALESCE(U.nu, 0) + V.v))), 6) AS nll
+               CAST(SUM(CAST(floor(-ln((COALESCE(B.nb, 0) + 1.0)
+                                        / (COALESCE(U.nu, 0) + V.v))
+                                   * 1073741824.0 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS nll
         FROM db h
         LEFT JOIN B USING (bigram)
         LEFT JOIN U USING (w1)
@@ -400,9 +403,10 @@ def lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Laplace-smoothed per-bigram NLL −ln((nb+1)/(nu+V)).  Unseen
     held-out bigrams hit the (0+1)/(0+V) floor instead of −ln(0).
     Vocabulary size V is a bounded scalar (distinct train unigrams),
-    read driver-side like the repo's other 1-row anchors.  ln() is the
-    irrational map, so the per-doc mean rounds to 6 AFTER it
-    (docs/SCALE.md; same probed policy as lm_bigram_doc_score)."""
+    read driver-side like the repo's other 1-row anchors.  Each term's
+    NLL is 2^-30-quantized so the per-doc mean is exact-integer
+    arithmetic plus one shared division (same discipline as
+    lm_bigram_doc_score)."""
     from etl_utils_spark.operators.text import _alpha_tokens, ngrams_array
 
     d = _t(spark, sf_dir, "documents")
@@ -422,9 +426,17 @@ def lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("nb"), F.lit(0)) + 1.0)
         / (F.coalesce(F.col("nu"), F.lit(0)) + F.lit(v))
     )
+    # Quantize each per-bigram NLL term at 2^-30 (shared floor IEEE
+    # expression), sum exactly, divide once — the mean of irrational
+    # doubles is otherwise summation-order-dependent and a ROUND on
+    # top is the r5 red class.
+    q = F.floor(nll * 1073741824.0 + 0.5).cast("long")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg(nll), 6).alias("nll"),
+        (
+            F.sum(q).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1073741824.0)
+        ).alias("nll"),
     )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_utils_spark.operators import exact_moments
 from etl_utils_spark.queries.registry import query
 from etl_utils_spark.sources.tables import load_table
 
@@ -66,9 +67,14 @@ def _min_rank_map(df: DataFrame, col: str, rank_col: str) -> DataFrame:
           SELECT rank() OVER (ORDER BY l_extendedprice) AS rx,
                  rank() OVER (ORDER BY l_quantity) AS ry
           FROM lineitem
-        )
-        SELECT ROUND(corr(rx, ry), 4) AS spearman, count(*) AS n FROM r
-    """,
+        ),
+        m AS (SELECT {moments} FROM r)
+        SELECT {corr} AS spearman, n
+        FROM m
+    """.format(
+        moments=exact_moments.moments_sql("rx", "ry"),
+        corr=exact_moments.corr_sql(4),
+    ),
 )
 def stats_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of price vs quantity: Pearson over
@@ -76,17 +82,20 @@ def stats_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-value-count + prefix-sum composition (module docstring) — the
     oracle's two corpus-wide ``rank()`` windows are exactly the
     single-reducer sorts this avoids.  The quantity rank map is ~50
-    rows → broadcast; the price map joins on the value key."""
+    rows → broadcast; the price map joins on the value key.  The
+    Pearson step uses EXACT integer moments (ranks are BIGINT; sums
+    as Spark decimal(38,0) / DuckDB HUGEINT — rank products overflow
+    int64 past ~1M rows) feeding one shared IEEE expression, because
+    engine-builtin corr() accumulates differently at the ulp level
+    and can flip the rounded digit (the r5 rolling-corr red class)."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
     )
     rx = _min_rank_map(l, "l_extendedprice", "rx")
     ry = _min_rank_map(l, "l_quantity", "ry")
     j = l.join(rx, "l_extendedprice").join(F.broadcast(ry), "l_quantity")
-    return j.agg(
-        F.round(F.corr("rx", "ry"), 4).alias("spearman"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    m = exact_moments.moments_agg(j, F.col("rx"), F.col("ry"))
+    return m.select(exact_moments.corr_col(4).alias("spearman"), "n")
 
 
 @query(
@@ -344,10 +353,14 @@ def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         j AS (
           SELECT c.n AS cn, p.n AS pn
           FROM c JOIN p ON p.h = c.h + INTERVAL 1 HOUR
-        )
-        SELECT ROUND(corr(cn, pn), 4) AS xcorr_lag1h, count(*) AS n_hours
-        FROM j
-    """,
+        ),
+        m AS (SELECT {moments} FROM j)
+        SELECT {corr} AS xcorr_lag1h, n AS n_hours
+        FROM m
+    """.format(
+        moments=exact_moments.moments_sql("cn", "pn"),
+        corr=exact_moments.corr_sql(4),
+    ),
 )
 def xcorr_click_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1-hour cross-correlation between the click and purchase
@@ -372,7 +385,11 @@ def xcorr_click_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("ph"), F.col("n").alias("pn")
     )
     j = c.join(p, p["ph"] == c["ch"] + F.expr("INTERVAL 1 HOUR"))
-    return j.agg(
-        F.round(F.corr("cn", "pn"), 4).alias("xcorr_lag1h"),
-        F.count(F.lit(1)).alias("n_hours"),
+    # Exact integer moments + one shared IEEE expression (module
+    # operators/exact_moments.py) — engine-builtin corr is ulp-unstable
+    # under ROUND.
+    m = exact_moments.moments_agg(j, F.col("cn"), F.col("pn"))
+    return m.select(
+        exact_moments.corr_col(4).alias("xcorr_lag1h"),
+        F.col("n").alias("n_hours"),
     )

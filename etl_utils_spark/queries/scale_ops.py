@@ -163,7 +163,7 @@ def assign_global_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                op AS last_op,
-               ROUND(value, 4) AS last_value,
+               value AS last_value,
                n_changes::BIGINT AS n_changes
         FROM ranked
         WHERE rn = 1 AND op <> 'delete'
@@ -196,7 +196,7 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.where(F.col("last.op") != "delete").select(
         "user_id",
         F.col("last.op").alias("last_op"),
-        F.round("last.value", 4).alias("last_value"),
+        F.col("last.value").alias("last_value"),
         F.col("n_changes").cast("long").alias("n_changes"),
     )
 
@@ -526,7 +526,9 @@ def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l.l_returnflag,
                count(*)::BIGINT AS n_items,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                             AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         FROM lineitem l
         WHERE l.l_orderkey IN (
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
@@ -555,9 +557,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -632,7 +639,8 @@ def match_pattern_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_mktsegment,
                count(*)::BIGINT AS n_customers,
-               ROUND(avg(c_acctbal), 4) AS avg_bal
+               CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100.0) AS avg_bal
         FROM customer
         WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 1000.0
         GROUP BY c_mktsegment
@@ -656,7 +664,8 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS n_customers,
-               ROUND(avg(c_acctbal), 4) AS avg_bal
+               CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100.0) AS avg_bal
         FROM customer
         WHERE c_mktsegment = seg AND c_acctbal > min_bal
         GROUP BY c_mktsegment
@@ -743,7 +752,8 @@ def io_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_orderpriority,
                    count(*)::BIGINT AS n_orders,
                    mode(o_orderstatus) AS mode_status,
-                   ROUND(median(o_totalprice), 4) AS median_price
+                   median(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) / 100.0 AS median_price
             FROM orders GROUP BY 1
         ),
         sl AS (
@@ -775,7 +785,8 @@ def agg_modern_ordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_orderpriority,
                    CAST(count(*) AS BIGINT) AS n_orders,
                    mode(o_orderstatus) AS mode_status,
-                   ROUND(median(o_totalprice), 4) AS median_price
+                   median(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) / 100.0 AS median_price
             FROM orders GROUP BY 1
         ),
         sl AS (
@@ -832,7 +843,9 @@ def graph_reach_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*)::BIGINT AS n,
                min(json_extract(props, '$.k')::INT) AS k_min,
                max(json_extract(props, '$.k')::INT) AS k_max,
-               ROUND(avg(json_extract(props, '$.k')::INT), 4) AS k_avg
+               CAST(SUM(json_extract(props, '$.k')::INT) AS DOUBLE)
+                   / CAST(COUNT(json_extract(props, '$.k')::INT) AS DOUBLE)
+                   AS k_avg
         FROM events
         GROUP BY event_type
     """,
@@ -853,7 +866,9 @@ def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
-            F.round(F.avg("k"), 4).alias("k_avg"),
+            (F.sum("k").cast("double") / F.count("k").cast("double")).alias(
+                "k_avg"
+            ),
         )
     )
 
@@ -890,20 +905,36 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 @query(
     "stats_corr_matrix_lineitem",
     oracle=f"""
-        WITH m AS (
+        WITH b AS (
             SELECT
                 {', '.join(
-                    f'corr({a}, {b}) AS c_{i}_{j}'
-                    for i, a in enumerate(_CORR_COLS)
-                    for j, b in enumerate(_CORR_COLS)
-                    if i < j
+                    f'CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT) AS x_{i}'
+                    for i, c in enumerate(_CORR_COLS)
                 )}
             FROM lineitem
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                {', '.join(
+                    f'SUM(x_{i}) AS s_{i}, SUM(x_{i} * x_{i}) AS ss_{i}'
+                    for i in range(len(_CORR_COLS))
+                )},
+                {', '.join(
+                    f'SUM(x_{i} * x_{j}) AS sp_{i}_{j}'
+                    for i in range(len(_CORR_COLS))
+                    for j in range(len(_CORR_COLS))
+                    if i < j
+                )}
+            FROM b
         )
         {' UNION ALL '.join(
-            f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(c_{i}_{j}, 6) AS r FROM m"
+            f"SELECT '{a}' AS col_a, '{c}' AS col_b, "
+            f"ROUND(CAST(n * sp_{i}_{j} - s_{i} * s_{j} AS DOUBLE)"
+            f" / sqrt(CAST(n * ss_{i} - s_{i} * s_{i} AS DOUBLE)"
+            f" * CAST(n * ss_{j} - s_{j} * s_{j} AS DOUBLE)), 6) + 0.0 AS r "
+            f"FROM m"
             for i, a in enumerate(_CORR_COLS)
-            for j, b in enumerate(_CORR_COLS)
+            for j, c in enumerate(_CORR_COLS)
             if i < j
         )}
     """,
@@ -914,17 +945,41 @@ def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment aggregate in the same hash-aggregate pass; the 1-row result
     unpivots via stack.  No per-pair scans, no driver-side math."""
     li = _t(spark, sf_dir, "lineitem")
-    pairs = [
-        (i, a, j, b)
-        for i, a in enumerate(_CORR_COLS)
-        for j, b in enumerate(_CORR_COLS)
-        if i < j
+    k = len(_CORR_COLS)
+    pairs = [(i, j) for i in range(k) for j in range(k) if i < j]
+    # Exact integer moments for every column/pair in ONE hash-aggregate
+    # pass (decimal sums — products overflow int64 at scale), then each
+    # r is the shared IEEE corr expression; builtin corr() accumulates
+    # engine-specifically (the r5 rolling-corr red class).  +0.0
+    # canonicalizes IEEE negative zero after the round.
+    x = [
+        (F.col(c).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .cast("decimal(18,0)")
+        .alias(f"x_{i}")
+        for i, c in enumerate(_CORR_COLS)
     ]
-    aggs = [
-        F.round(F.corr(a, b), 6).alias(f"c_{i}_{j}") for i, a, j, b in pairs
-    ]
-    one = li.agg(*aggs)
-    stack_expr = ", ".join(f"'{a}', '{b}', c_{i}_{j}" for i, a, j, b in pairs)
+    b = li.select(*x)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(F.col(f"x_{i}")).alias(f"s_{i}"))
+        aggs.append(F.sum(F.col(f"x_{i}") * F.col(f"x_{i}")).alias(f"ss_{i}"))
+    for i, j in pairs:
+        aggs.append(F.sum(F.col(f"x_{i}") * F.col(f"x_{j}")).alias(f"sp_{i}_{j}"))
+    one = b.agg(*aggs)
+
+    def _r(i: int, j: int):
+        num = (F.col("n") * F.col(f"sp_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}")).cast("double")
+        di = (F.col("n") * F.col(f"ss_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}")).cast("double")
+        dj = (F.col("n") * F.col(f"ss_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}")).cast("double")
+        return F.round(num / F.sqrt(di * dj), 6) + F.lit(0.0)
+
+    one = one.select(
+        *[_r(i, j).alias(f"c_{i}_{j}") for i, j in pairs]
+    )
+    stack_expr = ", ".join(
+        f"'{_CORR_COLS[i]}', '{_CORR_COLS[j]}', c_{i}_{j}" for i, j in pairs
+    )
     return one.select(
         F.expr(
             f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, r)"

@@ -63,7 +63,8 @@ def _md5_uniform(col: F.Column) -> F.Column:
                FROM rl CROSS JOIN cl CROSS JOIN n
                LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cl.source
              )
-        SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+        SELECT CAST(SUM(CAST(floor((o - e) * (o - e) / e * 1048576.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1048576.0 AS chi2,
                (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
                CAST(SUM(o) AS BIGINT) AS n
         FROM grid
@@ -95,8 +96,15 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
         )
     )
+    # Per-cell terms are deterministic shared-IEEE doubles, but their
+    # SUM is summation-order-dependent: quantize each term at 2^-20
+    # (shared floor expression), sum exactly, divide by the power-of-
+    # two grid once — the result is an exact dyadic, bit-stable on
+    # both engines with no rounding.
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    q = F.floor(term * 1048576.0 + 0.5).cast("long")
     return grid.agg(
-        F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6).alias("chi2"),
+        (F.sum(q).cast("double") / 1048576.0).alias("chi2"),
         (
             (F.countDistinct("lang") - F.lit(1))
             * (F.countDistinct("source") - F.lit(1))
@@ -110,54 +118,87 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_ttest_price_by_status",
     oracle="""
         WITH g AS (
-          SELECT o_orderstatus AS s, count(*)::DOUBLE AS n,
-                 avg(o_totalprice) AS m, var_samp(o_totalprice) AS v
+          SELECT o_orderstatus AS st, count(*) AS n,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     AS s,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     AS sxx
           FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1
         ),
-        f AS (SELECT n, m, v FROM g WHERE s = 'F'),
-        o AS (SELECT n, m, v FROM g WHERE s = 'O')
-        SELECT CAST(f.n AS BIGINT) AS n_f, CAST(o.n AS BIGINT) AS n_o,
-               ROUND(f.m - o.m, 4) AS mean_diff,
-               ROUND((f.m - o.m) / sqrt(f.v / f.n + o.v / o.n), 4) AS t_stat,
-               ROUND(pow(f.v / f.n + o.v / o.n, 2)
-                     / (pow(f.v / f.n, 2) / (f.n - 1)
-                        + pow(o.v / o.n, 2) / (o.n - 1)), 2) AS dof
-        FROM f, o
+        f AS (SELECT n, s, sxx FROM g WHERE st = 'F'),
+        o AS (SELECT n, s, sxx FROM g WHERE st = 'O'),
+        d AS (
+          SELECT f.n AS nf, o.n AS no_,
+                 CAST(f.s AS DOUBLE) / CAST(f.n AS DOUBLE)
+                 - CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE) AS md_c,
+                 CAST(f.n * f.sxx - f.s * f.s AS DOUBLE)
+                 / (CAST(f.n AS DOUBLE) * (f.n - 1) * CAST(f.n AS DOUBLE))
+                     AS af,
+                 CAST(o.n * o.sxx - o.s * o.s AS DOUBLE)
+                 / (CAST(o.n AS DOUBLE) * (o.n - 1) * CAST(o.n AS DOUBLE))
+                     AS ao
+          FROM f, o
+        )
+        SELECT nf AS n_f, no_ AS n_o,
+               md_c / 100.0 AS mean_diff,
+               ROUND(md_c / sqrt(af + ao), 4) AS t_stat,
+               ((af + ao) * (af + ao))
+                   / (af * af / (nf - 1) + ao * ao / (no_ - 1)) AS dof
+        FROM d
     """,
 )
 def stats_ttest_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test (finished vs open order prices)
     with the Welch–Satterthwaite dof: ONE moments aggregate over the
-    fact table (count/avg/var_samp are all mergeable), then closed-form
-    arithmetic on two 1-row frames.  The A/B-comparison shape — no
-    per-row work beyond the partial aggregate."""
+    fact table — but the moments are EXACT integer cent sums
+    (n, S, Sxx), not builtin avg/var_samp, so both engines evaluate
+    identical IEEE expressions (the builtin accumulators differ at the
+    ulp level and a ROUND on top flips digits — the r5 rolling-corr
+    red class).  a = v/n terms are each one shared division; t rounds
+    4 AFTER the sqrt (irrational); mean_diff and dof are emitted
+    unrounded (rationals — engine ROUND diverges on shortest-repr
+    ties).  Still the A/B shape: mergeable partial aggregate, then
+    closed-form arithmetic on two 1-row frames."""
     o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     g = (
         o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderstatus", cents.alias("c"))
         .groupBy("o_orderstatus")
         .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.avg("o_totalprice").alias("m"),
-            F.var_samp("o_totalprice").alias("v"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)"))
+            .alias("sxx"),
         )
     )
     f = g.filter(F.col("o_orderstatus") == "F").select(
-        F.col("n").alias("n_f"), F.col("m").alias("m_f"), F.col("v").alias("v_f")
+        F.col("n").alias("nf"), F.col("s").alias("sf"), F.col("sxx").alias("sxxf")
     )
     oo = g.filter(F.col("o_orderstatus") == "O").select(
-        F.col("n").alias("n_o"), F.col("m").alias("m_o"), F.col("v").alias("v_o")
+        F.col("n").alias("no_"), F.col("s").alias("so_"), F.col("sxx").alias("sxxo")
     )
-    se2 = F.col("v_f") / F.col("n_f") + F.col("v_o") / F.col("n_o")
-    dof = (se2 ** 2) / (
-        (F.col("v_f") / F.col("n_f")) ** 2 / (F.col("n_f") - 1)
-        + (F.col("v_o") / F.col("n_o")) ** 2 / (F.col("n_o") - 1)
+    j = f.crossJoin(oo)
+    md_c = F.col("sf").cast("double") / F.col("nf").cast("double") - F.col(
+        "so_"
+    ).cast("double") / F.col("no_").cast("double")
+    sf_d = F.col("sf").cast("decimal(18,0)")
+    so_d = F.col("so_").cast("decimal(18,0)")
+    af = (F.col("nf") * F.col("sxxf") - sf_d * sf_d).cast("double") / (
+        F.col("nf").cast("double") * (F.col("nf") - 1) * F.col("nf").cast("double")
     )
-    return f.crossJoin(oo).select(
-        F.col("n_f").cast("long").alias("n_f"),
-        F.col("n_o").cast("long").alias("n_o"),
-        F.round(F.col("m_f") - F.col("m_o"), 4).alias("mean_diff"),
-        F.round((F.col("m_f") - F.col("m_o")) / F.sqrt(se2), 4).alias("t_stat"),
-        F.round(dof, 2).alias("dof"),
+    ao = (F.col("no_") * F.col("sxxo") - so_d * so_d).cast("double") / (
+        F.col("no_").cast("double") * (F.col("no_") - 1) * F.col("no_").cast("double")
+    )
+    return j.select(
+        F.col("nf").alias("n_f"),
+        F.col("no_").alias("n_o"),
+        (md_c / 100.0).alias("mean_diff"),
+        F.round(md_c / F.sqrt(af + ao), 4).alias("t_stat"),
+        (((af + ao) * (af + ao)) / (af * af / (F.col("nf") - 1) + ao * ao / (F.col("no_") - 1))).alias(
+            "dof"
+        ),
     )
 
 
@@ -827,7 +868,9 @@ def sample_weighted_docs_es(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM rl CROSS JOIN cl CROSS JOIN n
                LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cl.source
              )
-        SELECT ROUND(sqrt(SUM((o - e) * (o - e) / e)
+        SELECT ROUND(sqrt(CAST(SUM(CAST(floor((o - e) * (o - e) / e
+                                              * 1048576.0 + 0.5) AS BIGINT))
+                               AS DOUBLE) / 1048576.0
                           / (SUM(o) * least(count(DISTINCT lang) - 1,
                                             count(DISTINCT source) - 1))), 6)
                    AS cramers_v,
@@ -861,10 +904,12 @@ def stats_cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
         )
     )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    q = F.floor(term * 1048576.0 + 0.5).cast("long")
     return grid.agg(
         F.round(
             F.sqrt(
-                F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+                F.sum(q).cast("double") / 1048576.0
                 / (
                     F.sum("o")
                     * F.least(

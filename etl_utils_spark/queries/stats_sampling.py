@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_utils_spark.operators import sampling, skew
+from etl_utils_spark.operators import exact_moments, sampling, skew
 from etl_utils_spark.queries.registry import query
 from etl_utils_spark.sources.tables import load_table
 
@@ -256,25 +256,58 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_corr_price_quantity",
     oracle="""
+        WITH b AS (
+          SELECT l_returnflag,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS px,
+                 CAST(l_quantity AS BIGINT) AS qy
+          FROM lineitem
+        ),
+        m AS (SELECT l_returnflag, {moments} FROM b GROUP BY l_returnflag)
         SELECT l_returnflag,
-               ROUND(corr(l_extendedprice, l_quantity), 6)       AS corr_pq,
-               ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq,
-               ROUND(stddev_samp(l_quantity), 6)                 AS std_qty,
-               ROUND(var_samp(l_quantity), 6)                    AS var_qty
-        FROM lineitem
-        GROUP BY l_returnflag
-    """,
+               {corr} AS corr_pq,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1) * 100.0)   AS covar_pq,
+               ROUND(sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (n - 1))), 6) AS std_qty,
+               CAST(n * syy - sy * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1))            AS var_qty
+        FROM m
+    """.format(
+        moments=exact_moments.moments_sql("px", "qy"),
+        corr=exact_moments.corr_sql(6),
+    ),
 )
 def stats_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregate surface: corr / covar_samp / stddev_samp /
-    var_samp per group — single-pass moment aggregates (rounded so the
-    two engines' summation orders agree)."""
+    """Statistical aggregate surface per group: corr / covar_samp /
+    stddev_samp / var_samp — reconstructed from EXACT integer moments
+    over cents (operators/exact_moments.py) so both engines evaluate
+    one identical IEEE expression: builtin moment aggregates differ at
+    the ulp level across engines and summation orders.  Rational
+    outputs (covar, var) are emitted UNROUNDED (single exact-int
+    division — engine ROUND itself diverges on rationals whose
+    shortest repr ties at the round digit: Spark half-up on the
+    shortest decimal repr, DuckDB on the binary); the irrational
+    stddev rounds 6 after sqrt."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
-        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_pq"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    base = l.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("px"),
+        F.col("l_quantity").cast("long").alias("qy"),
+    )
+    m = exact_moments.grouped_moments_agg(
+        base, ["l_returnflag"], F.col("px"), F.col("qy")
+    )
+    n_d = F.col("n").cast("double")
+    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        exact_moments.corr_col(6).alias("corr_pq"),
+        (num / (n_d * (F.col("n") - 1) * 100.0)).alias("covar_pq"),
+        F.round(F.sqrt(dyy / (n_d * (F.col("n") - 1))), 6).alias("std_qty"),
+        (dyy / (n_d * (F.col("n") - 1))).alias("var_qty"),
     )
 
 
@@ -476,26 +509,60 @@ def gate_cms_overestimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_regr_price_on_qty",
     oracle="""
+        WITH b AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS qx,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS py
+          FROM lineitem
+        ),
+        m AS (SELECT l_returnflag, {moments} FROM b GROUP BY l_returnflag)
         SELECT l_returnflag,
-               ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
-               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-               ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
-               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
-        FROM lineitem
-        GROUP BY l_returnflag
-    """,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0) AS slope,
+               (CAST(sy AS DOUBLE) / 100.0
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)      AS intercept,
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE))
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE))       AS r2,
+               n
+        FROM m
+    """.format(moments=exact_moments.moments_sql("qx", "py")),
 )
 def stats_regr_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group simple linear regression (price ~ quantity) via the
-    SQL-standard regr_* aggregates — single-pass mergeable moments
-    like corr/covar, so the map-side combine shape survives any scale;
-    rounded so both engines' summation orders agree."""
+    """Per-group simple linear regression (price ~ quantity),
+    reconstructed from EXACT integer moments over (quantity, cents)
+    rather than the builtin regr_* aggregates — builtins accumulate
+    doubles in engine-specific order and a ROUND on top flips digits
+    (the r5 rolling-corr red class).  slope / intercept / r² are each
+    ONE shared IEEE expression over the exact moments, emitted
+    UNROUNDED (rationals of exact integers — engine ROUND diverges on
+    shortest-repr ties).  Still a single-pass mergeable hash
+    aggregate, so the map-side combine shape survives any scale."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
-        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
-        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
-        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    base = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qx"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("py"),
+    )
+    m = exact_moments.grouped_moments_agg(base, ["l_returnflag"], F.col("qx"), F.col("py"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / (dx * 100.0)
+    return m.select(
+        "l_returnflag",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") / 100.0 - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        ((num * num) / (dx * dy)).alias("r2"),
+        "n",
     )
 
 
@@ -504,7 +571,8 @@ def stats_regr_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT e.user_id,
                count(*) AS n_events,
-               ROUND(SUM(e.value), 2) AS sum_value,
+               CAST(SUM(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_value,
                any_value(c.c_mktsegment) AS segment
         FROM events e JOIN customer c ON c.c_custkey = e.user_id
         GROUP BY e.user_id
@@ -522,7 +590,10 @@ def join_salted_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = skew.salted_join(e, c, key="user_id", dim_key="c_custkey", n_salts=8)
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        (
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).cast("double")
+            / 100.0
+        ).alias("sum_value"),
         F.any_value(F.col("c_mktsegment")).alias("segment"),
     )
 
@@ -530,48 +601,63 @@ def join_salted_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "outliers_mad_user_value",
     oracle="""
-        WITH stats AS (
-            SELECT user_id, median(value) AS med
-            FROM events GROUP BY user_id
+        WITH b AS (
+            SELECT user_id, event_id, value,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+            FROM events
+        ),
+        stats AS (
+            SELECT user_id, median(vc) AS med_c
+            FROM b GROUP BY user_id
         ),
         dev AS (
-            SELECT e.user_id, e.event_id, e.value, s.med,
-                   abs(e.value - s.med) AS adev
-            FROM events e JOIN stats s ON s.user_id = e.user_id
+            SELECT b.user_id, b.event_id, b.value, b.vc, s.med_c,
+                   abs(b.vc - s.med_c) AS adev_c
+            FROM b JOIN stats s ON s.user_id = b.user_id
         ),
         mad AS (
-            SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+            SELECT user_id, median(adev_c) AS mad_c FROM dev GROUP BY user_id
         )
         SELECT d.user_id, d.event_id, d.value,
-               ROUND(d.med, 6) AS med,
-               ROUND(m.mad, 6) AS mad
+               d.med_c / 100.0 AS med,
+               m.mad_c / 100.0 AS mad
         FROM dev d JOIN mad m ON m.user_id = d.user_id
-        WHERE m.mad > 0 AND abs(d.value - d.med) > 6 * m.mad
+        WHERE m.mad_c > 0 AND abs(d.vc - d.med_c) > 6 * m.mad_c
     """,
 )
 def outliers_mad_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-key outlier detection: flag events whose value sits
     more than 6 MADs from the user's median — the outlier rule that
     (unlike z-scores) a single extreme value cannot drag. Two grouped
-    exact-percentile aggregates and two key-partitioned joins; both
-    engines interpolate the even-count median identically (probed on
-    this data), and output medians/MADs are rounded so summation-order
-    noise can't flip the hash."""
-    e = _t(spark, sf_dir, "events")
+    exact-percentile aggregates and two key-partitioned joins.  All
+    median/MAD arithmetic runs on EXACT integer cents (even-count
+    interpolation of two BIGINTs is exact in double on both engines,
+    landing on the half-cent grid), so the 6-MAD threshold comparison
+    and the emitted med/mad (one /100.0 division each, unrounded) are
+    bit-deterministic — float medians interpolate with engine-specific
+    expression shapes that differ at the ulp level."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "vc", F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    )
     med = e.groupBy("user_id").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.expr("percentile(vc, 0.5)").alias("med_c")
     )
-    dev = e.select("user_id", "event_id", "value").join(med, "user_id").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    dev = e.select("user_id", "event_id", "value", "vc").join(
+        med, "user_id"
+    ).withColumn("adev_c", F.abs(F.col("vc") - F.col("med_c")))
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(adev_c, 0.5)").alias("mad_c")
     )
-    mad = dev.groupBy("user_id").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
     return (
         dev.join(mad, "user_id")
-        .filter((F.col("mad") > 0) & (F.abs(F.col("value") - F.col("med")) > 6 * F.col("mad")))
+        .filter(
+            (F.col("mad_c") > 0)
+            & (F.abs(F.col("vc") - F.col("med_c")) > 6 * F.col("mad_c"))
+        )
         .select(
             "user_id", "event_id", "value",
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
+            (F.col("med_c") / 100.0).alias("med"),
+            (F.col("mad_c") / 100.0).alias("mad"),
         )
     )
 

@@ -110,7 +110,10 @@ def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         B AS (SELECT bigram, count(*) AS nb FROM db GROUP BY bigram),
         U AS (SELECT w1, count(*) AS nu FROM db GROUP BY w1)
-        SELECT doc_id, ROUND(AVG(ln(nb::DOUBLE / nu)), 6) AS avg_loglik
+        SELECT doc_id,
+               CAST(SUM(CAST(floor(ln(nb::DOUBLE / nu) * 1073741824.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS avg_loglik
         FROM db JOIN B USING (bigram) JOIN U USING (w1)
         GROUP BY doc_id
     """,
@@ -122,8 +125,9 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare in the corpus score low).  Train and score in one pipeline:
     bigram + unigram count tables (two hash aggregates on the same
     exploded pairs, vocabulary-sized) joined back to the per-doc
-    pairs.  Probed: Spark's and DuckDB's ln() agree to round-6 over
-    every fixture document."""
+    pairs.  Spark's and DuckDB's ln() agree bit-for-bit on the
+    fixtures; each term is 2^-30-quantized so the per-doc mean is
+    exact-integer arithmetic plus one shared division."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
     n = F.size(toks)
@@ -138,10 +142,19 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_counts = db.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
     uni_counts = db.groupBy("w1").agg(F.count(F.lit(1)).alias("nu"))
     joined = db.join(big_counts, "bigram").join(uni_counts, "w1")
+    # Per-term log-likelihoods are irrational doubles; averaging them
+    # directly is summation-order-dependent (a ROUND on top is the r5
+    # red class).  Quantize each term at 2^-30 with the shared
+    # floor(x*2^30+0.5) IEEE expression, sum exactly as BIGINT, and
+    # divide once — bit-identical on both engines.
+    q = F.floor(
+        F.log(F.col("nb").cast("double") / F.col("nu")) * 1073741824.0 + 0.5
+    ).cast("long")
     return joined.groupBy("doc_id").agg(
-        F.round(F.avg(F.log(F.col("nb").cast("double") / F.col("nu"))), 6).alias(
-            "avg_loglik"
-        )
+        (
+            F.sum(q).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1073741824.0)
+        ).alias("avg_loglik")
     )
 
 
@@ -159,7 +172,9 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(n) AS BIGINT) AS n_chars_total,
                count(*) AS n_distinct_chars,
                ROUND(log2(SUM(n)::DOUBLE)
-                     - SUM(n::DOUBLE * ln(n::DOUBLE))
+                     - (CAST(SUM(CAST(floor(n::DOUBLE * ln(n::DOUBLE)
+                                            * 1073741824.0 + 0.5) AS BIGINT))
+                             AS DOUBLE) / 1073741824.0)
                        / (SUM(n)::DOUBLE * 0.6931471805599453), 6)
                    AS entropy_bits
         FROM cnt GROUP BY doc_id

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_utils_spark.operators import exact_moments
 from etl_utils_spark.queries.registry import query
+
+_zipf_moments = exact_moments.moments_sql("qx", "qy")
+_zipf_slope = exact_moments.slope_sql()
+_zipf_r2 = exact_moments.r2_sql()
 from etl_utils_spark.sources.tables import load_table as _t
 
 
@@ -35,14 +40,21 @@ from etl_utils_spark.sources.tables import load_table as _t
                    row_number() OVER (ORDER BY n DESC, token) AS rnk
             FROM freq
             ORDER BY n DESC, token LIMIT 100
-        )
-        SELECT CAST(count(*) AS BIGINT) AS n_terms,
-               round(regr_slope(ln(CAST(n AS DOUBLE)),
-                                ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
-               round(regr_r2(ln(CAST(n AS DOUBLE)),
-                             ln(CAST(rnk AS DOUBLE))), 6) AS fit_r2
-        FROM top
-    """,
+        ),
+        q AS (
+            SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1048576.0 + 0.5)
+                        AS BIGINT) AS qx,
+                   CAST(floor(ln(CAST(n AS DOUBLE)) * 1048576.0 + 0.5)
+                        AS BIGINT) AS qy
+            FROM top
+        ),
+        m AS (SELECT {MOMENTS} FROM q)
+        SELECT n AS n_terms,
+               {SLOPE} AS zipf_slope,
+               {R2} AS fit_r2
+        FROM m
+    """.replace("{MOMENTS}", _zipf_moments).replace(
+        "{SLOPE}", _zipf_slope).replace("{R2}", _zipf_r2),
 )
 def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit over the top-100 token frequencies: OLS slope of
@@ -65,12 +77,25 @@ def zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("n"), "token")).alias("rnk"),
         )
     )
-    lnf = F.log(F.col("n").cast("double"))
-    lnr = F.log(F.col("rnk").cast("double"))
-    return top.agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.round(F.regr_slope(lnf, lnr), 6).alias("zipf_slope"),
-        F.round(F.regr_r2(lnf, lnr), 6).alias("fit_r2"),
+    # ln values quantized at 2^-20 to exact BIGINTs (slope/r2 are
+    # scale-invariant, so the shared grid cancels), then the OLS fit is
+    # one shared IEEE expression over exact integer moments — builtin
+    # regr_* accumulates doubles engine-specifically and a ROUND on
+    # top flips digits (the r5 rolling-corr red class).  Outputs are
+    # emitted unrounded (rationals of exact integers).
+    q = top.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1048576.0 + 0.5)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.log(F.col("n").cast("double")) * 1048576.0 + 0.5)
+        .cast("long")
+        .alias("qy"),
+    )
+    m = exact_moments.moments_agg(q, F.col("qx"), F.col("qy"))
+    return m.select(
+        F.col("n").alias("n_terms"),
+        exact_moments.slope_col().alias("zipf_slope"),
+        exact_moments.r2_col().alias("fit_r2"),
     )
 
 

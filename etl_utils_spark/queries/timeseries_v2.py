@@ -17,6 +17,11 @@ from pyspark.sql import functions as F
 from etl_utils_spark.queries.registry import query
 from etl_utils_spark.sources.tables import load_table as _t
 
+from etl_utils_spark.operators import exact_moments
+
+_moments_sql_acf = exact_moments.moments_sql("h1.n", "h2.n")
+_corr_sql_acf = exact_moments.corr_sql(6)
+
 
 @query(
     "acf_hourly_events",
@@ -26,15 +31,19 @@ from etl_utils_spark.sources.tables import load_table as _t
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1
         ),
-        ks AS (SELECT unnest(generate_series(1, 12)) AS k)
-        SELECT CAST(ks.k AS BIGINT) AS lag_hours,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               round(corr(CAST(h1.n AS DOUBLE), CAST(h2.n AS DOUBLE)), 6) AS acf
-        FROM ks
-        JOIN hourly h1 ON TRUE
-        JOIN hourly h2 ON h2.hr = h1.hr + ks.k
-        GROUP BY ks.k
-    """,
+        ks AS (SELECT unnest(generate_series(1, 12)) AS k),
+        m AS (
+            SELECT ks.k AS lag_hours, {MOMENTS}
+            FROM ks
+            JOIN hourly h1 ON TRUE
+            JOIN hourly h2 ON h2.hr = h1.hr + ks.k
+            GROUP BY ks.k
+        )
+        SELECT CAST(lag_hours AS BIGINT) AS lag_hours,
+               n AS n_pairs,
+               {CORR} AS acf
+        FROM m
+    """.replace("{MOMENTS}", _moments_sql_acf).replace("{CORR}", _corr_sql_acf),
 )
 def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of the hourly event-arrival series at
@@ -53,11 +62,22 @@ def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = F.broadcast(ks).crossJoin(h1).join(
         h2, F.col("h2.hr") == F.col("h1.hr") + F.col("k")
     )
-    return joined.groupBy(F.col("k").cast("long").alias("lag_hours")).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(
-            F.corr(F.col("h1.n").cast("double"), F.col("h2.n").cast("double")), 6
-        ).alias("acf"),
+    # Exact integer count moments per lag -> one shared IEEE corr
+    # expression (operators/exact_moments.py).
+    m = exact_moments.grouped_moments_agg(
+        joined.select(
+            F.col("k").cast("long").alias("lag_hours"),
+            F.col("h1.n").alias("na"),
+            F.col("h2.n").alias("nb"),
+        ),
+        ["lag_hours"],
+        F.col("na"),
+        F.col("nb"),
+    )
+    return m.select(
+        "lag_hours",
+        F.col("n").alias("n_pairs"),
+        exact_moments.corr_col(6).alias("acf"),
     )
 
 

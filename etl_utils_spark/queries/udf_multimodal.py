@@ -36,38 +36,55 @@ def udf_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udf_grouped_mean_value",
     oracle="""
-        SELECT event_type, ROUND(AVG(value), 6) AS mean_value
+        SELECT event_type,
+               CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0) AS mean_value
         FROM events
         GROUP BY event_type
     """,
 )
 def udf_grouped_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7b: grouped-aggregate pandas UDF (mean per event_type)."""
+    """C7b: grouped-aggregate pandas UDF (mean per event_type) — the
+    kernel sums exact integer cents and divides once, so the hash
+    match against the SQL oracle is bit-exact (operators/udfs.py
+    mean_value)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.round(udfs.mean_value("value"), 6).alias("mean_value")
+        udfs.mean_value("value").alias("mean_value")
     )
 
 
 @query(
     "udf_grouped_zscore",
     oracle="""
-        SELECT event_id, event_type, value,
-               CASE WHEN stddev_pop(value) OVER w > 0
-                    THEN ROUND((value - avg(value) OVER w)
-                               / stddev_pop(value) OVER w, 6)
+        WITH b AS (
+            SELECT event_id, event_type, value,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cv
+            FROM events
+        ),
+        m AS (
+            SELECT event_type, count(*) AS n,
+                   SUM(cv) AS s, SUM(cv * cv) AS sxx
+            FROM b GROUP BY event_type
+        )
+        SELECT b.event_id, b.event_type, b.value,
+               CASE WHEN m.n * m.sxx - m.s * m.s > 0
+                    THEN CAST(m.n * b.cv - m.s AS DOUBLE)
+                         / sqrt(CAST(m.n * m.sxx - m.s * m.s AS DOUBLE))
                     ELSE 0.0 END AS zscore
-        FROM events
-        WINDOW w AS (PARTITION BY event_type)
+        FROM b JOIN m USING (event_type)
     """,
 )
 def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7c: applyInPandas grouped-map — per-event-type population
-    z-scores, hash-checked against DuckDB window aggregates (round-6
-    absorbs numpy-vs-SQL summation ulps)."""
+    z-scores.  The kernel (operators/udfs.py zscore_per_group) builds
+    exact integer cent moments and evaluates the same IEEE expression
+    the oracle does, so the hash match is bit-exact and UNROUNDED —
+    np.mean/np.std pairwise summation vs SQL accumulation differ at
+    the ulp level, which a ROUND cannot reliably absorb (the r5
+    rolling-corr red class)."""
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    z = udfs.zscore_per_group(e, "event_type", "value")
-    return z.withColumn("zscore", F.round("zscore", 6))
+    return udfs.zscore_per_group(e, "event_type", "value")
 
 
 @query("multimodal_image_features", oracle=None)

@@ -132,11 +132,16 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_rolling_median_spikes",
     oracle="""
+        WITH b AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+            FROM events
+        )
         SELECT user_id, event_id, value,
-               round(median(value) OVER w, 6) AS rolling_med,
-               value > 2 * round(median(value) OVER w, 6) AS is_spike
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               median(vc) OVER w / 100.0 AS rolling_med,
+               value > 2 * (median(vc) OVER w / 100.0) AS is_spike
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -147,13 +152,21 @@ def window_rolling_median_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe over all sf0.01 rows showed round-6 equality, and the flag
     compares against the ROUNDED median in both engines so the
     boolean cannot straddle the rounding."""
-    e = _t(spark, sf_dir, "events")
-    med = F.round(
+    e = _t(spark, sf_dir, "events").withColumn(
+        "vc", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    )
+    # Median over exact integer cents: interpolation of two BIGINT
+    # middles is exact in double on both engines (values < 2^53), so
+    # ONE trailing /100.0 division is the only inexact step — shared
+    # IEEE, no rounding needed.  (ts, event_id) gives the frame a
+    # deterministic total order under timestamp ties.
+    med = (
         F.expr(
-            "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts "
+            "percentile(vc, 0.5) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
             "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
-        ),
-        6,
+        )
+        / 100.0
     )
     return e.select(
         "user_id",

@@ -19,18 +19,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
-STATE_SCHEMA = "n long, s double"
+STATE_SCHEMA = "n long, s long"
 
 
 def _update_user_counts(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    n, s = state.get if state.exists else (0, 0.0)
+    # State carries EXACT integer cents (shared floor(v*100+0.5) IEEE
+    # quantization): float-sum state + python round(s, 2) drifts from
+    # any SQL oracle at the ulp level and round() half-even diverges
+    # from SQL ROUND on ties; the integer state is associative across
+    # micro-batches and the final /100.0 is one shared IEEE division.
+    import numpy as np
+
+    n, s = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        cents = np.floor(
+            pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5
+        ).astype(np.int64)
+        s += int(cents.sum())
     state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]})
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 100.0]}
+    )
 
 
 EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, value double, ewma double"
@@ -142,7 +154,12 @@ def running_user_counts(events: DataFrame) -> DataFrame:
 
         return events.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (
+                F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("sum_value"),
         )
     return (
         events.select("user_id", "value")
