@@ -34,16 +34,23 @@ def bm25_scores(
     """Okapi BM25 score of every document against a fixed term set.
 
     idf uses the +1 ("BM25+"-style) form ``ln(1 + (N - df + 0.5) /
-    (df + 0.5))`` so scores stay positive.  Returns (id, bm25) with
-    the score rounded to 6 — the per-term partials are summed in an
-    unordered hash aggregate, so only the rounded value is
-    deterministic across engines.
+    (df + 0.5))`` so scores stay positive.  Returns (id, bm25): each
+    per-term contribution is a deterministic shared-IEEE double,
+    2^-30-quantized before the per-doc sum (an unordered hash
+    aggregate over raw doubles would be summation-order-dependent),
+    so the emitted score SUM(q)/2^30 is an exact dyadic — bit-stable
+    across engines with no rounding, and safe to use as a rank key.
     """
     toks = df.select(F.col(id_col), _alpha_tokens(text_col).alias("toks"))
     dl = toks.select(id_col, F.size("toks").alias("dl"))
     # One-row corpus stats frame, broadcast into the scoring join.
+    # avgdl as an explicit exact-int division (engine-builtin avg over
+    # ints may accumulate differently).
     stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
     )
     term_tok = toks.select(
         F.col(id_col), F.explode("toks").alias("tok")
@@ -60,10 +67,11 @@ def bm25_scores(
     )
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    q = F.floor(contrib * 1073741824.0 + 0.5).cast("long")
     return (
-        scored.withColumn("contrib", contrib)
+        scored.withColumn("q", q)
         .groupBy(id_col)
-        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .agg((F.sum("q").cast("double") / 1073741824.0).alias("bm25"))
     )
 
 

@@ -47,6 +47,7 @@ from etl_utils_spark.queries import etl_audit  # noqa: E402,F401
 from etl_utils_spark.queries import ml_train  # noqa: E402,F401
 from etl_utils_spark.queries import pipeline_v5  # noqa: E402,F401
 from etl_utils_spark.queries import privacy_ops  # noqa: E402,F401
+from etl_utils_spark.queries import selection_v6  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
@@ -185,6 +186,9 @@ _WINDOW = [
     "attribution_last_touch",
     "attribution_first_touch",
     "markov_event_transitions",
+    "bm25_topk_maxscore",
+    "dsir_importance_resample",
+    "bpe_compression_by_lang",
 ]
 
 

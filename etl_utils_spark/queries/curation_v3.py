@@ -131,7 +131,9 @@ _BM25_TERMS = ["hash", "join", "vector"]
     oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
         dl AS (SELECT doc_id, len(toks) AS dl FROM t),
-        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                             AS avgdl FROM dl),
         tok AS (
             SELECT doc_id, unnest(toks) AS tok FROM t
         ),
@@ -148,9 +150,11 @@ _BM25_TERMS = ["hash", "join", "vector"]
                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
             FROM tf JOIN dfreq d USING (tok) JOIN dl USING (doc_id), stats s
         )
-        SELECT doc_id, ROUND(SUM(c), 6) AS bm25
+        SELECT doc_id,
+               CAST(SUM(CAST(floor(c * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1073741824.0 AS bm25
         FROM contrib GROUP BY doc_id
-        ORDER BY ROUND(SUM(c), 6) DESC, doc_id
+        ORDER BY bm25 DESC, doc_id
         LIMIT 20
     """,
 )

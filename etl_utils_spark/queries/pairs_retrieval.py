@@ -150,7 +150,10 @@ def _bm25_cte(tag: str, terms: tuple[str, ...]) -> str:
             FROM tf{tag} JOIN dfreq{tag} d USING (tok) JOIN dl USING (doc_id), stats s
         ),
         sc{tag} AS (
-            SELECT doc_id, ROUND(SUM(c), 6) AS bm25 FROM contrib{tag} GROUP BY doc_id
+            SELECT doc_id,
+                   CAST(SUM(CAST(floor(c * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 1073741824.0 AS bm25
+            FROM contrib{tag} GROUP BY doc_id
         ),
         r{tag} AS (
             SELECT doc_id,
@@ -163,7 +166,9 @@ def _bm25_cte(tag: str, terms: tuple[str, ...]) -> str:
 _RRF_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     dl AS (SELECT doc_id, len(toks) AS dl FROM t),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                         AS avgdl FROM dl),
     tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
     {_bm25_cte('a', _RRF_TERMS_A)},
     {_bm25_cte('b', _RRF_TERMS_B)}

@@ -400,6 +400,58 @@ def bpe_apply_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_compression_by_lang",
+    oracle=_bpe_ctes(_N_BPE_MERGES, with_final=True)
+    + f"""
+        SELECT d.lang,
+               count(*)::BIGINT AS n_docs,
+               SUM(len(string_split(trim(a.w, '|'), '||')))::BIGINT
+                   AS n_tokens_before,
+               SUM(len(string_split(trim(b.w, '|'), '||')))::BIGINT
+                   AS n_tokens_after,
+               CAST(SUM(len(string_split(trim(b.w, '|'), '||'))) AS DOUBLE)
+                   / CAST(SUM(len(string_split(trim(a.w, '|'), '||')))
+                          AS DOUBLE) AS compression
+        FROM c0 a JOIN c{_N_BPE_MERGES} b USING (doc_id)
+        JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """,
+)
+def bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency profile per language: token counts before
+    and after the learned BPE merges and their ratio — the fertility/
+    compression diagnostic a multilingual tokenizer report needs
+    (languages the merges don't cover compress worse, signalling a
+    vocabulary biased toward the dominant language).  Same apply chain
+    as bpe_apply_corpus (codegen-only replaces, no shuffle until the
+    per-lang aggregate); exact integer counts, ONE shared division,
+    emitted unrounded."""
+    from etl_utils_spark.operators.bpe import (
+        apply_merges,
+        learn_merges,
+        tokens_of_wrapped,
+        wrapped,
+    )
+    from etl_utils_spark.operators.text import _alpha_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", _alpha_tokens("text").alias("toks"))
+    rules = learn_merges(corpus, F.col("toks"), _N_BPE_MERGES)
+    w0 = corpus.select("doc_id", wrapped(F.col("toks")).alias("w0"))
+    applied = w0.withColumn("w1", apply_merges(F.col("w0"), rules)).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    before = F.sum(F.size(tokens_of_wrapped("w0")))
+    after = F.sum(F.size(tokens_of_wrapped("w1")))
+    return applied.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        before.cast("long").alias("n_tokens_before"),
+        after.cast("long").alias("n_tokens_after"),
+        (after.cast("double") / before.cast("double")).alias("compression"),
+    )
+
+
 _SHARD_BUDGET2 = 400
 
 

@@ -144,6 +144,10 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         # Cramér's V: the same |langs|×|sources| margins grid + 1-row N
         # cross join as the allowlisted stats_chi2_lang_source
         "stats_cramers_v_lang_source",
+        # DSIR: the 1-row (raw-total, target-total) scalar-anchor frame
+        # cross-joined into the 256-row bucket log-ratio table — the
+        # no-collect scalar pattern; every corpus-sized join is keyed
+        "dsir_importance_resample",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
