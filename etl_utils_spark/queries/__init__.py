@@ -189,6 +189,8 @@ _WINDOW = [
     "bm25_topk_maxscore",
     "dsir_importance_resample",
     "bpe_compression_by_lang",
+    "funnel_conversion_windowed",
+    "gate_histogram_quantile_bound",
 ]
 
 

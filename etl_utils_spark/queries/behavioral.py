@@ -232,7 +232,7 @@ def trimmed_mean_prices_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000
                        AS duration_days,
                    CASE WHEN (SELECT epoch_us(h) FROM horizon) - epoch_us(max(ts))
-                             > 7 * 86400000000
+                             > 86400000000
                         THEN 1 ELSE 0 END AS churned
             FROM events GROUP BY user_id
         ),
@@ -256,8 +256,10 @@ def trimmed_mean_prices_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def kaplan_meier_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve over user lifetimes (churn = no
-    events in the final 7 days of the observation window; others are
-    right-censored).  S(t) = prod(1 - d_i/n_i) computed as
+    events in the final DAY of the observation window — the fixture's
+    event cadence makes >1 idle day a real dropout signal, and the
+    tighter cutoff keeps the death set NON-EMPTY at every SF so the
+    oracle row is never vacuous; others are right-censored).  S(t) = prod(1 - d_i/n_i) computed as
     exp(cumsum(ln(...))) — a window aggregate, since neither engine has
     a product window.  The risk-set join is deaths x users bounded by
     the distinct-duration count (days in the window), so the non-equi
@@ -277,7 +279,7 @@ def kaplan_meier_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("duration_days"),
             F.when(
-                (F.col("h_us") - F.col("last_us")) > 7 * 86400000000, 1
+                (F.col("h_us") - F.col("last_us")) > 86400000000, 1
             )
             .otherwise(0)
             .alias("churned"),
@@ -435,4 +437,103 @@ def business_days_order_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5 * F.floor(F.col("cal_days") / 7) + extra).cast("long").alias(
             "business_days"
         ),
+    )
+
+
+# ------------------------------------------------------ windowed funnel
+
+_FUNNEL_WINDOW_US = 7 * 86400000000  # 7 days per step, in microseconds
+
+
+@query(
+    "funnel_conversion_windowed",
+    oracle=f"""
+        WITH u1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        u2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN u1 USING (user_id)
+            WHERE e.event_type = 'click'
+              AND epoch_us(e.ts) >= u1.t1
+              AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_WINDOW_US}
+            GROUP BY e.user_id
+        ),
+        u3 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e JOIN u2 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) >= u2.t2
+              AND epoch_us(e.ts) <= u2.t2 + {_FUNNEL_WINDOW_US}
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM u1)::BIGINT AS n_signup,
+               (SELECT count(*) FROM u2)::BIGINT AS n_click_7d,
+               (SELECT count(*) FROM u3)::BIGINT AS n_purchase_7d,
+               CAST((SELECT count(*) FROM u2) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM u1) AS DOUBLE) AS conv_1_2,
+               CAST((SELECT count(*) FROM u3) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM u2) AS DOUBLE) AS conv_2_3
+    """,
+)
+def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (signup → click → purchase) with a
+    7-day window per step, greedy-earliest semantics: step k+1 must
+    occur within 7 days AFTER the user's earliest qualifying step-k
+    time.  The product-analytics staple that plain grouped counts get
+    wrong (they ignore order and windows).
+
+    100 TB shape: one min-aggregate per stage over the (shrinking)
+    funnel population, chained through user_id-keyed joins — no
+    windows over the corpus, no per-user event sorting; all time
+    arithmetic in exact integer microseconds, conversion ratios as
+    single IEEE divisions of exact counts (unrounded)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    u1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    u2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(
+            (F.col("tus") >= F.col("t1"))
+            & (F.col("tus") <= F.col("t1") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    u3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(
+            (F.col("tus") >= F.col("t2"))
+            & (F.col("tus") <= F.col("t2") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    n1 = u1.agg(F.count(F.lit(1)).alias("n_signup"))
+    n2 = u2.agg(F.count(F.lit(1)).alias("n_click_7d"))
+    n3 = u3.agg(F.count(F.lit(1)).alias("n_purchase_7d"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_signup",
+            "n_click_7d",
+            "n_purchase_7d",
+            (
+                F.col("n_click_7d").cast("double")
+                / F.col("n_signup").cast("double")
+            ).alias("conv_1_2"),
+            (
+                F.col("n_purchase_7d").cast("double")
+                / F.col("n_click_7d").cast("double")
+            ).alias("conv_2_3"),
+        )
     )

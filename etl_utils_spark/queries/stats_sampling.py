@@ -702,3 +702,64 @@ def gate_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
         [(bool(heavy_present), bool(bound_holds))],
         "all_heavy_present boolean, bound_holds boolean",
     )
+
+
+@query(
+    "gate_histogram_quantile_bound",
+    oracle="""
+        SELECT 'p50' AS q, CAST(true AS BOOLEAN) AS within_bucket_width
+        UNION ALL SELECT 'p90', CAST(true AS BOOLEAN)
+        UNION ALL SELECT 'p99', CAST(true AS BOOLEAN)
+    """,
+)
+def gate_histogram_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic accuracy gate for the MERGEABLE fixed-grid
+    histogram quantile sketch: 1024 equal-width buckets over
+    [min, max] of o_totalprice; the q-quantile estimate is the upper
+    edge of the first bucket whose cumulative count reaches ceil(q·n).
+    THEOREM (holds for any data): the true q-quantile lies inside that
+    bucket, so |estimate − exact| ≤ (max−min)/1024 — the gate asserts
+    exactly this bound against the exact interpolated percentile.
+
+    Scale story: bucket counts are associative/commutative partial
+    aggregates (daily histograms union by ADDING counts — no
+    re-scan), where the exact percentile needs a per-group sort; the
+    1024-row histogram is the only thing collected."""
+    import math
+
+    B = 1024
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds.lo, bounds.hi
+    width = (hi - lo) / B
+    bkt = F.least(
+        F.lit(B - 1),
+        F.floor((F.col("o_totalprice") - lo) / (hi - lo) * B),
+    ).cast("int")
+    hist = {
+        r.b: r.n
+        for r in o.groupBy(bkt.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(hist.values())
+    exact = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    ).collect()[0]
+
+    rows = []
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        target = math.ceil(q * n)
+        cum = 0
+        b_q = B - 1
+        for b in range(B):
+            cum += hist.get(b, 0)
+            if cum >= target:
+                b_q = b
+                break
+        est = lo + (hi - lo) * (b_q + 1) / B
+        ok = abs(est - exact[name]) <= width * (1 + 1e-9)
+        rows.append((name, bool(ok)))
+    return spark.createDataFrame(rows, "q string, within_bucket_width boolean")

@@ -148,6 +148,10 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         # cross-joined into the 256-row bucket log-ratio table — the
         # no-collect scalar pattern; every corpus-sized join is keyed
         "dsir_importance_resample",
+        # funnel: three 1-row stage-count frames cross-joined into the
+        # single summary row (scalar-anchor); the corpus-sized joins
+        # are all user_id-keyed
+        "funnel_conversion_windowed",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
