@@ -191,6 +191,9 @@ _WINDOW = [
     "bpe_compression_by_lang",
     "funnel_conversion_windowed",
     "gate_histogram_quantile_bound",
+    "stats_ks_two_sample_price",
+    "stats_mann_whitney_price",
+    "lm_kneser_ney_source_ce",
 ]
 
 

@@ -393,3 +393,233 @@ def xcorr_click_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_moments.corr_col(4).alias("xcorr_lag1h"),
         F.col("n").alias("n_hours"),
     )
+
+
+# -------------------------------------------- two-sample rank tests
+#
+# Both tests compare l_extendedprice between returned ('R') and
+# accepted ('A') line items.  The textbook formulations sort the
+# combined sample once per test (rank()/ECDF over ONE reducer); here
+# every rank-dependent quantity is derived from the per-VALUE count
+# frame (bounded by distinct-price cardinality) via the distributed
+# ``prefix_sum`` — the same decomposition as the Spearman query above.
+# All rank sums are exact integers (Spark decimal(38,0) / DuckDB
+# HUGEINT), so both engines feed the SAME bits into the one IEEE
+# division (KS) or the post-sqrt z-score (MWU).
+
+
+@query(
+    "stats_ks_two_sample_price",
+    oracle="""
+        WITH s AS (
+          SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS i1,
+                 CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS i2
+          FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        ),
+        c AS (SELECT v, sum(i1) AS c1, sum(i2) AS c2 FROM s GROUP BY v),
+        cum AS (
+          SELECT v,
+                 sum(c1) OVER (ORDER BY v) AS cum1,
+                 sum(c2) OVER (ORDER BY v) AS cum2
+          FROM c
+        ),
+        n AS (SELECT CAST(sum(i1) AS HUGEINT) AS n1,
+                     CAST(sum(i2) AS HUGEINT) AS n2 FROM s),
+        d AS (
+          SELECT max(abs(CAST(cum1 AS HUGEINT) * n.n2
+                         - CAST(cum2 AS HUGEINT) * n.n1)) AS ksnum
+          FROM cum CROSS JOIN n
+        )
+        SELECT CAST(ksnum AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d,
+               CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        FROM d CROSS JOIN n
+    """,
+)
+def stats_ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, distributed: D =
+    max_v |F1(v) - F2(v)| taken over the per-value count frame, with
+    both ECDFs kept as EXACT integer rationals — the max is over
+    |cum1*n2 - cum2*n1| (common denominator n1*n2), so no float
+    comparison ever happens; the single IEEE division at the end is
+    bit-identical across engines.  The oracle's two cumulative windows
+    are the single-reducer sort this formulation avoids: the count
+    frame is value-cardinality-bounded and the prefix sums run
+    through the bucketed three-pass ``prefix_sum``."""
+    from etl_utils_spark.operators.ids import prefix_sum
+
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("v"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("i1"),
+            F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("i2"),
+        )
+    )
+    c = (
+        s.groupBy("v")
+        .agg(
+            F.sum("i1").cast("long").alias("c1"),
+            F.sum("i2").cast("long").alias("c2"),
+        )
+        .localCheckpoint(eager=True)  # prefix_sum makes three passes
+    )
+    pc = prefix_sum(c, "v", "c1", out_col="cum1").localCheckpoint(eager=True)
+    pc = prefix_sum(pc, "v", "c2", out_col="cum2")
+    n = s.agg(
+        F.sum("i1").cast("decimal(18,0)").alias("n1"),
+        F.sum("i2").cast("decimal(18,0)").alias("n2"),
+    )
+    d = (
+        pc.crossJoin(F.broadcast(n))
+        .select(
+            F.abs(
+                F.col("cum1").cast("decimal(18,0)") * F.col("n2")
+                - F.col("cum2").cast("decimal(18,0)") * F.col("n1")
+            ).alias("num")
+        )
+        .agg(F.max("num").alias("ksnum"))
+    )
+    return d.crossJoin(F.broadcast(n)).select(
+        (
+            F.col("ksnum").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("ks_d"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )
+
+
+@query(
+    "stats_mann_whitney_price",
+    oracle="""
+        WITH s AS (
+          SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS i1
+          FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        ),
+        c AS (SELECT v, sum(i1) AS c1, count(*) AS ct FROM s GROUP BY v),
+        cum AS (
+          SELECT v, c1, ct, sum(ct) OVER (ORDER BY v) AS cumt FROM c
+        ),
+        agg AS (
+          SELECT sum(CAST(c1 AS HUGEINT) * (2 * cumt - ct + 1)) AS sum2r1,
+                 sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tsum
+          FROM cum
+        ),
+        n AS (SELECT CAST(sum(i1) AS HUGEINT) AS n1,
+                     CAST(count(*) AS HUGEINT) AS nn FROM s),
+        f AS (
+          SELECT sum2r1, tsum, n1, nn, nn - n1 AS n2,
+                 sum2r1 - n1 * (n1 + 1) - n1 * (nn - n1) AS za,
+                 n1 * (nn - n1) * ((nn * nn * nn - nn) - tsum) AS varnum,
+                 12 * nn * (nn - 1) AS varden
+          FROM agg CROSS JOIN n
+        )
+        SELECT CAST(sum2r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+               CASE WHEN varnum > 0 THEN
+                 ROUND(CAST(za AS DOUBLE)
+                       / (2.0 * sqrt(CAST(varnum AS DOUBLE)
+                                     / CAST(varden AS DOUBLE))), 6) + 0.0
+               END AS z_score,
+               CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        FROM f
+    """,
+)
+def stats_mann_whitney_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (rank-sum, tie-corrected normal
+    approximation), distributed: average ranks come from the per-value
+    count frame — 2*avg_rank(v) = 2*cumt(v) - ct(v) + 1 stays an exact
+    integer, so 2*R1 = sum(c1 * that) is an exact decimal(38,0)/
+    HUGEINT sum, U1 an exact dyadic (one /2.0), and the z-score
+    numerator/variance are exact-integer ratios — both engines feed
+    identical bits into the ONE sqrt, so rounding after it is safe
+    (docs/SCALE.md: round only post-irrational-map).  Tie correction
+    sum(t^3 - t) reuses the same count frame; no global rank sort
+    anywhere (the oracle's cumulative window is the single-reducer
+    plan this avoids)."""
+    from etl_utils_spark.operators.ids import prefix_sum
+
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("v"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("i1"),
+        )
+    )
+    c = (
+        s.groupBy("v")
+        .agg(
+            F.sum("i1").cast("long").alias("c1"),
+            F.count(F.lit(1)).alias("ct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pc = prefix_sum(c, "v", "ct", out_col="cumt")
+    dct = F.col("ct").cast("decimal(18,0)")
+    agg = pc.agg(
+        F.sum(
+            F.col("c1").cast("decimal(18,0)")
+            * (
+                2 * F.col("cumt").cast("decimal(18,0)")
+                - F.col("ct").cast("decimal(18,0)")
+                + 1
+            )
+        ).alias("sum2r1"),
+        F.sum(dct * dct * dct - dct).alias("tsum"),
+    )
+    n = s.agg(
+        F.sum("i1").cast("decimal(18,0)").alias("n1"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("nn"),
+    )
+    f = agg.crossJoin(F.broadcast(n)).select(
+        "sum2r1",
+        "tsum",
+        "n1",
+        "nn",
+        (F.col("nn") - F.col("n1")).alias("n2"),
+        (
+            F.col("sum2r1")
+            - F.col("n1") * (F.col("n1") + 1)
+            - F.col("n1") * (F.col("nn") - F.col("n1"))
+        ).alias("za"),
+        (
+            F.col("n1")
+            * (F.col("nn") - F.col("n1"))
+            * (
+                (F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn"))
+                - F.col("tsum")
+            )
+        ).alias("varnum"),
+        (12 * F.col("nn") * (F.col("nn") - 1)).alias("varden"),
+    )
+    return f.select(
+        (
+            (F.col("sum2r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / 2.0
+        ).alias("u1"),
+        F.when(
+            F.col("varnum") > 0,
+            F.round(
+                F.col("za").cast("double")
+                / (
+                    2.0
+                    * F.sqrt(
+                        F.col("varnum").cast("double")
+                        / F.col("varden").cast("double")
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("z_score"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )

@@ -297,3 +297,98 @@ def vocab_coverage_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_tokens").cast("double")
         ).alias("coverage"),
     )
+
+
+@query(
+    "lm_kneser_ney_source_ce",
+    oracle="""
+        WITH t AS (
+            SELECT source,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        idx AS (
+            SELECT source, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t
+        ),
+        db AS (
+            SELECT source, toks[i] AS w1, toks[i + 1] AS w2,
+                   toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM idx
+        ),
+        B AS (SELECT bigram, count(*) AS nb FROM db GROUP BY bigram),
+        U AS (SELECT w1, count(*) AS nu,
+                     count(DISTINCT w2) AS n1f FROM db GROUP BY w1),
+        C AS (SELECT w2, count(DISTINCT w1) AS n1b FROM db GROUP BY w2),
+        NB AS (SELECT count(DISTINCT bigram) AS nbt FROM db)
+        SELECT h.source,
+               count(*) AS n_bigrams,
+               CAST(SUM(CAST(floor(-ln(
+                       (CAST(B.nb AS DOUBLE) - 0.75) / CAST(U.nu AS DOUBLE)
+                       + (0.75 * CAST(U.n1f AS DOUBLE) / CAST(U.nu AS DOUBLE))
+                         * (CAST(C.n1b AS DOUBLE) / CAST(NB.nbt AS DOUBLE)))
+                       * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS kn_ce
+        FROM db h
+        JOIN B USING (bigram)
+        JOIN U USING (w1)
+        JOIN C USING (w2)
+        CROSS JOIN NB
+        GROUP BY h.source
+    """,
+)
+def lm_kneser_ney_source_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy per source — the
+    CCNet-style corpus-quality signal, one step past the MLE score in
+    ``lm_bigram_doc_score``: p_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+    + D·N1+(w1,·)/c(w1) · N1+(·,w2)/|bigram types|, with the standard
+    discount D = 0.75 (an exact dyadic, so c - D is exact in double).
+    Self-scoring the training corpus means every scored bigram has
+    c >= 1, so no zero floor is needed and the expression is total.
+
+    Scale shape: three count tables (bigram, forward-continuation,
+    backward-continuation) are inverted-index-style hash aggregates on
+    the exploded pairs; scoring is keyed joins back to the pair
+    stream; the bigram-type count is the one collected scalar.  Each
+    term's -ln is 2^-30-quantized (shared floor IEEE expression), so
+    the per-source mean is exact-integer arithmetic plus one shared
+    division — summing raw irrational doubles is summation-order-
+    dependent across engines (docs/SCALE.md)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    db = (
+        d.select("source", F.explode(pairs).alias("p"))
+        .select(
+            "source",
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.concat_ws(" ", "p.w1", "p.w2").alias("bigram"),
+        )
+        .localCheckpoint(eager=True)  # three count tables + the probe reuse it
+    )
+    nb = db.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
+    nu = db.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.countDistinct("w2").alias("n1f"),
+    )
+    c = db.groupBy("w2").agg(F.countDistinct("w1").alias("n1b"))
+    nbt = db.select("bigram").distinct().count()  # bounded: bigram type count
+    joined = db.join(nb, "bigram").join(nu, "w1").join(c, "w2")
+    p_kn = (F.col("nb").cast("double") - 0.75) / F.col("nu").cast("double") + (
+        0.75 * F.col("n1f").cast("double") / F.col("nu").cast("double")
+    ) * (F.col("n1b").cast("double") / F.lit(float(nbt)))
+    q = F.floor(-F.log(p_kn) * 1073741824.0 + 0.5).cast("long")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(q).cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1073741824.0)
+        ).alias("kn_ce"),
+    )

@@ -152,6 +152,12 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         # single summary row (scalar-anchor); the corpus-sized joins
         # are all user_id-keyed
         "funnel_conversion_windowed",
+        # KS / Mann-Whitney: 1-row sample-size frames (n1, n2 / n1, N)
+        # cross-joined onto the value-cardinality-bounded count frame
+        # and the 1-row max/moment frame — scalar-anchor pattern; the
+        # rank machinery itself is keyed prefix_sum, no corpus BNL
+        "stats_ks_two_sample_price",
+        "stats_mann_whitney_price",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
