@@ -194,6 +194,7 @@ _WINDOW = [
     "stats_ks_two_sample_price",
     "stats_mann_whitney_price",
     "lm_kneser_ney_source_ce",
+    "kmeans_embed_lloyd2",
 ]
 
 

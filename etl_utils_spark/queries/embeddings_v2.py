@@ -139,3 +139,118 @@ def centroid_separation_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "kmeans_embed_lloyd2",
+    oracle="""
+        WITH flat AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1048576.0 + 0.5) AS BIGINT) AS qv
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cid, dim, qv AS qc FROM flat
+               WHERE vec_id < 8),
+        d1 AS (
+            SELECT f.vec_id, c.cid,
+                   SUM((f.qv - c.qc) * (f.qv - c.qc)) AS dist
+            FROM flat f JOIN c0 c USING (dim)
+            GROUP BY f.vec_id, c.cid
+        ),
+        a1 AS (
+            SELECT vec_id, CAST(min(dist * 8 + cid) % 8 AS BIGINT) AS cid
+            FROM d1 GROUP BY vec_id
+        ),
+        c1 AS (
+            SELECT a.cid, f.dim,
+                   CAST(floor(CAST(SUM(f.qv) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+                       AS qc
+            FROM flat f JOIN a1 a USING (vec_id)
+            GROUP BY a.cid, f.dim
+        ),
+        d2 AS (
+            SELECT f.vec_id, c.cid,
+                   SUM((f.qv - c.qc) * (f.qv - c.qc)) AS dist
+            FROM flat f JOIN c1 c USING (dim)
+            GROUP BY f.vec_id, c.cid
+        ),
+        a2 AS (SELECT vec_id, min(dist * 8 + cid) AS k FROM d2
+               GROUP BY vec_id)
+        SELECT CAST(k % 8 AS BIGINT) AS cluster_id,
+               count(*)::BIGINT AS n_members,
+               SUM(CAST((k - (k % 8)) / 8.0 AS BIGINT))::BIGINT AS inertia
+        FROM a2 GROUP BY 1
+    """,
+)
+def kmeans_embed_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, two full Lloyd iterations) over the
+    embedding corpus, HASH-CERTIFIED against an oracle that replays
+    the identical iterations in SQL — possible because every step is
+    exact integer arithmetic: elements quantize to the 2^-20 grid
+    (float32 x power-of-two is exact), squared distances are exact
+    BIGINT sums, argmin packs (dist, cid) into dist*8+cid so the
+    min + tie-break (lowest cid) is ONE integer min, and updated
+    centroids re-quantize via floor(sum/n + 0.5) — a single shared
+    IEEE division whose inputs are identical on both engines.  The
+    output (cluster sizes + exact-integer inertia after the second
+    assignment) is integer-only: nothing to round, nothing
+    engine-specific.  IVF/PQ already run Lloyd internally (rows-only
+    by SQL-inexpressibility of their sampled init); this query is the
+    certifiable face of the same operator.
+
+    100 TB shape: per iteration, ONE broadcast join against the
+    k x dim centroid table (512 rows) and one partial-aggregated
+    shuffle keyed by (vec_id, cid) — the canonical distributed Lloyd;
+    no driver-side collect anywhere (centroids stay a DataFrame).
+    Empty clusters simply drop out of the centroid table, identically
+    on both engines.  The /8.0 inertia unpack is exact: dividing a
+    <2^53 integer double by a power of two never rounds."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "e")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("e").cast("double") * 1048576.0 + 0.5)
+        .cast("long")
+        .alias("qv"),
+    ).localCheckpoint(eager=True)  # reused by both assign and both update passes
+    c0 = flat.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("qv").alias("qc")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        diff = F.col("qv") - F.col("qc")
+        d = (
+            flat.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        return d.groupBy("vec_id").agg(
+            F.min(F.col("dist") * 8 + F.col("cid")).alias("k")
+        )
+
+    a1 = assign(c0).select("vec_id", (F.col("k") % 8).alias("cid"))
+    c1 = (
+        flat.join(a1, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            F.floor(
+                F.sum("qv").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            )
+            .cast("long")
+            .alias("qc")
+        )
+    )
+    a2 = assign(c1)
+    return a2.groupBy((F.col("k") % 8).cast("long").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(((F.col("k") - (F.col("k") % 8)) / 8.0).cast("long"))
+        .cast("long")
+        .alias("inertia"),
+    )
