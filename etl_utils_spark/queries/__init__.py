@@ -195,6 +195,7 @@ _WINDOW = [
     "stats_mann_whitney_price",
     "lm_kneser_ney_source_ce",
     "kmeans_embed_lloyd2",
+    "kmv_sketch_part_overlap",
 ]
 
 

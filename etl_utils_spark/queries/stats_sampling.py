@@ -763,3 +763,111 @@ def gate_histogram_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame
         ok = abs(est - exact[name]) <= width * (1 + 1e-9)
         rows.append((name, bool(ok)))
     return spark.createDataFrame(rows, "q string, within_bucket_width boolean")
+
+
+# ------------------------------------------------ KMV (bottom-k) sketch
+
+_KMV_K = 64
+_KMV_A = "l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31'"
+_KMV_B = "l_shipdate BETWEEN TIMESTAMP '2001-01-01' AND TIMESTAMP '2001-03-31'"
+
+
+@query(
+    "kmv_sketch_part_overlap",
+    oracle=f"""
+        WITH ua AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+                    WHERE {_KMV_A}),
+        ub AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+               WHERE {_KMV_B}),
+        ha AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM ua
+               ORDER BY h LIMIT {_KMV_K}),
+        hb AS (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM ub
+               ORDER BY h LIMIT {_KMV_K}),
+        un AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+               ORDER BY h LIMIT {_KMV_K}),
+        est AS (
+            SELECT count(*)::BIGINT AS m,
+                   sum(CASE WHEN h IN (SELECT h FROM ha)
+                             AND h IN (SELECT h FROM hb)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_both
+            FROM un
+        ),
+        ex AS (
+            SELECT (SELECT count(*) FROM ua)::BIGINT AS n_a,
+                   (SELECT count(*) FROM ub)::BIGINT AS n_b,
+                   (SELECT count(*) FROM (SELECT id FROM ua
+                                          INTERSECT SELECT id FROM ub))::BIGINT
+                       AS n_inter
+        )
+        SELECT CAST(n_both AS DOUBLE) / CAST(m AS DOUBLE) AS est_jaccard,
+               CAST(n_inter AS DOUBLE)
+                   / CAST(n_a + n_b - n_inter AS DOUBLE) AS exact_jaccard,
+               n_a, n_b
+        FROM est CROSS JOIN ex
+    """,
+)
+def kmv_sketch_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta-style) sketch set intersection: estimate
+    the Jaccard overlap of the parts shipped in Q1-1995 vs Q1-2001
+    from two 64-hash bottom-k sketches — the mergeable-sketch answer
+    to "how much do these two huge sets overlap" without ever joining
+    them.  est_J = |bottomk(A ∪ B) ∩ A_sketch ∩ B_sketch| / m, the
+    classic KMV coincidence estimator.  Everything is DETERMINISTIC
+    (md5 is a fixed function; bottom-k under the total hex order has
+    no ties), so the sketch itself replays in SQL and the result is
+    hash-certified, not tolerance-gated; the exact Jaccard is computed
+    alongside for calibration.  Both ratios are single IEEE divisions
+    of exact small integers, emitted unrounded.
+
+    100 TB shape: each sketch is a TakeOrdered over the distinct
+    stream — map-side partial bottom-k per partition, k rows per
+    partition to the final merge (never the corpus); sketches then
+    merge/intersect driver-free on 64-row frames.  The exact branch
+    is one distinct + semi-join at fixture scale for calibration
+    only."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    ua = (
+        li.filter(F.expr(_KMV_A)).select(F.col("l_partkey").alias("id")).distinct()
+    )
+    ub = (
+        li.filter(F.expr(_KMV_B)).select(F.col("l_partkey").alias("id")).distinct()
+    )
+
+    def sketch(u: DataFrame) -> DataFrame:
+        return (
+            u.select(F.md5(F.col("id").cast("string").cast("binary")).alias("h"))
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+
+    ha = sketch(ua).localCheckpoint(eager=True)
+    hb = sketch(ub).localCheckpoint(eager=True)
+    un = (
+        ha.select("h")
+        .union(hb.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+    )
+    est = (
+        un.join(ha.withColumn("ina", F.lit(1)), "h", "left")
+        .join(hb.withColumn("inb", F.lit(1)), "h", "left")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(
+                F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    n_a = ua.count()
+    n_b = ub.count()
+    n_inter = ua.join(ub, "id", "left_semi").count()
+    return est.select(
+        (F.col("n_both").cast("double") / F.col("m").cast("double")).alias(
+            "est_jaccard"
+        ),
+        F.lit(float(n_inter) / float(n_a + n_b - n_inter)).alias("exact_jaccard"),
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+    )
