@@ -196,6 +196,7 @@ _WINDOW = [
     "lm_kneser_ney_source_ce",
     "kmeans_embed_lloyd2",
     "kmv_sketch_part_overlap",
+    "mmr_diversified_topk",
 ]
 
 

@@ -558,3 +558,171 @@ def spell_correct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("dist", F.levenshtein("typo", "w").cast("int")).filter(
         F.col("dist") <= 1
     ).select("doc_id", "typo", F.col("w").alias("suggestion"), "dist")
+
+
+# ------------------------------------------------ MMR diversification
+
+_MMR_SQL_STEP = """,
+        sel{k} AS (
+            SELECT query_id, neighbor_id, score, {k} AS rank FROM (
+                SELECT r.query_id, r.neighbor_id,
+                       7 * r.rel - 3 * mx.m AS score,
+                       row_number() OVER (
+                           PARTITION BY r.query_id
+                           ORDER BY 7 * r.rel - 3 * mx.m DESC, r.neighbor_id
+                       ) AS rn
+                FROM cand r
+                JOIN (SELECT s.query_id, s.ia, max(s.s) AS m
+                      FROM sim s JOIN acc{p} p
+                        ON s.query_id = p.query_id
+                       AND s.ib = p.neighbor_id
+                      GROUP BY 1, 2) mx
+                  ON mx.query_id = r.query_id AND mx.ia = r.neighbor_id
+                WHERE NOT EXISTS (SELECT 1 FROM acc{p} p2
+                                  WHERE p2.query_id = r.query_id
+                                    AND p2.neighbor_id = r.neighbor_id)
+            ) t WHERE rn = 1
+        ),
+        acc{k} AS (SELECT query_id, neighbor_id, score, rank FROM acc{p}
+                   UNION ALL SELECT query_id, neighbor_id, score, rank
+                   FROM sel{k})"""
+
+
+def _mmr_oracle() -> str:
+    steps = "".join(_MMR_SQL_STEP.format(k=k, p=k - 1) for k in range(2, 6))
+    return f"""
+        WITH flat AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1048576.0 + 0.5) AS BIGINT) AS qv
+            FROM embeddings
+        ),
+        rel0 AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   SUM(q.qv * c.qv) AS rel
+            FROM flat q JOIN flat c USING (dim)
+            WHERE q.vec_id < 4 AND c.vec_id >= 4
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id, rel FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY rel DESC, neighbor_id) AS rn
+                FROM rel0
+            ) t WHERE rn <= 20
+        ),
+        sim AS (
+            SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+                   SUM(fa.qv * fb.qv) AS s
+            FROM cand a
+            JOIN cand b ON a.query_id = b.query_id
+                       AND a.neighbor_id != b.neighbor_id
+            JOIN flat fa ON fa.vec_id = a.neighbor_id
+            JOIN flat fb ON fb.vec_id = b.neighbor_id AND fa.dim = fb.dim
+            GROUP BY 1, 2, 3
+        ),
+        sel1 AS (
+            SELECT query_id, neighbor_id, 7 * rel AS score, 1 AS rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY rel DESC, neighbor_id) AS rn
+                FROM cand
+            ) t WHERE rn = 1
+        ),
+        acc1 AS (SELECT query_id, neighbor_id, score, rank FROM sel1)
+        {steps}
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+               CAST(score AS BIGINT) AS mmr_score
+        FROM acc5
+    """
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: for each of 4 query
+    vectors, pick 5 of the top-20 dot-product candidates greedily by
+    MMR = λ·rel − (1−λ)·max-sim-to-selected with λ = 0.7 — the
+    standard retrieval-diversification head (dedups near-identical
+    hits a plain top-k returns).  EVERYTHING is exact integer
+    arithmetic: elements quantize to the 2^-20 grid, relevance and
+    pairwise similarities are BIGINT dot products, and λ = 0.7 enters
+    as the integer weights (7, 3) — so the greedy argmax (tie-break
+    lowest id) replays exactly in SQL (four chained selection CTEs)
+    and the result is hash-certified with an integer-only output.
+
+    Scale split, stated honestly: candidate generation is the
+    distributed part (corpus-scale scoring + per-query top-20 via
+    WindowGroupLimit); the greedy head is O(k·m²) on the
+    ≤ queries × 20-row candidate frame — bounded by construction, so
+    it runs driver-side like the repo's other bounded-frame heads
+    (docs/SCALE.md collect policy)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "e")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("e").cast("double") * 1048576.0 + 0.5)
+        .cast("long")
+        .alias("qv"),
+    )
+    q = flat.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("qv").alias("qq")
+    )
+    c = flat.filter(F.col("vec_id") >= 4).select(
+        F.col("vec_id").alias("neighbor_id"), "dim", F.col("qv").alias("qc")
+    )
+    rel0 = (
+        c.join(F.broadcast(q), "dim")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qq") * F.col("qc")).alias("rel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    cand = (
+        rel0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # bounded: queries x 20
+    )
+    # Pairwise candidate similarities: bounded frame (queries x 20 x 19).
+    ca = cand.select("query_id", F.col("neighbor_id").alias("ia"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("ib"))
+    fa = flat.select(F.col("vec_id").alias("ia"), "dim", F.col("qv").alias("qa"))
+    fb = flat.select(F.col("vec_id").alias("ib"), "dim", F.col("qv").alias("qb"))
+    sim = (
+        ca.join(cb, "query_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .join(F.broadcast(fa), "ia")
+        .join(F.broadcast(fb), ["ib", "dim"])
+        .groupBy("query_id", "ia", "ib")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("s"))
+    )
+    # Greedy MMR head on the collected bounded frames (exact ints).
+    rel_rows = {
+        (r.query_id, r.neighbor_id): r.rel for r in cand.collect()
+    }
+    sim_rows = {(r.query_id, r.ia, r.ib): r.s for r in sim.collect()}
+    out = []
+    for qid in sorted({k[0] for k in rel_rows}):
+        remaining = {nid: rel for (q2, nid), rel in rel_rows.items() if q2 == qid}
+        selected: list[int] = []
+        for rank in range(1, 6):
+            best = None
+            for nid, rel in remaining.items():
+                if selected:
+                    mx = max(sim_rows[(qid, nid, s)] for s in selected)
+                    score = 7 * rel - 3 * mx
+                else:
+                    score = 7 * rel
+                key = (-score, nid)
+                if best is None or key < best[0]:
+                    best = (key, nid, score)
+            _, nid, score = best
+            out.append((qid, rank, nid, score))
+            selected.append(nid)
+            del remaining[nid]
+    return spark.createDataFrame(
+        out, "query_id long, rank long, neighbor_id long, mmr_score long"
+    )
