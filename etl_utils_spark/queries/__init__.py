@@ -197,6 +197,7 @@ _WINDOW = [
     "kmeans_embed_lloyd2",
     "kmv_sketch_part_overlap",
     "mmr_diversified_topk",
+    "stream_funnel_stages_live",
 ]
 
 

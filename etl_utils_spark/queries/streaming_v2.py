@@ -136,3 +136,55 @@ def stream_ohlc_hourly_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_ticks",
     )
+
+
+_FUNNEL_W = 7 * 86400000000
+
+
+@query(
+    "stream_funnel_stages_live",
+    oracle=f"""
+        WITH u1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        u2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN u1 USING (user_id)
+            WHERE e.event_type = 'click'
+              AND epoch_us(e.ts) >= u1.t1
+              AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_W}
+            GROUP BY e.user_id
+        ),
+        u3 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e JOIN u2 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) >= u2.t2
+              AND epoch_us(e.ts) <= u2.t2 + {_FUNNEL_W}
+            GROUP BY e.user_id
+        ),
+        base AS (SELECT DISTINCT user_id FROM events)
+        SELECT b.user_id, u1.t1, u2.t2, u3.t3
+        FROM base b
+        LEFT JOIN u1 USING (user_id)
+        LEFT JOIN u2 USING (user_id)
+        LEFT JOIN u3 USING (user_id)
+    """,
+)
+def stream_funnel_stages_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel stage times computed as a REAL stream
+    (applyInPandasWithState, AvailableNow): the state machine carries
+    three integer-microsecond timestamps per user and folds each
+    micro-batch's events in (ts, stage) order — greedy-earliest
+    semantics identical to the batch ``funnel_conversion_windowed``
+    chain, so the final state hash-matches the three-stage keyed
+    min-aggregate oracle exactly (integer-only output, nothing to
+    round).  The stream shape is the live-funnel dashboard: O(1)
+    state per key, update-mode emission."""
+    from etl_utils_spark.streaming.stateful import running_funnel
+
+    s = read_events_stream(spark, sf_dir)
+    return run_stream_to_batch(spark, running_funnel(s), output_mode="update").select(
+        "user_id", "t1", "t2", "t3"
+    )

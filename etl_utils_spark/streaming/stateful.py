@@ -172,3 +172,70 @@ def running_user_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------ streaming funnel
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, t1 long, t2 long, t3 long"
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+FUNNEL_WINDOW_US = 7 * 86400000000  # 7 days per step, in microseconds
+
+_FUNNEL_STAGES = {"signup": 0, "click": 1, "purchase": 2}
+
+
+def _update_funnel(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    # State = the user's greedy-earliest funnel stage times in exact
+    # integer microseconds (-1 = not reached): signup -> first click
+    # within 7 days of t1 -> first purchase within 7 days of t2.
+    # Events fold in (ts, stage) order so a same-instant
+    # signup->click->purchase chain counts, matching the batch
+    # oracle's inclusive >= bounds.
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    stage = pdf["event_type"].map(_FUNNEL_STAGES).fillna(3).astype("int64")
+    pdf = pdf.assign(_stage=stage).sort_values(
+        ["tus", "_stage"], kind="mergesort"
+    )
+    for tus, st in zip(pdf["tus"].to_numpy("int64"), pdf["_stage"].to_numpy()):
+        tus = int(tus)
+        if st == 0 and t1 < 0:
+            t1 = tus
+        elif st == 1 and t2 < 0 and t1 >= 0 and t1 <= tus <= t1 + FUNNEL_WINDOW_US:
+            t2 = tus
+        elif st == 2 and t3 < 0 and t2 >= 0 and t2 <= tus <= t2 + FUNNEL_WINDOW_US:
+            t3 = tus
+    state.update((t1, t2, t3))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "t1": pd.array([t1 if t1 >= 0 else None], dtype="Int64"),
+            "t2": pd.array([t2 if t2 >= 0 else None], dtype="Int64"),
+            "t3": pd.array([t3 if t3 >= 0 else None], dtype="Int64"),
+        }
+    )
+
+
+def running_funnel(events: DataFrame) -> DataFrame:
+    """Streaming greedy-earliest funnel (signup -> click -> purchase,
+    7-day window per step): O(1) state per user (three integer
+    timestamps), folded incrementally per micro-batch — the live
+    product-analytics counterpart of ``funnel_conversion_windowed``
+    (queries/behavioral.py).  Works only on streaming input; batch
+    funnels should use the keyed-aggregate formulation directly."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id", "event_type", F.unix_micros("ts").alias("tus")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
