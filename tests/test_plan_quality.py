@@ -450,3 +450,21 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:1500]
     # and the pruned scan must actually return only the one 'p' type
     assert j.select("type_key").distinct().count() == 1
+
+
+def test_kmeans_centroid_join_broadcasts(spark, sf_dir):
+    """Distributed Lloyd must join the corpus against the k x dim
+    centroid table via BROADCAST (512-row build side) — a shuffled or
+    nested-loop centroid join would add a corpus exchange per
+    iteration."""
+    df = _q("kmeans_embed_lloyd2", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_kmv_sketch_compiles_to_take_ordered(spark, sf_dir):
+    """The bottom-k sketch build must compile to TakeOrdered (map-side
+    partial bottom-k, k rows per partition to the final merge) — a
+    global sort before the LIMIT would be a single-reducer sketch."""
+    plan = formatted_plan(_q("kmv_sketch_part_overlap", spark, sf_dir))
+    assert "TakeOrdered" in plan, plan[:1200]
