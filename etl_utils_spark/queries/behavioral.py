@@ -182,10 +182,7 @@ def gini_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_kept,
                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                              AS BIGINT)) AS DOUBLE)
-                   / (CAST(count(*) AS DOUBLE) * 100.0) AS trimmed_mean,
-               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                             AS BIGINT)) AS DOUBLE)
-                   / (CAST(count(*) AS DOUBLE) * 100.0) AS trimmed_mean_check
+                   / (CAST(count(*) AS DOUBLE) * 100.0) AS trimmed_mean
         FROM ranked
         WHERE rn > n // 10 AND rn <= n - n // 10
         GROUP BY o_orderpriority
@@ -219,7 +216,6 @@ def trimmed_mean_prices_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
         F.max("n").cast("long").alias("n_orders"),
         F.count(F.lit(1)).alias("n_kept"),
         _cents_mean.alias("trimmed_mean"),
-        _cents_mean.alias("trimmed_mean_check"),
     )
 
 
@@ -442,32 +438,16 @@ def business_days_order_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ windowed funnel
 
-_FUNNEL_WINDOW_US = 7 * 86400000000  # 7 days per step, in microseconds
+from etl_utils_spark.queries.shared import (  # noqa: E402
+    FUNNEL_WINDOW_US as _FUNNEL_WINDOW_US,
+    funnel_stage_ctes as _funnel_ctes,
+)
 
 
 @query(
     "funnel_conversion_windowed",
     oracle=f"""
-        WITH u1 AS (
-            SELECT user_id, min(epoch_us(ts)) AS t1
-            FROM events WHERE event_type = 'signup' GROUP BY user_id
-        ),
-        u2 AS (
-            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
-            FROM events e JOIN u1 USING (user_id)
-            WHERE e.event_type = 'click'
-              AND epoch_us(e.ts) >= u1.t1
-              AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_WINDOW_US}
-            GROUP BY e.user_id
-        ),
-        u3 AS (
-            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
-            FROM events e JOIN u2 USING (user_id)
-            WHERE e.event_type = 'purchase'
-              AND epoch_us(e.ts) >= u2.t2
-              AND epoch_us(e.ts) <= u2.t2 + {_FUNNEL_WINDOW_US}
-            GROUP BY e.user_id
-        )
+        WITH {_funnel_ctes()}
         SELECT (SELECT count(*) FROM u1)::BIGINT AS n_signup,
                (SELECT count(*) FROM u2)::BIGINT AS n_click_7d,
                (SELECT count(*) FROM u3)::BIGINT AS n_purchase_7d,

@@ -141,10 +141,15 @@ def feature_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").withColumn(
         "cv", F.floor(F.col("value") * 100.0 + 0.5).cast("long")
     )
+    # decimal(18,0) moments like operators/exact_moments.py: n·Sxx and
+    # S² overflow int64 past ~200k rows per group (the oracle's SUM
+    # promotes to HUGEINT; raw long arithmetic here would wrap and
+    # silently zero every z-score at the 10x probe scale).
+    dcv = F.col("cv").cast("decimal(18,0)")
     m = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cv").alias("s"),
-        F.sum(F.col("cv") * F.col("cv")).alias("sxx"),
+        F.sum(dcv).alias("s"),
+        F.sum(dcv * dcv).alias("sxx"),
     )
     d = F.col("n") * F.col("sxx") - F.col("s") * F.col("s")
     return (

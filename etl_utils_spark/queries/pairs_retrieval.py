@@ -687,10 +687,17 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # bounded: queries x 20
     )
     # Pairwise candidate similarities: bounded frame (queries x 20 x 19).
+    # Semi-join flat down to the candidate ids FIRST (broadcast the
+    # bounded id list, never the corpus-sized exploded frame — review
+    # finding r6: broadcasting `flat` itself inverts build/probe sides
+    # and OOMs at corpus scale), then every frame in the pair join is
+    # <= queries x 20 x dim rows and safe to broadcast.
+    cand_ids = cand.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    cflat = flat.join(F.broadcast(cand_ids), "vec_id").localCheckpoint(eager=True)
     ca = cand.select("query_id", F.col("neighbor_id").alias("ia"))
     cb = cand.select("query_id", F.col("neighbor_id").alias("ib"))
-    fa = flat.select(F.col("vec_id").alias("ia"), "dim", F.col("qv").alias("qa"))
-    fb = flat.select(F.col("vec_id").alias("ib"), "dim", F.col("qv").alias("qb"))
+    fa = cflat.select(F.col("vec_id").alias("ia"), "dim", F.col("qv").alias("qa"))
+    fb = cflat.select(F.col("vec_id").alias("ib"), "dim", F.col("qv").alias("qb"))
     sim = (
         ca.join(cb, "query_id")
         .filter(F.col("ia") != F.col("ib"))

@@ -51,3 +51,43 @@ def jaccard_pair_graph(
     )
     _CACHE[key] = pairs
     return pairs
+
+
+# -------------------------------------------- shared funnel oracle
+#
+# ONE definition of the 7-day greedy-earliest funnel window and its
+# three-stage CTE chain, consumed by the batch funnel
+# (queries/behavioral.py), the streaming funnel
+# (queries/streaming_v2.py), and the state machine
+# (streaming/stateful.py imports the same constant) — three
+# independent copies would silently desynchronize the stream-vs-batch
+# equivalence the hash match certifies.
+
+from etl_utils_spark.streaming.stateful import FUNNEL_WINDOW_US  # noqa: E402
+
+
+def funnel_stage_ctes() -> str:
+    """The u1/u2/u3 stage CTE block (greedy-earliest, inclusive
+    bounds, FUNNEL_WINDOW_US per step) shared verbatim by both funnel
+    oracles."""
+    return f"""
+        u1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        u2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN u1 USING (user_id)
+            WHERE e.event_type = 'click'
+              AND epoch_us(e.ts) >= u1.t1
+              AND epoch_us(e.ts) <= u1.t1 + {FUNNEL_WINDOW_US}
+            GROUP BY e.user_id
+        ),
+        u3 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e JOIN u2 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) >= u2.t2
+              AND epoch_us(e.ts) <= u2.t2 + {FUNNEL_WINDOW_US}
+            GROUP BY e.user_id
+        )"""

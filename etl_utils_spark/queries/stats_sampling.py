@@ -717,14 +717,19 @@ def gate_histogram_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame
     histogram quantile sketch: 1024 equal-width buckets over
     [min, max] of o_totalprice; the q-quantile estimate is the upper
     edge of the first bucket whose cumulative count reaches ceil(q·n).
-    THEOREM (holds for any data): the true q-quantile lies inside that
-    bucket, so |estimate − exact| ≤ (max−min)/1024 — the gate asserts
-    exactly this bound against the exact interpolated percentile.
+    THEOREM (holds for any data): the ceil(q·n)-th ORDER STATISTIC
+    lies inside that bucket by construction, so |estimate − exact| ≤
+    (max−min)/1024.  The reference must be the rank-select order
+    statistic, NOT an interpolated percentile — interpolation at
+    position 1+q(n−1) can blend two order statistics from different
+    buckets and escape the bound (review finding r6: the interpolated
+    p50 was within 3% of the bound on the sf0.01 fixture, one data
+    drift from a red).
 
     Scale story: bucket counts are associative/commutative partial
     aggregates (daily histograms union by ADDING counts — no
-    re-scan), where the exact percentile needs a per-group sort; the
-    1024-row histogram is the only thing collected."""
+    re-scan), where the exact order statistic needs a corpus sort;
+    the 1024-row histogram is the only frame collected."""
     import math
 
     B = 1024
@@ -734,6 +739,11 @@ def gate_histogram_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame
     ).collect()[0]
     lo, hi = bounds.lo, bounds.hi
     width = (hi - lo) / B
+    if width == 0:  # degenerate: every value identical — bound is trivial
+        return spark.createDataFrame(
+            [("p50", True), ("p90", True), ("p99", True)],
+            "q string, within_bucket_width boolean",
+        )
     bkt = F.least(
         F.lit(B - 1),
         F.floor((F.col("o_totalprice") - lo) / (hi - lo) * B),
@@ -743,11 +753,6 @@ def gate_histogram_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame
         for r in o.groupBy(bkt.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     n = sum(hist.values())
-    exact = o.agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
-    ).collect()[0]
 
     rows = []
     for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
@@ -760,7 +765,16 @@ def gate_histogram_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame
                 b_q = b
                 break
         est = lo + (hi - lo) * (b_q + 1) / B
-        ok = abs(est - exact[name]) <= width * (1 + 1e-9)
+        # exact k-th smallest (rank-select): TakeOrdered-shaped
+        # sort+limit, max of the prefix — no interpolation.
+        exact = (
+            o.orderBy("o_totalprice")
+            .limit(target)
+            .agg(F.max("o_totalprice").alias("v"))
+            .collect()[0]
+            .v
+        )
+        ok = abs(est - exact) <= width * (1 + 1e-9)
         rows.append((name, bool(ok)))
     return spark.createDataFrame(rows, "q string, within_bucket_width boolean")
 

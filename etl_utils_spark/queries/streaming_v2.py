@@ -138,32 +138,13 @@ def stream_ohlc_hourly_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_W = 7 * 86400000000
+from etl_utils_spark.queries.shared import funnel_stage_ctes as _funnel_ctes  # noqa: E402
 
 
 @query(
     "stream_funnel_stages_live",
     oracle=f"""
-        WITH u1 AS (
-            SELECT user_id, min(epoch_us(ts)) AS t1
-            FROM events WHERE event_type = 'signup' GROUP BY user_id
-        ),
-        u2 AS (
-            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
-            FROM events e JOIN u1 USING (user_id)
-            WHERE e.event_type = 'click'
-              AND epoch_us(e.ts) >= u1.t1
-              AND epoch_us(e.ts) <= u1.t1 + {_FUNNEL_W}
-            GROUP BY e.user_id
-        ),
-        u3 AS (
-            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
-            FROM events e JOIN u2 USING (user_id)
-            WHERE e.event_type = 'purchase'
-              AND epoch_us(e.ts) >= u2.t2
-              AND epoch_us(e.ts) <= u2.t2 + {_FUNNEL_W}
-            GROUP BY e.user_id
-        ),
+        WITH {_funnel_ctes()},
         base AS (SELECT DISTINCT user_id FROM events)
         SELECT b.user_id, u1.t1, u2.t2, u3.t3
         FROM base b

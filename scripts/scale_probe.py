@@ -58,6 +58,16 @@ PROBES_10 = [
     "eval_auc_purchase_value",
     "max_concurrent_sessions",
     "decontaminate_test_split",
+    # round-6 additions: rank tests (prefix-sum machinery), KN LM
+    # (inverted-index counts), certified Lloyd (broadcast-join
+    # iterations), KMV (TakeOrdered sketch), windowed funnel (keyed
+    # min-aggregate chain)
+    "stats_ks_two_sample_price",
+    "stats_mann_whitney_price",
+    "lm_kneser_ney_source_ce",
+    "kmeans_embed_lloyd2",
+    "kmv_sketch_part_overlap",
+    "funnel_conversion_windowed",
 ]
 # the 100x decade probes only the data-linear headline ops (the
 # quadratic-candidate families are measured at 10x above)
