@@ -468,3 +468,20 @@ def test_kmv_sketch_compiles_to_take_ordered(spark, sf_dir):
     global sort before the LIMIT would be a single-reducer sketch."""
     plan = formatted_plan(_q("kmv_sketch_part_overlap", spark, sf_dir))
     assert "TakeOrdered" in plan, plan[:1200]
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE must be live in the session (session.py pins it on): after
+    execution, a small post-shuffle stage should show an AQEShuffleRead
+    that coalesced the configured shuffle partitions down to the data's
+    actual size — the runtime re-plan this engine relies on instead of
+    hand-tuning spark.sql.shuffle.partitions per query."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    df.collect()  # adaptive plans finalize on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan, plan[:1200]
+    assert "coalesced" in plan, plan[:1200]
