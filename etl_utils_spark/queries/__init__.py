@@ -198,6 +198,8 @@ _WINDOW = [
     "kmv_sketch_part_overlap",
     "mmr_diversified_topk",
     "stream_funnel_stages_live",
+    "user_activity_bitmap",
+    "pmi_top_collocations",
 ]
 
 

@@ -164,3 +164,69 @@ def string_advanced_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vowel_runs"),
         F.size(F.expr("regexp_extract_all(n_name, '[A-Z]', 0)")).alias("n_letters"),
     )
+
+
+@query(
+    "user_activity_bitmap",
+    oracle="""
+        WITH d AS (
+            SELECT user_id,
+                   date_diff('day', TIMESTAMP '2024-01-01', ts) AS day
+            FROM events
+        ),
+        bm AS (
+            SELECT user_id,
+                   bit_or(CAST(1 AS BIGINT) << CAST(day AS INT)) AS bitmap
+            FROM d GROUP BY user_id
+        )
+        SELECT user_id,
+               bitmap::BIGINT AS bitmap,
+               bit_count(bitmap)::BIGINT AS active_days,
+               bit_count(bitmap & 127)::BIGINT AS active_w1,
+               bit_count(bitmap & (CAST(127 AS BIGINT) << 7))::BIGINT
+                   AS active_w2,
+               (bitmap & 127) <> 0 AND (bitmap & (CAST(127 AS BIGINT) << 7)) <> 0
+                   AS retained_w1_w2
+        FROM bm
+    """,
+)
+def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index engagement analytics: each user's January activity
+    packed into ONE BIGINT (bit d = active on day d) via a bit_or
+    aggregate of shifted masks, then day counts / weekly cohorts /
+    W1→W2 retention read back with bit_count and mask ANDs — the
+    audience-engine trick that turns per-user daily activity into
+    word-level bit arithmetic.  Exact integers end-to-end.
+
+    100 TB shape: bit_or is a commutative-associative hash aggregate
+    (map-side partials merge exactly) and every downstream metric is
+    row-local bit math on the packed word — one shuffle keyed by
+    user_id carries 8 bytes of state per user where a day-grain
+    retention join would carry 30 rows; week masks are compile-time
+    literals, so cohort redefinition is a constant change, not a
+    re-aggregation."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    )
+    bm = d.groupBy("user_id").agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(day AS INT))")
+        ).alias("bitmap")
+    )
+    m1 = F.lit(127).cast("long")
+    m2 = F.expr("shiftleft(CAST(127 AS BIGINT), 7)")
+    return bm.select(
+        "user_id",
+        "bitmap",
+        F.bit_count("bitmap").cast("long").alias("active_days"),
+        F.bit_count(F.col("bitmap").bitwiseAND(m1)).cast("long").alias("active_w1"),
+        F.bit_count(F.col("bitmap").bitwiseAND(m2)).cast("long").alias("active_w2"),
+        (
+            (F.col("bitmap").bitwiseAND(m1) != 0)
+            & (F.col("bitmap").bitwiseAND(m2) != 0)
+        ).alias("retained_w1_w2"),
+    )

@@ -392,3 +392,109 @@ def lm_kneser_ney_source_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * 1073741824.0)
         ).alias("kn_ce"),
     )
+
+
+@query(
+    "pmi_top_collocations",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        tok AS (SELECT unnest(toks) AS w FROM t),
+        U AS (SELECT w, count(*) AS nu FROM tok GROUP BY w),
+        NT AS (SELECT count(*) AS nt FROM tok),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t
+        ),
+        db AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+        B AS (SELECT w1, w2, count(*) AS nb FROM db GROUP BY w1, w2
+              HAVING count(*) >= 5),
+        NB AS (SELECT count(*) AS nbig FROM db),
+        scored AS (
+            SELECT w1 || ' ' || w2 AS bigram, nb,
+                   CAST(floor(ln(
+                       CAST(CAST(nb AS HUGEINT) * nt * nt AS DOUBLE)
+                       / CAST(CAST(nbig AS HUGEINT) * u1.nu * u2.nu AS DOUBLE))
+                       * 1073741824.0 + 0.5) AS BIGINT) AS q
+            FROM B
+            JOIN U u1 ON u1.w = B.w1
+            JOIN U u2 ON u2.w = B.w2
+            CROSS JOIN NT CROSS JOIN NB
+        )
+        SELECT bigram, nb::BIGINT AS nb,
+               CAST(q AS DOUBLE) / 1073741824.0 AS pmi
+        FROM scored
+        ORDER BY q DESC, bigram
+        LIMIT 20
+    """,
+)
+def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information —
+    PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with min-support 5, the classic
+    phrase-mining signal (high-PMI pairs are multiword expressions BPE
+    and phrase tokenizers should keep whole).  The probability ratio
+    is ONE exact-integer rational nb·Nt² / (Nb·nu1·nu2) evaluated as a
+    single shared IEEE division, so the ln input is bit-identical on
+    both engines; the score is 2^-30-quantized and the top-20 is
+    ordered by (quantized score, bigram) — a total order no ulp can
+    flip.  Count tables are the same inverted-index hash aggregates
+    as the bigram-LM family; the final cut is TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    tok = d.select(F.explode(toks).alias("w"))
+    u = tok.groupBy("w").agg(F.count(F.lit(1)).alias("nu"))
+    nt = tok.count()  # bounded scalar: total token count
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    db = d.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    nbig = db.count()  # bounded scalar: total bigram count
+    b = (
+        db.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 5)
+    )
+    u1 = u.select(F.col("w").alias("w1"), F.col("nu").alias("nu1"))
+    u2 = u.select(F.col("w").alias("w2"), F.col("nu").alias("nu2"))
+    num = (
+        F.col("nb").cast("decimal(18,0)")
+        * F.lit(nt).cast("decimal(18,0)")
+        * F.lit(nt).cast("decimal(18,0)")
+    )
+    den = (
+        F.lit(nbig).cast("decimal(18,0)")
+        * F.col("nu1").cast("decimal(18,0)")
+        * F.col("nu2").cast("decimal(18,0)")
+    )
+    scored = (
+        b.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "nb",
+            F.floor(
+                F.log(num.cast("double") / den.cast("double")) * 1073741824.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("q"), "bigram")
+        .limit(20)
+        .select(
+            "bigram",
+            F.col("nb").cast("long").alias("nb"),
+            (F.col("q").cast("double") / 1073741824.0).alias("pmi"),
+        )
+    )
