@@ -200,6 +200,7 @@ _WINDOW = [
     "stream_funnel_stages_live",
     "user_activity_bitmap",
     "pmi_top_collocations",
+    "attribution_position_based",
 ]
 
 

@@ -628,3 +628,95 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest("s_start", "w_start"))
         ).alias("overlap_us"),
     )
+
+
+@query(
+    "attribution_position_based",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'click', 'signup')
+        ),
+        purch AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pairs AS (
+            SELECT p.event_id, p.cents, t.event_type AS channel,
+                   row_number() OVER (
+                       PARTITION BY p.event_id ORDER BY t.ts
+                   ) AS pos,
+                   count(*) OVER (PARTITION BY p.event_id) AS k
+            FROM purch p JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.ts <= p.ts
+             AND t.ts >= p.ts - INTERVAL 24 HOURS
+        ),
+        credited AS (
+            SELECT channel, event_id,
+                   CAST(floor(
+                       (CASE WHEN k = 1 THEN 1.0
+                             WHEN k = 2 THEN 0.5
+                             WHEN pos = 1 OR pos = k THEN 0.4
+                             ELSE 0.2 / (k - 2) END)
+                       * cents * 1048576.0 + 0.5) AS BIGINT) AS q
+            FROM pairs
+        )
+        SELECT channel,
+               count(*)::BIGINT AS n_touches,
+               count(DISTINCT event_id)::BIGINT AS n_purchases,
+               CAST(SUM(q) AS DOUBLE) / 1048576.0 AS attributed_cents
+        FROM credited GROUP BY channel
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) attribution over a bounded
+    24-hour lookback: every touch in the day before a purchase gets
+    credit — 40% to the first and last, the middle 20% split evenly —
+    the model between first/last-touch (one winner) and linear (no
+    position signal).  The lookback bound is the scale contract: the
+    pair join is user-keyed with a range post-filter, so candidate
+    pairs are (purchases x touches-per-day) per user, never the full
+    touch history; the position window partitions by purchase id
+    (bounded partitions).  Weights are shared-literal IEEE doubles
+    times exact integer cents, quantized per-term at 2^-20 and summed
+    as integers, so the per-channel total is an exact dyadic emitted
+    unrounded (cents units)."""
+    e = _t(spark, sf_dir, "events")
+    touches = e.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", F.col("ts").alias("tts"), F.col("event_type").alias("channel"))
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    pairs = purch.join(touches, "user_id").filter(
+        (F.col("tts") <= F.col("ts"))
+        & (F.col("tts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    wpos = Window.partitionBy("event_id").orderBy("tts")
+    wk = Window.partitionBy("event_id")
+    ranked = pairs.select(
+        "event_id",
+        "cents",
+        "channel",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    w = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    q = F.floor(w * F.col("cents") * 1048576.0 + 0.5).cast("long")
+    return ranked.select("channel", "event_id", q.alias("q")).groupBy(
+        "channel"
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("event_id").alias("n_purchases"),
+        (F.sum("q").cast("double") / 1048576.0).alias("attributed_cents"),
+    )
