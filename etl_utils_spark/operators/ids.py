@@ -190,3 +190,94 @@ def assign_global_ids(
         .withColumn(id_col, F.col("_offset") + F.col("_local") + F.lit(1))
         .drop("_bucket", "_local", "_offset")
     )
+
+
+def prefix_min(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    num_partitions: int = 16,
+    out_col: str = "running_min",
+    exclusive_out: str | None = None,
+) -> DataFrame:
+    """Distributed prefix MIN of an INTEGER ``value_col`` in
+    ``order_col`` order (unique key) — the same bucket decomposition
+    as :func:`prefix_sum` (min is associative and exact on integers,
+    so per-bucket partials compose deterministically): literal
+    boundaries → per-bucket mins (collected, cumulated driver-side
+    into strictly-preceding carries) → per-partition sequential cummin
+    with cross-batch carry (a plain scan: the intended inputs are
+    value-cardinality-bounded count frames, not raw corpora), composed
+    with the bucket carry via ``least`` (null-skipping).  ``exclusive_out`` additionally emits
+    the STRICTLY-preceding min (NULL for the global first row) — the
+    shape Pareto-frontier / skyline scans need.  The naive
+    ``MIN() OVER (ORDER BY ...)`` is a one-reducer sort at 100 TB."""
+    fracs = [i / num_partitions for i in range(1, num_partitions)]
+    boundaries: list = []
+    if fracs:
+        row = df.agg(
+            F.percentile_approx(order_col, fracs, 10_000).alias("bs")
+        ).collect()
+        boundaries = sorted(set(row[0]["bs"] or [])) if row else []
+
+    bucketed = df.withColumn("_bucket", _bucket_expr(order_col, boundaries))
+    mins = {
+        r["_bucket"]: r["m"]
+        for r in bucketed.groupBy("_bucket")
+        .agg(F.min(value_col).alias("m"))
+        .collect()
+    }
+    carries, acc = {}, None
+    for b in sorted(mins):
+        carries[b] = acc  # min over strictly-preceding buckets
+        m = mins[b]
+        acc = m if acc is None else min(acc, m)
+
+    parts = bucketed.repartition(num_partitions, "_bucket").sortWithinPartitions(
+        "_bucket", order_col
+    )
+    out_schema = (
+        ", ".join(f"{n} {t}" for n, t in parts.dtypes)
+        + ", _lmin bigint, _lexc bigint"
+    )
+
+    def _cummin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = None  # (bucket, running_min) within this partition
+        cur = None
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(
+                    _lmin=pd.Series([], dtype="Int64"),
+                    _lexc=pd.Series([], dtype="Int64"),
+                )
+                continue
+            vals = pdf[value_col].to_numpy("int64")
+            bks = pdf["_bucket"].to_numpy()
+            lmin, lexc = [], []
+            for v, b in zip(vals, bks):
+                if b != cur:
+                    cur, carry = b, None
+                lexc.append(carry)
+                carry = int(v) if carry is None else min(carry, int(v))
+                lmin.append(carry)
+            yield pdf.assign(
+                _lmin=pd.array(lmin, dtype="Int64"),
+                _lexc=pd.array(lexc, dtype="Int64"),
+            )
+
+    cumulated = parts.mapInPandas(_cummin, schema=out_schema)
+    spark = df.sparkSession
+    carry_df = spark.createDataFrame(
+        [(int(b), None if c is None else int(c)) for b, c in carries.items()]
+        or [(0, None)],
+        "_bucket int, _carry bigint",
+    )
+    out = (
+        cumulated.join(F.broadcast(carry_df), "_bucket")
+        .withColumn(out_col, F.least(F.col("_lmin"), F.col("_carry")))
+    )
+    if exclusive_out is not None:
+        out = out.withColumn(
+            exclusive_out, F.least(F.col("_lexc"), F.col("_carry"))
+        )
+    return out.drop("_bucket", "_lmin", "_lexc", "_carry")

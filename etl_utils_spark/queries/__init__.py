@@ -201,6 +201,7 @@ _WINDOW = [
     "user_activity_bitmap",
     "pmi_top_collocations",
     "attribution_position_based",
+    "pareto_frontier_orders",
 ]
 
 

@@ -623,3 +623,66 @@ def stats_mann_whitney_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
     )
+
+
+@query(
+    "pareto_frontier_orders",
+    oracle="""
+        WITH ship AS (
+            SELECT l_orderkey, min(l_shipdate) AS fs
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        base AS (
+            SELECT CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc,
+                   date_diff('day', o.o_orderdate, s.fs) AS dd
+            FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+        ),
+        pv AS (SELECT pc, min(dd) AS dmin FROM base GROUP BY pc),
+        w AS (
+            SELECT pc, dmin,
+                   min(dmin) OVER (
+                       ORDER BY pc DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS excmin
+            FROM pv
+        )
+        SELECT pc AS price_cents, dmin::BIGINT AS delay_days
+        FROM w WHERE excmin IS NULL OR dmin < excmin
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): the orders not dominated on
+    (maximize total price, minimize order→first-ship delay) — the
+    multi-criteria shortlist operator.  The O(n log n) sweep
+    decomposes distributed: collapse to the per-price-value min-delay
+    frame (value-cardinality-bounded), then a STRICTLY-preceding
+    prefix-min in descending price order — a point is on the frontier
+    iff its delay beats every higher-priced point's best.  The
+    prefix-min runs through the bucketed three-pass ``prefix_min``
+    (operators/ids.py), not the oracle's single-reducer window; all
+    comparisons are exact integers (cents, days), so the frontier set
+    is hash-stable."""
+    from etl_utils_spark.operators.ids import prefix_min
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("fs"))
+    base = o.join(ship, o.o_orderkey == ship.l_orderkey).select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("pc"),
+        F.datediff(F.col("fs").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("dd"),
+    )
+    pv = (
+        base.groupBy("pc")
+        .agg(F.min("dd").alias("dmin"))
+        .withColumn("negp", -F.col("pc"))
+        .localCheckpoint(eager=True)  # prefix_min makes three passes
+    )
+    pm = prefix_min(pv, "negp", "dmin", out_col="incmin", exclusive_out="excmin")
+    return pm.filter(
+        F.col("excmin").isNull() | (F.col("dmin") < F.col("excmin"))
+    ).select(
+        F.col("pc").alias("price_cents"),
+        F.col("dmin").cast("long").alias("delay_days"),
+    )

@@ -323,3 +323,32 @@ def test_zorder_blocks_are_bounded_boxes(spark, sf_dir):
     for r in rows:
         assert r.max_x - r.min_x <= 15, r
         assert r.max_y - r.min_y <= 15, r
+
+
+def test_prefix_min_matches_window_semantics(spark):
+    """prefix_min (bucketed three-pass) must equal the single-reducer
+    MIN() OVER (ORDER BY ...) on both the inclusive and the
+    strictly-preceding (exclusive) frames, including the NULL for the
+    global first row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_utils_spark.operators.ids import prefix_min
+
+    rows = [(k, ((k * 37) % 19) - 7) for k in range(211)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: (r.inc, r.exc)
+        for r in prefix_min(
+            df, "k", "v", num_partitions=7, out_col="inc", exclusive_out="exc"
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    we = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.k: (r.inc, r.exc)
+        for r in df.select(
+            "k", F.min("v").over(w).alias("inc"), F.min("v").over(we).alias("exc")
+        ).collect()
+    }
+    assert got == want
