@@ -202,6 +202,7 @@ _WINDOW = [
     "pmi_top_collocations",
     "attribution_position_based",
     "pareto_frontier_orders",
+    "cohort_retention_bitmap",
 ]
 
 

@@ -230,3 +230,80 @@ def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bitmap").bitwiseAND(m2) != 0)
         ).alias("retained_w1_w2"),
     )
+
+
+@query(
+    "cohort_retention_bitmap",
+    oracle="""
+        WITH d AS (
+            SELECT user_id,
+                   date_diff('day', TIMESTAMP '2024-01-01', ts) AS day
+            FROM events
+        ),
+        bm AS (
+            SELECT user_id,
+                   CAST(min(day) // 7 AS BIGINT) AS cohort,
+                   bit_or(CAST(1 AS BIGINT) << CAST(day AS INT)) AS bitmap
+            FROM d GROUP BY user_id
+        ),
+        g AS (
+            SELECT cohort, unnest(generate_series(0, 4 - CAST(cohort AS INT)))
+                       AS offset_w,
+                   bitmap
+            FROM bm
+        )
+        SELECT cohort, CAST(offset_w AS BIGINT) AS offset_w,
+               count(*)::BIGINT AS n_cohort,
+               SUM(CASE WHEN (bitmap
+                              & (CAST(127 AS BIGINT)
+                                 << CAST(7 * (cohort + offset_w) AS INT))) <> 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_active,
+               CAST(SUM(CASE WHEN (bitmap
+                              & (CAST(127 AS BIGINT)
+                                 << CAST(7 * (cohort + offset_w) AS INT))) <> 0
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS retention
+        FROM g GROUP BY cohort, offset_w
+    """,
+)
+def cohort_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly cohort-retention TRIANGLE computed from activity
+    bitmaps: cohort = a user's first active week, retention(cohort,
+    +j) = share of the cohort with any activity in week cohort+j —
+    read as one mask test against the user's packed month
+    (``user_activity_bitmap``'s representation), so the whole triangle
+    is ONE per-user aggregate + one bounded explode over week offsets;
+    the classic formulation self-joins a (user, week) activity table
+    per matrix cell.  Counts are exact integers; retention is a single
+    IEEE division of exact counts, emitted unrounded."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    )
+    bm = d.groupBy("user_id").agg(
+        F.floor(F.min("day") / 7).cast("long").alias("cohort"),
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(day AS INT))")
+        ).alias("bitmap"),
+    )
+    g = bm.select(
+        "cohort",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(4) - F.col("cohort").cast("int"))
+        ).alias("offset_w"),
+        "bitmap",
+    )
+    mask = F.expr(
+        "shiftleft(CAST(127 AS BIGINT), CAST(7 * (cohort + offset_w) AS INT))"
+    )
+    active = F.when(F.col("bitmap").bitwiseAND(mask) != 0, 1).otherwise(0)
+    return g.groupBy("cohort", F.col("offset_w").cast("long").alias("offset_w")).agg(
+        F.count(F.lit(1)).alias("n_cohort"),
+        F.sum(active).cast("long").alias("n_active"),
+        (
+            F.sum(active).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("retention"),
+    )
