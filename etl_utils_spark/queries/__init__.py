@@ -68,62 +68,12 @@ from etl_utils_spark.queries import selection_v6  # noqa: E402,F401
 # entries, and the first scale_ops entry.  Everything past #50 stays
 # in backlog order for the r6 rotation.
 _WINDOW = [
-    # --- r6 window (driver checks the FIRST 50 registry entries):
-    # entry 1 = the repaired r5 red; entries 2-50 = never-driver-
-    # verified backlog in VERDICT-r5 staged order (the two C2c
-    # approximate-quality gates + the PNG decoder promoted up front,
-    # then scale_ops / modern_sql / etl_audit / curation_v3 / ml_prep).
-    "stats_rolling_corr_price_qty",
-    "gate_approx_quantiles_tolerance",
-    "gate_approx_distinct_tolerance",
-    "multimodal_decode_png",
-    "bpe_apply_corpus",
-    "dedup_lines_boilerplate",
-    "shard_assign_docs",
-    "pipeline_corpus_to_shards",
-    "assign_global_ids_docs",
-    "copurchase_part_pairs",
-    "cdc_apply_changes",
-    "match_pattern_user_journeys",
-    "join_bloom_prefilter",
-    "gate_hll_sketch_union",
-    "json_variant_props",
-    "graph_reach_recursive_cte",
-    "sql_session_variables",
-    "sql_scripting_for_loop",
-    "agg_modern_ordered_set",
-    "io_file_metadata_audit",
-    "stats_corr_matrix_lineitem",
-    "agg_bitwise_boolean_ops",
-    "scalar_try_functions",
-    "date_edge_functions",
-    "string_advanced_funcs",
-    "snapshot_diff_audit",
-    "pseudonymize_user_ids",
-    "cumulative_unique_users_daily",
-    "user_activity_streaks",
-    "io_python_datasource",
-    "udf_arrow_batch_stats",
-    "stream_python_datasource_live",
-    "io_python_datasink",
-    "udtf_split_priority_cols",
-    "sql_pipe_syntax",
-    "quality_gopher_rules",
-    "quality_dup_ngram_fraction",
-    "source_contamination_stats",
-    "bm25_rank_docs",
-    "build_inverted_index",
-    "mixture_temperature_weights",
-    "dedup_embeddings_bitsig",
-    "knn_majority_label",
-    "cusum_user_value",
-    "stream_cusum_live",
-    "io_orc_roundtrip",
-    "pipeline_corpus_curation",
-    "decontaminate_test_split",
-    "sample_quality_weighted",
-    "chunk_tokens_sliding",
-    # --- entries past #50: the r7 rotation backlog, in order.
+    # --- r7 window (driver checks the FIRST 50 registry entries):
+    # all 50 are never-driver-verified backlog entries promoted in the
+    # staged order VERDICT-r6 prescribed (features -> dq -> streaming
+    # `_live` tier -> behavioral -> graph_v2 -> timeseries_v2 ->
+    # embeddings_v2).  Every r1-r6 window entry is driver-green
+    # (cumulative ledger 239/239) and drops back to registration order.
     "mixture_rebalance_langs",
     "embedding_quantize_int8",
     "embedding_label_stats",
@@ -174,6 +124,10 @@ _WINDOW = [
     "link_predict_common_neighbors",
     "graph_assortativity_degree",
     "acf_hourly_events",
+    # --- entries past #50: the r8 rotation backlog, in order.  With
+    # additions capped (VERDICT-r6 #2) the 53 entries below + the r7
+    # additions are the LAST never-driver-verified oracle-backed
+    # queries; r8's window takes the first 50, r9 sweeps the residue.
     "holt_linear_user_value",
     "embedding_centroids_by_label",
     "centroid_separation_by_label",
@@ -203,6 +157,30 @@ _WINDOW = [
     "attribution_position_based",
     "pareto_frontier_orders",
     "cohort_retention_bitmap",
+    "join_interval_overlap_binned",
+    "udf_grouped_arrow_stats",
+    "conversion_lag_relational",
+    "gate_misra_gries_heavy_hitters",
+    "dq_merkle_bucket_fingerprints",
+    "sql_udf_scalar_discount",
+    "sql_named_param_binding",
+    "stats_cramers_v_lang_source",
+    "stats_brown_forsythe_components",
+    "eval_ndcg_quantized_retrieval",
+    "eval_recall_mrr_quantized",
+    "eval_calibration_bins",
+    "eval_roc_points",
+    "join_fuzzy_hamming_ids",
+    "spell_correct_tokens",
+    "augment_span_corruption",
+    "gate_span_corruption_rate",
+    "split_kfold_by_source",
+    "curriculum_select_budget",
+    "mine_hard_negatives",
+    "lm_heldout_nll",
+    "ml_impute_group_median",
+    "privacy_k_anonymity_events",
+    "privacy_dp_noisy_counts",
 ]
 
 

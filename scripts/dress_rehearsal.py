@@ -1,7 +1,12 @@
 """Full pre-round-end rehearsal of the driver's t2 gate: run EVERY
 registered query against its DuckDB oracle at sf0.01 with both the
 value compare and the Arrow-type-family compare.  Exits nonzero on any
-failure — run before ending a round."""
+failure — run before ending a round.
+
+``--bitwise`` upgrades the float compare from 9 significant digits to
+exact IEEE-754 bit equality (the driver-hash-equivalent strictness; see
+scripts/check_exact.py for the single-query form).  The round-close
+protocol runs the bitwise form."""
 
 import sys
 import time
@@ -12,6 +17,10 @@ sys.path.insert(0, "/root/repo/tests")
 from pyspark.sql import SparkSession
 
 from oracle import compare_query, compare_types  # noqa: E402
+
+BITWISE = "--bitwise" in sys.argv
+if BITWISE:
+    sys.argv.remove("--bitwise")
 
 spark = (
     SparkSession.builder.master("local[16]")
@@ -35,11 +44,11 @@ for i, (name, q) in enumerate(REGISTRY.items()):
             n = q.fn(spark, sf).count()
             status = f"rows-only n={n}"
         else:
-            ok, msg = compare_query(spark, sf, name)
+            ok, msg = compare_query(spark, sf, name, bitwise=BITWISE)
             assert ok, msg
             ok, msg = compare_types(spark, sf, name)
             assert ok, msg
-            status = "oracle-pass"
+            status = "oracle-pass" + ("-bitwise" if BITWISE else "")
         print(f"[{i+1}/{len(REGISTRY)}] PASS {name} ({time.time()-t0:.1f}s {status})", flush=True)
     except Exception as exc:  # noqa: BLE001
         failures.append(name)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import struct
 from decimal import Decimal
 
 import duckdb
@@ -160,6 +161,48 @@ def compare_types(spark, sf_dir: str, name: str):
     return (True, "types ok")
 
 
+def _norm_exact(v):
+    """Bitwise normalization — the driver-hash-equivalent strictness.
+
+    ``_norm`` below rounds floats to 9 significant digits, which is
+    LOOSER than the driver's value hash (the round-5 red shipped
+    through exactly that gap: two doubles equal at 9 sig digits but
+    differing in the last ulp hash differently).  This variant packs
+    doubles to their IEEE-754 bytes, so two values compare equal here
+    only if the driver's canonicalizer sees identical bits.  -0.0 and
+    +0.0 are deliberately distinct (the driver distinguishes them; the
+    documented DuckDB fix is appending ``+ 0.0`` on the oracle side).
+    """
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, Decimal):
+        # DuckDB fetches HUGEINT as Python int but DECIMAL as Decimal;
+        # Spark always yields Decimal for decimal columns.  Integral
+        # decimals therefore merge with the int lane; fractional ones
+        # compare by plain-format string (type-family parity already
+        # guarantees both sides carry the same scale).
+        if v == v.to_integral_value():
+            return ("i", int(v))
+        return ("dec", format(v, "f"))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", struct.pack("<d", v).hex())
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"))
+    if isinstance(v, dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("bin", bytes(v).hex())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_exact(x) for x in v)
+    return v
+
+
 def _norm(v):
     if v is None:
         return None
@@ -184,19 +227,26 @@ def _norm(v):
     return v
 
 
-def _normalize_rows(rows, colnames):
+def _normalize_rows(rows, colnames, norm=None):
+    norm = norm or _norm
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for row in rows:
-        out.append(tuple(_norm(row[i]) for i in order))
+        out.append(tuple(norm(row[i]) for i in order))
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return out
 
 
-def compare_query(spark, sf_dir: str, name: str):
-    """Return (ok, message) for one registered query vs its oracle."""
+def compare_query(spark, sf_dir: str, name: str, bitwise: bool = False):
+    """Return (ok, message) for one registered query vs its oracle.
+
+    ``bitwise=True`` switches the float compare from 9-significant-digit
+    rounding to exact IEEE-754 bit equality — the strictness level of the
+    driver's value hash.  Use it for every new oracle-backed query before
+    declaring it window-ready (scripts/check_exact.py wraps this)."""
     from etl_utils_spark.queries import REGISTRY
 
+    norm = _norm_exact if bitwise else _norm
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
     s_cols = list(sdf.columns)
@@ -218,13 +268,13 @@ def compare_query(spark, sf_dir: str, name: str):
     if len(s_rows) != len(d_rows):
         return (False, f"rowcount mismatch: spark={len(s_rows)} duckdb={len(d_rows)}")
 
-    sn = _normalize_rows(s_rows, s_cols)
-    dn = _normalize_rows(d_rows, d_cols)
+    sn = _normalize_rows(s_rows, s_cols, norm)
+    dn = _normalize_rows(d_rows, d_cols, norm)
     if sn != dn:
         diff_i = next(i for i, (a, b) in enumerate(zip(sn, dn)) if a != b)
         return (
             False,
-            "value mismatch at sorted row %d:\n  spark : %r\n  duckdb: %r"
-            % (diff_i, sn[diff_i], dn[diff_i]),
+            "value mismatch at sorted row %d%s:\n  spark : %r\n  duckdb: %r"
+            % (diff_i, " (bitwise)" if bitwise else "", sn[diff_i], dn[diff_i]),
         )
-    return (True, f"ok: {len(s_rows)} rows")
+    return (True, f"ok: {len(s_rows)} rows{' (bitwise)' if bitwise else ''}")
