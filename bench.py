@@ -19,6 +19,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # The driver parses the LAST stdout line, and the JVM it spawns
+    # inherits fd 1 — round 6's captured tail contained a py4j stack
+    # trace printed by a JVM-side thread despite zero recorded errors.
+    # Point fd 1 at stderr for the WHOLE run (the JVM inherits the
+    # redirected fd at launch) and keep a private dup of the real
+    # stdout; the compact JSON line at the end is written to that dup,
+    # so it is the only stdout content, full stop.
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -177,9 +188,12 @@ def main() -> None:
     payload = json.dumps(compact, separators=(",", ":"))
     assert len(payload) < 1800, f"compact bench line too long: {len(payload)}"
     # Stop Spark BEFORE printing so no JVM shutdown noise lands after
-    # the JSON, then flush — the driver parses the LAST stdout line.
+    # the JSON, then write the compact line to the saved real stdout —
+    # fd 1 has pointed at stderr since startup, so this is the first
+    # and only byte sequence the driver's stdout capture ever sees.
     spark.stop()
-    print(payload, flush=True)
+    sys.stdout.flush()
+    os.write(real_stdout_fd, (payload + "\n").encode())
 
 
 if __name__ == "__main__":
