@@ -169,6 +169,89 @@ def pagerank(
     return pr
 
 
+def pagerank_exact_int(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    iterations: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact-integer PageRank replay — the hash-certifiable twin of
+    ``pagerank`` (same join-aggregate-per-iteration dataflow, same
+    checkpoint discipline) with every arithmetic step a deterministic
+    BIGINT operation, so a SQL oracle can unroll the SAME fixed number
+    of iterations and match bit-for-bit (the kmeans_embed_lloyd2
+    certification pattern).
+
+    Fixed-point recurrence with damping 17/20 (= 0.85 exactly):
+
+        pr0(v)  = scale
+        c(u)    = pr(u) DIV deg(u)          -- truncating int division
+        pr'(v)  = (3*scale) DIV 20 + (17 * Σ_{u→v} c(u)) DIV 20
+
+    All values are nonnegative BIGINTs, so Spark's ``div`` and DuckDB's
+    ``//`` agree (floor == truncate for nonnegatives) and sums are
+    order-independent.  Overflow bound: Σ c(u) ≤ n·scale, so the 17×
+    product stays inside int64 up to ~5×10^11 nodes at the default
+    scale — certify on the bounded dedup graph, not the raw corpus.
+    Float PageRank (``pagerank``) remains the production scorer; this
+    replay certifies the iteration machinery (join shape, degree
+    normalization, mass mixing) end-to-end."""
+    und = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    und = und.repartition("src").localCheckpoint(eager=True)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(int(scale)).cast("long").alias("pr"))
+    base = (3 * int(scale)) // 20
+    for _ in range(iterations):
+        contribs = (
+            und.join(pr, und.src == pr.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("pr div deg").alias("c"))
+        )
+        pr = contribs.groupBy("node").agg(
+            (F.lit(base) + F.expr("(17 * sum(c)) div 20")).cast("long").alias("pr")
+        )
+        pr = pr.localCheckpoint(eager=True)
+    return pr
+
+
+def k_core_peel_rounds(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 2,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Exactly ``rounds`` iterations of the k-core peel — the
+    hash-certifiable twin of ``k_core`` (identical per-round semantics:
+    degree aggregate, keep deg ≥ k, semi-join both endpoints) with the
+    iteration count FIXED instead of run-to-fixpoint, so a SQL oracle
+    can unroll the same rounds and match exactly.  Returns (node, deg):
+    the degree table of the subgraph surviving ``rounds`` peels —
+    integer-only output, trivially hashable."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        edges = (
+            edges.join(keep, "u", "semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.select(F.col("u").alias("node"), "deg")
+
+
 def triangle_counts(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
     """Per-node triangle counts over an undirected edge list.
 

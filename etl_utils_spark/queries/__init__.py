@@ -122,12 +122,17 @@ _WINDOW = [
     "business_days_order_to_ship",
     "graph_modularity_cc",
     "link_predict_common_neighbors",
+    # the round-7 additions (VERDICT-r6 item 6): exact-replay
+    # certificates for the two iterative graph operators — windowed
+    # immediately so the certificate carries a driver row this round.
+    "gate_pagerank_exact_replay",
+    "gate_kcore_peel_replay",
+    # --- entries past #50: the r8 rotation backlog, in order.  With
+    # additions capped (VERDICT-r6 #2) the 55 entries below are the
+    # LAST never-driver-verified oracle-backed queries; r8's window
+    # takes the first 50, r9 sweeps the residue.
     "graph_assortativity_degree",
     "acf_hourly_events",
-    # --- entries past #50: the r8 rotation backlog, in order.  With
-    # additions capped (VERDICT-r6 #2) the 53 entries below + the r7
-    # additions are the LAST never-driver-verified oracle-backed
-    # queries; r8's window takes the first 50, r9 sweeps the residue.
     "holt_linear_user_value",
     "embedding_centroids_by_label",
     "centroid_separation_by_label",

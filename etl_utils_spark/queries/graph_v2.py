@@ -23,34 +23,8 @@ from pyspark.sql import functions as F
 
 from etl_utils_spark.operators import exact_moments
 from etl_utils_spark.queries.registry import query
+from etl_utils_spark.queries.shared import JACCARD_PAIRS_CTE as _PAIRS_CTE
 from etl_utils_spark.queries.shared import jaccard_pair_graph
-
-# DuckDB replica of jaccard_pair_graph (same prelude the other graph
-# oracles use): exact trigram-Jaccard pairs at threshold 0.1.
-_PAIRS_CTE = """
-        toks AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        pairs AS (
-            SELECT id_a, id_b FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
-        ),
-        edges AS (
-            SELECT id_a AS u, id_b AS v FROM pairs
-            UNION SELECT id_b, id_a FROM pairs
-        )
-"""
 
 
 @query(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_utils_spark.operators import dedup, similarity, text
 from etl_utils_spark.queries.registry import query
+from etl_utils_spark.queries.shared import JACCARD_PAIRS_CTE as _GRAPH_CTE
 from etl_utils_spark.queries.shared import jaccard_pair_graph
 from etl_utils_spark.sources.tables import load_table
 
@@ -600,6 +601,87 @@ def gate_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     ok = abs(row.s - row.n) < 1e-4 * max(row.n, 1)
     return spark.createDataFrame([(bool(ok),)], "mass_conserved boolean")
+
+
+@query(
+    "gate_pagerank_exact_replay",
+    oracle="""
+        WITH {cte},
+        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+        pr0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        it1 AS (
+            SELECT e.v AS node,
+                   CAST(150000 + (17 * SUM(p.pr // d.deg)) // 20 AS BIGINT) AS pr
+            FROM edges e
+            JOIN pr0 p ON p.node = e.u
+            JOIN deg d ON d.u = e.u
+            GROUP BY e.v
+        ),
+        it2 AS (
+            SELECT e.v AS node,
+                   CAST(150000 + (17 * SUM(p.pr // d.deg)) // 20 AS BIGINT) AS pr
+            FROM edges e
+            JOIN it1 p ON p.node = e.u
+            JOIN deg d ON d.u = e.u
+            GROUP BY e.v
+        )
+        SELECT node AS doc_id, pr AS pr_scaled FROM it2
+    """.replace("{cte}", _GRAPH_CTE),
+)
+def gate_pagerank_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified replay of the PageRank iteration machinery
+    (VERDICT-r6 item 6, the kmeans_embed_lloyd2 pattern): 2 iterations
+    of exact-integer fixed-point PageRank (scale 10^6, damping 17/20,
+    truncating BIGINT division — operators/clustering.py:
+    pagerank_exact_int) against the SAME recurrence unrolled in the
+    oracle.  A bitwise match certifies the join shape, the degree
+    normalization, and the damping mix end-to-end; the float
+    ``pagerank_dedup_graph`` shares this exact dataflow and stays
+    rows-only (its fixpoint count is data-dependent), guarded by
+    gate_pagerank_mass."""
+    from etl_utils_spark.operators.clustering import pagerank_exact_int
+
+    pairs = jaccard_pair_graph(spark, sf_dir)
+    pr = pagerank_exact_int(pairs.select("id_a", "id_b"), iterations=2)
+    return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pr_scaled"))
+
+
+@query(
+    "gate_kcore_peel_replay",
+    oracle="""
+        WITH {cte},
+        deg0 AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+        keep0 AS (SELECT u FROM deg0 WHERE deg >= 2),
+        e1 AS (
+            SELECT e.u, e.v FROM edges e
+            WHERE e.u IN (SELECT u FROM keep0)
+              AND e.v IN (SELECT u FROM keep0)
+        ),
+        deg1 AS (SELECT u, count(*) AS deg FROM e1 GROUP BY u),
+        keep1 AS (SELECT u FROM deg1 WHERE deg >= 2),
+        e2 AS (
+            SELECT e.u, e.v FROM e1 e
+            WHERE e.u IN (SELECT u FROM keep1)
+              AND e.v IN (SELECT u FROM keep1)
+        )
+        SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS deg
+        FROM e2 GROUP BY u
+    """.replace("{cte}", _GRAPH_CTE),
+)
+def gate_kcore_peel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified replay of the k-core peel (VERDICT-r6 item 6):
+    exactly 2 peel rounds at k=2 (degree aggregate → keep deg≥2 →
+    semi-join both endpoints; operators/clustering.py:
+    k_core_peel_rounds) against the same 2 rounds unrolled in the
+    oracle.  Integer-only output (node, in-subgraph degree), so the
+    match is exact by construction; the fixpoint ``kcore_dedup_graph``
+    shares the per-round semantics and stays rows-only (peel depth is
+    data-dependent), guarded by gate_kcore_min_degree."""
+    from etl_utils_spark.operators.clustering import k_core_peel_rounds
+
+    pairs = jaccard_pair_graph(spark, sf_dir)
+    core = k_core_peel_rounds(pairs.select("id_a", "id_b"), k=2, rounds=2)
+    return core.select(F.col("node").alias("doc_id"), F.col("deg").cast("long").alias("deg"))
 
 
 @query(

@@ -53,6 +53,37 @@ def jaccard_pair_graph(
     return pairs
 
 
+# DuckDB replica of jaccard_pair_graph — ONE definition of the
+# trigram-Jaccard pair CTE chain (threshold 0.1) shared by every
+# graph-suite oracle (graph_v2 metrics, the pagerank/k-core exact-replay
+# gates in queries/llm.py); `pairs` is the undirected a<b pair list,
+# `edges` both directions.
+JACCARD_PAIRS_CTE = """
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        )
+"""
+
+
 # -------------------------------------------- shared funnel oracle
 #
 # ONE definition of the 7-day greedy-earliest funnel window and its

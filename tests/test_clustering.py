@@ -101,6 +101,43 @@ def test_k_core_peels_hand_solved_graph(spark):
     assert core1 == {1, 2, 3, 4, 5, 6, 7}, core1
 
 
+def test_pagerank_exact_int_hand_solved(spark):
+    """Star 0—{1,2,3}: deg(0)=3, deg(leaf)=1, scale S=10^6, base =
+    3S//20 = 150000.  Iter 1: c(0)=S//3=333333, c(leaf)=S;
+    pr1(0) = 150000 + 17*3S//20 = 150000 + 2550000 = 2700000;
+    pr1(leaf) = 150000 + 17*333333//20 = 150000 + 283333 = 433333.
+    Iter 2: c(0)=2700000//3=900000, c(leaf)=433333;
+    pr2(0) = 150000 + 17*(3*433333)//20 = 150000 + 1104999 = 1254999;
+    pr2(leaf) = 150000 + 17*900000//20 = 150000 + 765000 = 915000."""
+    from etl_utils_spark.operators.clustering import pagerank_exact_int
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 4)], "id_a long, id_b long")
+    got = {r.node: r.pr for r in pagerank_exact_int(star, iterations=2).collect()}
+    assert got == {0: 1254999, 1: 915000, 2: 915000, 3: 915000}, got
+
+
+def test_k_core_peel_rounds_hand_solved(spark):
+    """Chain 1-2-3-4-5 + triangle {10,11,12}: round 1 peels nodes 1 and
+    5 (degree 1); round 2 peels 2 and 4 (their degree dropped to 1).
+    After exactly 2 rounds the survivors are the triangle (deg 2 each)
+    and node 3 with NO remaining edges (3's edges died with 2 and 4, so
+    3 is absent from the degree table).  The fixpoint k_core would peel
+    3 as well — the fixed-round replay intentionally stops earlier."""
+    from etl_utils_spark.operators.clustering import k_core_peel_rounds
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    got = {(r.node, r.deg) for r in k_core_peel_rounds(edges, k=2, rounds=2).collect()}
+    assert got == {(10, 2), (11, 2), (12, 2)}, got
+
+    # rounds=1 keeps the inner chain (2-3-4 all had degree >= 2 before
+    # the peel; their POST-peel degrees reflect the dropped endpoints)
+    got1 = {(r.node, r.deg) for r in k_core_peel_rounds(edges, k=2, rounds=1).collect()}
+    assert got1 == {(2, 1), (3, 2), (4, 1), (10, 2), (11, 2), (12, 2)}, got1
+
+
 def test_bfs_distances_chain_and_edge_cases(spark):
     from etl_utils_spark.operators.clustering import bfs_distances
 
