@@ -151,6 +151,10 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Full per-query detail goes to BENCH_local.json (unbounded).
+    # BENCH_local.json is the ROUND-OVER-ROUND record at the protocol
+    # scale (sf0.1) — a smoke run at another SF must not clobber it
+    # (the drift-re-measure protocol in docs/SCALE.md diffs it across
+    # rounds, and mixed-SF timings would fabricate phantom movers).
     full_payload = json.dumps(
         {
             "metric": "declared_query_set_total_wall",
@@ -162,7 +166,10 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+    detail_name = (
+        "BENCH_local.json" if sf_val == 0.1 else f"BENCH_local_sf{sf}.json"
+    )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name), "w") as f:
         f.write(full_payload + "\n")
 
     # The printed line must stay SHORT: the driver captures only the

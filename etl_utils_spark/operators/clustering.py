@@ -197,10 +197,16 @@ def pagerank_exact_int(
     Float PageRank (``pagerank``) remains the production scorer; this
     replay certifies the iteration machinery (join shape, degree
     normalization, mass mixing) end-to-end."""
-    und = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    und = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        # distinct to match the oracle's UNION (set) semantics — a
+        # duplicate pair or self-loop in the input must not double-count
+        # degree/contributions on one side only (k_core_peel_rounds
+        # already dedups the same way)
+        .distinct()
     )
     und = und.repartition("src").localCheckpoint(eager=True)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

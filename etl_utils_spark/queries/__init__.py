@@ -57,16 +57,9 @@ from etl_utils_spark.queries import selection_v6  # noqa: E402,F401
 # queries that most need a driver-verified row THIS round; everything
 # else keeps its registration order behind them.
 #
-# Round-5 window: the four repaired queries first (r4's two reds —
-# map_funcs_events array output, cogrouped lag rounding — plus the
-# retargeted logreg AUC gate and array_advanced_ops, fixed in r2 but
-# never re-verified), the two §2 streaming rows with no driver row
-# (C10b sliding window, C10e stateful stream dedup), then ONLY
-# never-driver-verified oracle-backed packs in VERDICT-r4 priority
-# order: stat_tests, drift_metrics, rank_analytics, eval_metrics,
-# pairs_retrieval, inference_v2, the two unsampled llm dedup/ANN
-# entries, and the first scale_ops entry.  Everything past #50 stays
-# in backlog order for the r6 rotation.
+# The full rotation schedule (r7 window / r8 backlog / r9 residue) is
+# written out in SURVEY.md §14; every entry NOT in _WINDOW is already
+# driver-green in a previous round's CORRECTNESS file.
 _WINDOW = [
     # --- r7 window (driver checks the FIRST 50 registry entries):
     # all 50 are never-driver-verified backlog entries promoted in the

@@ -642,7 +642,9 @@ def gate_pagerank_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_utils_spark.operators.clustering import pagerank_exact_int
 
     pairs = jaccard_pair_graph(spark, sf_dir)
-    pr = pagerank_exact_int(pairs.select("id_a", "id_b"), iterations=2)
+    # scale pinned explicitly — the oracle hardcodes 1000000/150000,
+    # so the call must not float on the operator's default
+    pr = pagerank_exact_int(pairs.select("id_a", "id_b"), iterations=2, scale=1_000_000)
     return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pr_scaled"))
 
 

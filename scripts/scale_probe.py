@@ -79,6 +79,11 @@ PROBES_100 = [
     "text_char_entropy",
     "augment_span_corruption",
     "eval_auc_purchase_value",
+    # round-7: the retrieval/selection tier whose VALUE is the scale
+    # story — MaxScore's upper-bound pruning and DSIR's single token
+    # pass should both track the data growth, not the pair space
+    "bm25_topk_maxscore",
+    "dsir_importance_resample",
 ]
 PROBES = PROBES_100 if COPIES == 100 else PROBES_10
 
