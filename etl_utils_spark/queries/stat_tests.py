@@ -927,58 +927,70 @@ def stats_cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_brown_forsythe_components",
     oracle="""
-        WITH med AS (
+        WITH c AS (
             SELECT o_orderpriority,
-                   quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5)
-                       AS med
-            FROM orders GROUP BY o_orderpriority
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS xc
+            FROM orders
+        ),
+        med AS (
+            SELECT o_orderpriority, quantile_disc(xc, 0.5) AS medc
+            FROM c GROUP BY o_orderpriority
         ),
         z AS (
-            SELECT o.o_orderpriority,
-                   abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - m.med) AS z
-            FROM orders o JOIN med m USING (o_orderpriority)
+            SELECT c.o_orderpriority, abs(c.xc - m.medc) AS zc
+            FROM c JOIN med m USING (o_orderpriority)
         )
         SELECT o_orderpriority,
                count(*)::BIGINT AS n,
-               CAST(SUM(z) AS DOUBLE) / count(*) AS mean_z,
-               CAST(SUM(z * z) AS DOUBLE) AS sum_z2
+               CAST(SUM(zc) AS DOUBLE)
+                   / CAST(100 * count(*) AS DOUBLE) AS mean_z,
+               CAST(SUM(zc * zc) AS DOUBLE) / 100000000.0 AS sum_z2
         FROM z GROUP BY o_orderpriority
     """,
 )
 def stats_brown_forsythe_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe variance-homogeneity components per group:
     |x − group median| deviations (the robust Levene variant) reduced
-    to (n, mean deviation, exact deviation-square sum) — every
-    quantity EXACT (decimal medians are rank-selected, decimal
-    absolute differences sum associatively, the mean is one division),
-    so no float summation order crosses the engine boundary.  The W
-    statistic is two more folds over these 5 rows; emitting the
-    per-group components keeps the output engine-exact AND more useful
-    (they feed Welch/ANOVA variants too).  Median via the bounded
-    count-frame decomposition, then one hash aggregate."""
+    to (n, mean deviation, deviation-square sum).  All moments accrue
+    as SCALE-0 integers (cents): a scaled decimal with its underlying
+    integer past 2^53 casts to double differently across engines
+    (DuckDB divides after an inexact int128→double, Java BigDecimal
+    rounds once — the round-7 bitwise sweep caught exactly that 1-ulp
+    split on the old scale-4 sum), while scale-0 decimal/HUGEINT →
+    double casts are driver-proven identical (the r6 exact-moments
+    pattern).  The grid divisions (100·n, 10^8) are single shared IEEE
+    expressions on both engines.  Median via the bounded count-frame
+    decomposition, then one hash aggregate."""
     o = _t(spark, sf_dir, "orders")
-    x = F.col("o_totalprice").cast("decimal(18,2)")
-    c = o.select("o_orderpriority", x.alias("x")).groupBy(
-        "o_orderpriority", "x"
+    xc = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    c = o.select("o_orderpriority", xc.alias("xc")).groupBy(
+        "o_orderpriority", "xc"
     ).agg(F.count(F.lit(1)).alias("c"))
     w = (
         Window.partitionBy("o_orderpriority")
-        .orderBy("x")
+        .orderBy("xc")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = c.select("o_orderpriority", "x", F.sum("c").over(w).alias("cum"))
+    cum = c.select("o_orderpriority", "xc", F.sum("c").over(w).alias("cum"))
     tot = c.groupBy("o_orderpriority").agg(F.sum("c").alias("n"))
     med = (
         cum.join(F.broadcast(tot), "o_orderpriority")
         .filter(F.col("cum") >= F.floor((F.col("n") - 1) / 2) + 1)
         .groupBy("o_orderpriority")
-        .agg(F.min("x").alias("med"))
+        .agg(F.min("xc").alias("medc"))
     )
-    z = o.select("o_orderpriority", x.alias("x")).join(
+    z = o.select("o_orderpriority", xc.alias("xc")).join(
         F.broadcast(med), "o_orderpriority"
-    ).select("o_orderpriority", F.abs(F.col("x") - F.col("med")).alias("z"))
+    ).select("o_orderpriority", F.abs(F.col("xc") - F.col("medc")).alias("zc"))
+    # decimal(18,0) BEFORE the product — zc² ≤ ~2e15 per row is long-safe
+    # but the SUM is not (wraps past ~4600 rows/group at sf0.1 scale)
+    zd = F.col("zc").cast("decimal(18,0)")
     return z.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        (F.sum("z").cast("double") / F.count(F.lit(1))).alias("mean_z"),
-        F.sum(F.col("z") * F.col("z")).cast("double").alias("sum_z2"),
+        (
+            F.sum(zd).cast("double")
+            / (F.lit(100) * F.count(F.lit(1))).cast("double")
+        ).alias("mean_z"),
+        (F.sum(zd * zd).cast("double") / F.lit(1e8)).alias("sum_z2"),
     )
