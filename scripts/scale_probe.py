@@ -68,6 +68,13 @@ PROBES_10 = [
     "kmeans_embed_lloyd2",
     "kmv_sketch_part_overlap",
     "funnel_conversion_windowed",
+    # round-7: the iterative graph tier (per-iteration join+agg over
+    # the pair graph — the loop structure is where super-linear risk
+    # hides; the pair graph itself grows ~linearly by construction of
+    # the derived corpus)
+    "pagerank_dedup_graph",
+    "kcore_dedup_graph",
+    "triangle_local_clustering",
 ]
 # the 100x decade probes only the data-linear headline ops (the
 # quadratic-candidate families are measured at 10x above)
