@@ -632,9 +632,13 @@ def stats_skew_kurtosis_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population skewness and excess kurtosis of value per event type
     — distribution-shape profiling for drift baselines.  Built from
     EXACT integer-scaled power sums S1..S4: value is 2-decimal, so
-    100·v is an exact small integer whose 4th power fits int64 per
-    row; sums run in 128-bit exact arithmetic (HUGEINT on the oracle,
-    decimal(38,0) on Spark) because the engines' built-in
+    100·v is an exact integer, and every power is taken in DECIMAL
+    (cast BEFORE the products — a long 4th power wraps as soon as a
+    single value exceeds ~$551, which the round-7 sf0.1 bitwise probe
+    hit as an ANSI ARITHMETIC_OVERFLOW; (9,0)^4 → decimal(38,0) holds
+    v2⁴ ≤ 1e36 and the sums stay exact to ~6e11 rows).  The oracle
+    orders the same way (HUGEINT cast before its products).  Sums run
+    in 128-bit exact arithmetic because the engines' built-in
     skewness/kurtosis aggregates use different estimators and
     accumulation orders and would diverge.  After the exact sums cast
     to double (same IEEE nearest on both engines), the arithmetic is
@@ -643,22 +647,14 @@ def stats_skew_kurtosis_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     v2 = F.round(F.col("value") * 100, 0).cast("long")
     i = e.select("event_type", v2.alias("v2"))
-    d38 = "decimal(38,0)"
+    vd = F.col("v2").cast("decimal(9,0)")
     cnt = F.count(F.lit(1))
     s = i.groupBy("event_type").agg(
         cnt.alias("n"),
-        (F.sum(F.col("v2").cast(d38)).cast("double") / 1e2).alias("s1"),
-        (F.sum((F.col("v2") * F.col("v2")).cast(d38)).cast("double") / 1e4).alias("s2"),
-        (
-            F.sum((F.col("v2") * F.col("v2") * F.col("v2")).cast(d38)).cast("double")
-            / 1e6
-        ).alias("s3"),
-        (
-            F.sum(
-                (F.col("v2") * F.col("v2") * F.col("v2") * F.col("v2")).cast(d38)
-            ).cast("double")
-            / 1e8
-        ).alias("s4"),
+        (F.sum(vd).cast("double") / 1e2).alias("s1"),
+        (F.sum(vd * vd).cast("double") / 1e4).alias("s2"),
+        (F.sum(vd * vd * vd).cast("double") / 1e6).alias("s3"),
+        (F.sum(vd * vd * vd * vd).cast("double") / 1e8).alias("s4"),
     )
     mu = F.col("s1") / F.col("n")
     m2 = F.col("s2") / F.col("n") - mu * mu
