@@ -30,9 +30,17 @@ FIXTURE_TABLES = (
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # the driver fixtures are single files; derived scale-up dirs
+        # (scripts/scale_probe.py) are directory-style parquet — DuckDB
+        # binds the view's glob at CREATE VIEW time, so pick the form
+        # that exists
+        p = f"{sf_dir}/{t}.parquet"
+        pat = p if os.path.isfile(p) else f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     return con
 
 
