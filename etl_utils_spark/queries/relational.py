@@ -116,27 +116,27 @@ def agg_max_runid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_pricing_summary",
     oracle="""
+        WITH c AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+                   CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_c,
+                   CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_c
+            FROM lineitem
+        )
         SELECT
             l_returnflag,
             l_linestatus,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                     AS DECIMAL(18,4))) AS DOUBLE)                      AS sum_disc_price,
-            CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                               * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                          AS DECIMAL(18,4))
-                          * (1 + CAST(l_tax AS DECIMAL(18,2)))
-                     AS DECIMAL(18,6))) AS DOUBLE)                      AS sum_charge,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-                                                                        AS avg_qty,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-                                                                        AS avg_price,
-            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-                                                                        AS avg_disc,
-            count(*)                                                    AS count_order
-        FROM lineitem
+            CAST(SUM(qty_c) AS DOUBLE) / 1e2                             AS sum_qty,
+            CAST(SUM(price_c) AS DOUBLE) / 1e2                           AS sum_base_price,
+            CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 1e4          AS sum_disc_price,
+            CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE)
+                / 1e6                                                    AS sum_charge,
+            CAST(SUM(qty_c) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE)  AS avg_qty,
+            CAST(SUM(price_c) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE) AS avg_price,
+            CAST(SUM(disc_c) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE) AS avg_disc,
+            count(*)                                                     AS count_order
+        FROM c
         GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -145,28 +145,47 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side) combine — the canonical 100 TB-safe aggregation: the
     shuffle carries only (flag,status) groups, not rows.
 
-    Money math is done on DecimalType: the inputs are exact 2-decimal
-    values, so decimal sums are exact and bit-identical across engines
-    regardless of partitioning/summation order — no float rounding
-    roulette at any scale. Final outputs cast to double."""
+    Money math accrues as SCALE-0 integers: price/disc/tax are exact
+    2-decimal values, so disc_price·10^4 = price_c·(100−disc_c) and
+    charge·10^6 = price_c·(100−disc_c)·(100+tax_c) are EXACT integer
+    identities (no rounding anywhere), the sums are order-independent
+    128-bit integers, and each output is one shared IEEE division.
+    Scale-4/6 decimal sums cast to double were the round-7 sf1-sweep
+    find: once the scaled integer passes 2^53 the engines' decimal→
+    double conversions disagree by 1 ulp (docs/SCALE.md law; scale-0
+    casts are driver-proven identical)."""
     l = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
-    tax = F.col("l_tax").cast("decimal(18,2)")
-    disc_price = (price * (1 - disc)).cast("decimal(18,4)")
-    charge = (disc_price * (1 + tax)).cast("decimal(18,6)")
+
+    def cents(col: str):
+        return (F.col(col).cast("decimal(18,2)") * 100).cast("long").cast("decimal(18,0)")
+
+    qty_c, price_c, disc_c, tax_c = (
+        cents("l_quantity"), cents("l_extendedprice"), cents("l_discount"), cents("l_tax")
+    )
     n = F.count(F.lit(1))
+    n100 = (F.lit(100) * n).cast("double")
     return (
-        l.groupBy("l_returnflag", "l_linestatus")
+        l.select(
+            "l_returnflag", "l_linestatus",
+            qty_c.alias("qty_c"), price_c.alias("price_c"),
+            disc_c.alias("disc_c"), tax_c.alias("tax_c"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / n).alias("avg_qty"),
-            (F.sum(price).cast("double") / n).alias("avg_price"),
-            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            (F.sum("qty_c").cast("double") / 1e2).alias("sum_qty"),
+            (F.sum("price_c").cast("double") / 1e2).alias("sum_base_price"),
+            (
+                F.sum(F.col("price_c") * (100 - F.col("disc_c"))).cast("double") / 1e4
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    F.col("price_c") * (100 - F.col("disc_c")) * (100 + F.col("tax_c"))
+                ).cast("double")
+                / 1e6
+            ).alias("sum_charge"),
+            (F.sum("qty_c").cast("double") / n100).alias("avg_qty"),
+            (F.sum("price_c").cast("double") / n100).alias("avg_price"),
+            (F.sum("disc_c").cast("double") / n100).alias("avg_disc"),
             n.alias("count_order"),
         )
     )

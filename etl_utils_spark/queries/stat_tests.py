@@ -276,7 +276,7 @@ def stats_ks_binned_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_rolling_corr_price_qty",
     oracle="""
         WITH b AS (
-          SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+          SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_shipdate,
                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS px,
                  CAST(l_quantity AS BIGINT) AS qy
           FROM lineitem
@@ -290,7 +290,7 @@ def stats_ks_binned_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(qy * qy) OVER fr AS syy
           FROM b
           WINDOW fr AS (PARTITION BY l_suppkey
-                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         )
         SELECT l_orderkey, l_linenumber,
@@ -308,7 +308,12 @@ def stats_rolling_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift monitor for a joint distribution.  Window partitioned by the
     HIGH-cardinality supplier key (parallel at any scale; never a
     corpus-wide frame) with a deterministic (shipdate, orderkey,
-    linenumber) total order.  The frame moments n, Sx, Sy, Sxy, Sxx,
+    linenumber, partkey) total order — the fixture's (orderkey,
+    linenumber) pair is NOT unique (118k duplicate groups at sf0.1),
+    and the round-7 sf1 sweep caught a frame flip on the one tied
+    sort key; partkey completes lineitem's unique
+    (orderkey, linenumber, suppkey, partkey) key, so the frame order
+    is total.  The frame moments n, Sx, Sy, Sxy, Sxx,
     Syy are EXACT BIGINT window sums over cents (price·100 and
     quantity are integer-exact), so both engines feed the identical
     IEEE inputs into one shared double expression
@@ -322,6 +327,7 @@ def stats_rolling_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_suppkey",
+        "l_partkey",
         "l_shipdate",
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long")
@@ -330,7 +336,7 @@ def stats_rolling_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fr = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
         .rowsBetween(-9, Window.currentRow)
     )
     w = base.select(
