@@ -641,9 +641,11 @@ def stats_skew_kurtosis_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     100·v is an exact integer, and every power is taken in DECIMAL
     (cast BEFORE the products — a long 4th power wraps as soon as a
     single value exceeds ~$551, which the round-7 sf0.1 bitwise probe
-    hit as an ANSI ARITHMETIC_OVERFLOW; (9,0)^4 → decimal(38,0) holds
-    v2⁴ ≤ 1e36 and the sums stay exact to ~6e11 rows).  The oracle
-    orders the same way (HUGEINT cast before its products).  Sums run
+    hit as an ANSI ARITHMETIC_OVERFLOW).  decimal(12,0) admits values
+    to $10^10 (the ANSI cast itself raises loudly past that, never
+    silently); (12,0)^4 products stay inside decimal(38,0) per row
+    and the sums are exact to ~1e10 rows of maximal magnitude.  The
+    oracle orders the same way (HUGEINT cast before its products).  Sums run
     in 128-bit exact arithmetic because the engines' built-in
     skewness/kurtosis aggregates use different estimators and
     accumulation orders and would diverge.  After the exact sums cast
@@ -653,7 +655,7 @@ def stats_skew_kurtosis_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     v2 = F.round(F.col("value") * 100, 0).cast("long")
     i = e.select("event_type", v2.alias("v2"))
-    vd = F.col("v2").cast("decimal(9,0)")
+    vd = F.col("v2").cast("decimal(12,0)")
     cnt = F.count(F.lit(1))
     s = i.groupBy("event_type").agg(
         cnt.alias("n"),

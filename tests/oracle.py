@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 import struct
 from decimal import Decimal
 
@@ -30,8 +31,6 @@ FIXTURE_TABLES = (
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    import os
-
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         # the driver fixtures are single files; derived scale-up dirs

@@ -9,6 +9,9 @@ from __future__ import annotations
 import etl_utils_spark.queries as q
 from etl_utils_spark.queries import _WINDOW
 
+# the external gate samples this many registry-prefix entries per round
+DRIVER_WINDOW = 50
+
 
 def test_window_has_no_duplicates():
     assert len(_WINDOW) == len(set(_WINDOW)), [
@@ -17,7 +20,10 @@ def test_window_has_no_duplicates():
 
 
 def test_first_50_registry_entries_are_oracle_backed():
-    first = list(q.REGISTRY)[:50]
+    assert len(_WINDOW) >= DRIVER_WINDOW, (
+        f"_WINDOW ({len(_WINDOW)}) no longer covers the {DRIVER_WINDOW}-entry driver gate"
+    )
+    first = list(q.REGISTRY)[:DRIVER_WINDOW]
     rows_only = [n for n in first if q.REGISTRY[n].oracle is None]
     assert not rows_only, f"rows-only queries occupy driver window slots: {rows_only}"
 
