@@ -61,69 +61,14 @@ from etl_utils_spark.queries import selection_v6  # noqa: E402,F401
 # written out in SURVEY.md §14; every entry NOT in _WINDOW is already
 # driver-green in a previous round's CORRECTNESS file.
 _WINDOW = [
-    # --- r7 window (driver checks the FIRST 50 registry entries):
-    # all 50 are never-driver-verified backlog entries promoted in the
-    # staged order VERDICT-r6 prescribed (features -> dq -> streaming
-    # `_live` tier -> behavioral -> graph_v2 -> timeseries_v2 ->
-    # embeddings_v2).  Every r1-r6 window entry is driver-green
-    # (cumulative ledger 239/239) and drops back to registration order.
-    "mixture_rebalance_langs",
-    "embedding_quantize_int8",
-    "embedding_label_stats",
-    "binning_decile_prices",
-    "feature_hash_docs",
-    "time_decay_user_score",
-    "feature_scale_events",
-    "histogram2d_price_qty",
-    "onehot_user_event_counts",
-    "gate_pca_variance_explained",
-    "dq_referential_integrity",
-    "observe_scan_metrics",
-    "table_fingerprint_orders",
-    "dq_expectations_orders",
-    "dq_expectations_documents",
-    "join_salted_skew_events",
-    "stats_regr_price_on_qty",
-    "gate_stratified_fractions",
-    "gate_freq_items_contains_mode",
-    "gate_cms_overestimate",
-    "winsorized_order_prices",
-    "winsorized_prices_by_priority",
-    "agg_grouping_sets_region_segment",
-    "histogram_order_prices",
-    "stats_corr_price_quantity",
-    "skew_profile_events",
-    "outliers_mad_user_value",
-    "stream_tumbling_counts_live",
-    "stream_session_window_live",
-    "stream_cdc_merge_live",
-    "stream_interval_join_live",
-    "stream_stateful_user_counts",
-    "stream_ewma_live",
-    "stream_static_enrich_live",
-    "stream_topk_users_live",
-    "stream_purchase_share_hourly_live",
-    "stream_ohlc_hourly_live",
-    "join_null_safe_regions",
-    "union_by_name_missing_cols",
-    "sql_group_by_all",
-    "rfm_segmentation",
-    "gini_spend_by_nation",
-    "trimmed_mean_prices_by_priority",
-    "kaplan_meier_user_churn",
-    "interevent_gap_deciles",
-    "business_days_order_to_ship",
-    "graph_modularity_cc",
-    "link_predict_common_neighbors",
-    # the round-7 additions (VERDICT-r6 item 6): exact-replay
-    # certificates for the two iterative graph operators — windowed
-    # immediately so the certificate carries a driver row this round.
-    "gate_pagerank_exact_replay",
-    "gate_kcore_peel_replay",
-    # --- entries past #50: the r8 rotation backlog, in order.  With
-    # additions capped (VERDICT-r6 #2) the 55 entries below are the
-    # LAST never-driver-verified oracle-backed queries; r8's window
-    # takes the first 50, r9 sweeps the residue.
+    # --- r8 window (driver checks the FIRST 50 registry entries):
+    # the first 50 of the 55 remaining never-driver-verified
+    # oracle-backed queries, in the staged order pinned since r7
+    # (timeseries_v2 tail -> embeddings_v2 -> text_v3 ->
+    # rollups/attribution -> r6 additions -> eval/privacy/selection).
+    # Every r1-r7 window entry is driver-green (cumulative ledger
+    # 289/289 oracle-checked on latest check) and drops back to
+    # registration order.
     "graph_assortativity_degree",
     "acf_hourly_events",
     "holt_linear_user_value",
@@ -174,6 +119,11 @@ _WINDOW = [
     "gate_span_corruption_rate",
     "split_kfold_by_source",
     "curriculum_select_budget",
+    # --- entries past #50: the r9 residue — the LAST 5
+    # never-driver-verified oracle-backed queries (plus any r8
+    # additions appended below them).  After r9's window sweeps these,
+    # every oracle-backed query has a driver-verified row and windows
+    # become oldest-checked-first re-verification rotation.
     "mine_hard_negatives",
     "lm_heldout_nll",
     "ml_impute_group_median",
