@@ -18,18 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    # The driver parses the LAST stdout line, and the JVM it spawns
-    # inherits fd 1 — round 6's captured tail contained a py4j stack
-    # trace printed by a JVM-side thread despite zero recorded errors.
-    # Point fd 1 at stderr for the WHOLE run (the JVM inherits the
-    # redirected fd at launch) and keep a private dup of the real
-    # stdout; the compact JSON line at the end is written to that dup,
-    # so it is the only stdout content, full stop.
-    real_stdout_fd = os.dup(1)
-    sys.stdout.flush()
-    os.dup2(2, 1)
-
+def main(real_stdout_fd: int) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -119,33 +108,64 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def _time_one(name: str) -> None:
+    def _run_once(name: str) -> float | None:
         q = REGISTRY[name]
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)
             df.count()
-            t = round(time.perf_counter() - t0, 4)
-            timings[name] = min(t, timings.get(name, t))
+            return round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001 — bench must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return None
 
-    for name in sorted(n for n in REGISTRY if not _excluded(n)):
-        _time_one(name)
+    def _time_one(name: str) -> None:
+        t = _run_once(name)
+        if t is not None:
+            timings[name] = min(t, timings.get(name, t))
 
-    # This host shows sporadic multi-second stalls that land on one
-    # random query per run (observed: the same query 3.8s standalone,
-    # 69s mid-bench, with stable CPU throughput probes). Re-time the
-    # slow tail and keep the min — the standard repeated-measurement
-    # practice for noisy environments; genuine cost stays, stall
-    # artifacts fall away.
-    # (cap raised 20→80 after a run where ~40 queries landed on stalls;
-    # a second sweep catches re-timings that themselves hit a stall)
-    for _sweep in range(2):
-        for name in [
-            n for n, t in sorted(timings.items(), key=lambda kv: -kv[1]) if t > 2.5
-        ][:80]:
+    bench_names = sorted(n for n in REGISTRY if not _excluded(n))
+
+    # This host's run-to-run band is wider than any per-query signal
+    # (same code, same day: 249.5s..301.6s totals), so the COMMITTED
+    # record is a per-query median across full interleaved sweeps
+    # (SPARK_GRAFT_BENCH_REPS=3 at round close; default 1 keeps the
+    # driver's own run at single-sweep wall-clock).  Full-sweep
+    # interleaving decorrelates host fast/slow phases from queries;
+    # the median then rejects one stalled sweep per query.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    if reps > 1:
+        runs: dict[str, list[float]] = {}
+        for _rep in range(reps):
+            for name in bench_names:
+                t = _run_once(name)
+                if t is not None:
+                    runs.setdefault(name, []).append(t)
+        for name, ts in runs.items():
+            ts.sort()
+            timings[name] = ts[len(ts) // 2] if len(ts) % 2 else round(
+                (ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2, 4
+            )
+    else:
+        for name in bench_names:
             _time_one(name)
+
+    # Single-sweep mode only: this host shows sporadic multi-second
+    # stalls that land on one random query per run (observed: the same
+    # query 3.8s standalone, 69s mid-bench, with stable CPU throughput
+    # probes). Re-time the slow tail and keep the min — the standard
+    # repeated-measurement practice for noisy environments; genuine
+    # cost stays, stall artifacts fall away.  (cap raised 20→80 after a
+    # run where ~40 queries landed on stalls; a second sweep catches
+    # re-timings that themselves hit a stall)  In median mode the
+    # median already rejects a stalled sweep — min-retiming on top
+    # would silently turn medians back into mins.
+    if reps == 1:
+        for _sweep in range(2):
+            for name in [
+                n for n, t in sorted(timings.items(), key=lambda kv: -kv[1]) if t > 2.5
+            ][:80]:
+                _time_one(name)
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -204,4 +224,32 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The driver parses the LAST stdout line, and the JVM main() spawns
+    # inherits fd 1 — round 6's captured tail contained a py4j stack
+    # trace printed by a JVM-side thread despite zero recorded errors.
+    # Point fd 1 at stderr for the WHOLE run (the JVM inherits the
+    # redirected fd at launch) and keep a private dup of the real
+    # stdout; the compact JSON line at the end is written to that dup,
+    # so it is the only stdout content, full stop.
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+    try:
+        main(real_stdout_fd)
+    except BaseException as exc:  # noqa: BLE001
+        # fd 1 points at stderr from here on, so an exception inside
+        # main() (including the compact-line length assert) would
+        # otherwise leave the driver's stdout capture completely EMPTY.
+        # Emit a minimal parseable error line to the saved real stdout.
+        err_line = json.dumps(
+            {
+                "metric": "declared_query_set_total_wall",
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+            },
+            separators=(",", ":"),
+        )
+        try:
+            os.write(real_stdout_fd, (err_line + "\n").encode())
+        except OSError:
+            pass
+        raise

@@ -77,15 +77,38 @@ def shingles(
     )
 
 
+def md5_60(c: Column) -> Column:
+    """Cross-engine-deterministic 60-bit hash: the first 15 hex chars
+    of md5 parsed to a BIGINT (always positive, so signed shifts match
+    unsigned ones).  Slower than xxhash64 — it exists so the dedup
+    pipelines can run a bit-replayable flavor against engines that lack
+    xxhash64 (DuckDB: ``('0x'||substr(md5(x),1,15))::BIGINT``, verified
+    bit-identical to this expression)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hash60(c: Column, hash_family: str) -> Column:
+    """Dispatch the pipeline hash primitive: production runs xxhash64
+    (JVM-native, fastest); ``md5_60`` is the oracle-replayable flavor.
+    Both return BIGINT, so every downstream band/bucket/verify stage is
+    byte-for-byte the same plan either way."""
+    if hash_family == "xxh64":
+        return F.xxhash64(c)
+    if hash_family == "md5_60":
+        return md5_60(c)
+    raise ValueError(f"unknown hash_family: {hash_family}")
+
+
 def hashed_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2
+    df: DataFrame, id_col: str, text_col: str, n: int = 2,
+    hash_family: str = "xxh64",
 ) -> DataFrame:
-    """(sid, sh) with sh = xxhash64(shingle): the join/groupBy currency
+    """(sid, sh) with sh = hash(shingle): the join/groupBy currency
     of every dedup pipeline here. Long keys make exchanges and hash
     tables several times cheaper than strings; at corpus scale the
     64-bit space keeps collision noise negligible."""
     return shingles(df, id_col, text_col, n).select(
-        "sid", F.xxhash64("shingle").alias("sh")
+        "sid", _hash60(F.col("shingle"), hash_family).alias("sh")
     )
 
 
@@ -249,15 +272,26 @@ def jaccard_prefix_pairs(
 
 # --------------------------------------------------------------- minhash
 
+def _seeded_hash(i: int, c: Column, hash_family: str) -> Column:
+    """Seeded per-permutation hash for MinHash.  xxh64 takes the seed
+    as a leading hashed value (long-typed, no string concat on the hot
+    path); md5_60 folds the seed into the digested string — the concat
+    is what makes the same value reproducible in plain SQL."""
+    if hash_family == "xxh64":
+        return F.xxhash64(F.lit(i), c)
+    return md5_60(F.concat_ws(":", F.lit(str(i)), c.cast("string")))
+
+
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 32
+    sh: DataFrame, num_hashes: int = 32, hash_family: str = "xxh64"
 ) -> DataFrame:
     """MinHash signature per doc from a (sid, sh) hashed-shingle
-    DataFrame: h_i = min over shingles of xxhash64(i, sh). One groupBy
+    DataFrame: h_i = min over shingles of hash(i, sh). One groupBy
     with num_hashes min-aggregates — constant-size state per doc,
     long-typed hashing throughout (no per-hash string concat)."""
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(_seeded_hash(i, F.col("sh"), hash_family)).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
     sig = sh.groupBy("sid").agg(*aggs)
     return sig.select(
@@ -273,6 +307,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.2,
+    hash_family: str = "xxh64",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
     Jaccard. bands=8 × rows=4 over 32 hashes → catches J≳0.3 pairs with
@@ -280,19 +315,20 @@ def minhash_lsh_pairs(
     output has no false positives (only possible false negatives, the
     standard LSH trade)."""
     rows_per_band = num_hashes // bands
-    sh = hashed_shingles(df, id_col, text_col, n).cache()
-    sig = minhash_signatures(sh, num_hashes)
+    sh = hashed_shingles(df, id_col, text_col, n, hash_family).cache()
+    sig = minhash_signatures(sh, num_hashes, hash_family)
 
     band_arr = F.array(
         *[
-            F.xxhash64(
+            _hash60(
                 F.concat_ws(
                     ",",
                     *[
                         F.element_at("signature", b * rows_per_band + r + 1).cast("string")
                         for r in range(rows_per_band)
                     ],
-                )
+                ),
+                hash_family,
             )
             for b in range(bands)
         ]
@@ -361,30 +397,33 @@ def simhash_bits(
 
 
 def simhash_sig(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_family: str = "xxh64", bits: int = 64,
 ) -> DataFrame:
-    """Packed 64-bit SimHash signature per doc: (sid, sig bigint).
+    """Packed ``bits``-bit SimHash signature per doc: (sid, sig bigint).
 
-    Same per-bit aggregates as :func:`simhash_bits`, but the 64 sign
+    Same per-bit aggregates as :func:`simhash_bits`, but the sign
     bits are OR-packed into ONE long — every downstream exchange then
     carries 8 bytes per doc instead of a 64-element array, and Hamming
     distance is a single ``bit_count(sig_a ^ sig_b)`` instead of a
-    64-step ``zip_with`` fold."""
+    64-step ``zip_with`` fold.  The md5_60 flavor uses bits=60 (the
+    hash is 60 bits wide and always positive, so signed ``>>`` in plain
+    SQL reproduces every shift exactly)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tok = df.select(
         F.col(id_col).alias("sid"), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).groupBy("sid", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.xxhash64("token")
+    h = _hash60(F.col("token"), hash_family)
     aggs = [
         F.sum(
             F.col("cnt")
             * F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(64)
+        for j in range(bits)
     ]
     agg = tok.groupBy("sid").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(bits):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
@@ -399,6 +438,8 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int | None = None,
+    hash_family: str = "xxh64",
+    bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -415,9 +456,9 @@ def simhash_pairs(
     prunes before the distinct's shuffle ever materializes the
     candidate blowup."""
     bands = bands or (max_hamming + 1)
-    chunk_bits = 64 // bands
+    chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
-    sg = simhash_sig(df, id_col, text_col)
+    sg = simhash_sig(df, id_col, text_col, hash_family, bits)
     chunks = F.array(
         *[
             F.shiftrightunsigned("sig", b * chunk_bits).bitwiseAND(F.lit(mask))

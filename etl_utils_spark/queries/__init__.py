@@ -129,6 +129,11 @@ _WINDOW = [
     "ml_impute_group_median",
     "privacy_k_anonymity_events",
     "privacy_dp_noisy_counts",
+    # r8 additions (2 of the ≤5 cap): md5_60 bit-replay twins that give
+    # the minhash/simhash pipelines full oracle rows (VERDICT-r7 item
+    # 4); they queue behind the residue for the r9 window.
+    "dedup_minhash_md5_replay",
+    "dedup_simhash_md5_replay",
 ]
 
 

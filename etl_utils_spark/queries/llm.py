@@ -82,8 +82,10 @@ def dedup_documents_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
 @query("dedup_documents_minhash", oracle=None)
 def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates, exactly verified — the
-    approximate/scalable near-dup path (rows-only: LSH recall is
-    probabilistic; every emitted pair is exactly verified ≥ threshold)."""
+    approximate/scalable near-dup path (rows-only: xxhash64 has no
+    DuckDB equivalent — the md5_60 replay twin
+    ``dedup_minhash_md5_replay`` certifies the identical pipeline
+    bit-for-bit; the recall floor gate covers the probabilistic side)."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n=2, num_hashes=32, bands=8, threshold=0.2
     )
@@ -93,8 +95,161 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_documents_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 Hamming≤3 near-dup pairs: packed-long signatures,
     (max_hamming+1)-band pigeonhole buckets, bit_count verify
-    (rows-only: bit-level signature algorithm, not SQL-expressible)."""
+    (rows-only: xxhash64 has no DuckDB equivalent — the md5_60 replay
+    twin ``dedup_simhash_md5_replay`` certifies the identical pipeline
+    bit-for-bit)."""
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --------------------------------------------- md5_60 replay twins
+# The production minhash/simhash run on xxhash64 (JVM-native, the right
+# primitive at 100 TB) which no SQL engine replays — those stay
+# rows-only.  These twins run the SAME operator code paths
+# (operators/dedup.py banding, bucket-join, verify) with the hash
+# primitive swapped to md5_60 (first 15 md5 hex chars as BIGINT —
+# verified bit-identical Spark vs DuckDB), so the ENTIRE pipeline gets
+# a driver-hash-strict oracle row; only the hash function itself
+# differs from production.
+
+_MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# MinHash replay params — identical to dedup_documents_minhash.
+_MH_HASHES, _MH_BANDS, _MH_ROWS = 32, 8, 4
+
+_MINHASH_SIG_COLS = ",\n               ".join(
+    "min(" + _MD5_60.format(x=f"'{i}:' || CAST(sh AS VARCHAR)") + f") AS h{i}"
+    for i in range(_MH_HASHES)
+)
+_MINHASH_BANDS_UNION = "\n            UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + _MD5_60.format(
+        x=" || ',' || ".join(
+            f"CAST(h{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+        )
+    )
+    + " AS band_hash FROM sig"
+    for b in range(_MH_BANDS)
+)
+
+_MINHASH_REPLAY_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh0 AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(w) - 1)) AS i
+        ) t
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, {_MD5_60.format(x='shingle')} AS sh FROM sh0
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_SIG_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_MINHASH_BANDS_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.2
+"""
+
+
+@query("dedup_minhash_md5_replay", oracle=_MINHASH_REPLAY_ORACLE)
+def dedup_minhash_md5_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) with the md5_60 hash family — the
+    bit-replayable twin of ``dedup_documents_minhash``: the oracle
+    unrolls shingle→signature→band→candidate→exact-verify in plain SQL
+    and must match the operator pipeline hash-for-hash.  Certifies the
+    banding arithmetic, bucket join, and Jaccard verify of the
+    production path (operators/dedup.py:minhash_lsh_pairs)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=2, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.2,
+        hash_family="md5_60",
+    )
+
+
+# SimHash replay params: 60-bit signature (md5_60 is 60 bits wide and
+# positive, so DuckDB's signed >> replays every shift), 4×15-bit bands.
+_SH_BITS, _SH_BANDS, _SH_HAMMING = 60, 4, 3
+_SH_CHUNK_BITS = _SH_BITS // _SH_BANDS
+_SH_MASK = (1 << _SH_CHUNK_BITS) - 1
+
+_SIMHASH_BITSUM_COLS = ",\n               ".join(
+    f"sum(cnt * CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SH_BITS)
+)
+_SIMHASH_PACK = " | ".join(
+    f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+    for j in range(_SH_BITS)
+)
+_SIMHASH_BANDS_UNION = "\n            UNION ALL ".join(
+    f"SELECT doc_id, {c} AS band, (sig >> {c * _SH_CHUNK_BITS}) & {_SH_MASK} AS chunk, sig FROM sig"
+    for c in range(_SH_BANDS)
+)
+
+_SIMHASH_REPLAY_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, token, count(*) AS cnt
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        GROUP BY doc_id, token
+    ),
+    h AS (
+        SELECT doc_id, {_MD5_60.format(x='token')} AS th, cnt FROM tok
+    ),
+    bitsum AS (
+        SELECT doc_id,
+               {_SIMHASH_BITSUM_COLS}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {_SIMHASH_PACK} AS sig FROM bitsum),
+    banded AS (
+        {_SIMHASH_BANDS_UNION}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+                  AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_SH_HAMMING}
+"""
+
+
+@query("dedup_simhash_md5_replay", oracle=_SIMHASH_REPLAY_ORACLE)
+def dedup_simhash_md5_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the md5_60 hash family, 60-bit signatures — the
+    bit-replayable twin of ``dedup_documents_simhash``: the oracle
+    unrolls token→±cnt bit sums→packed signature→pigeonhole bands→
+    Hamming verify in plain SQL.  60 bits (not 64) because md5_60 is
+    always positive, so DuckDB's signed shifts replay Spark's unsigned
+    ones exactly (operators/dedup.py:simhash_pairs)."""
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=_SH_HAMMING, bands=_SH_BANDS,
+        hash_family="md5_60", bits=_SH_BITS,
+    )
 
 
 @query(

@@ -641,10 +641,11 @@ def stats_skew_kurtosis_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     100·v is an exact integer, and every power is taken in DECIMAL
     (cast BEFORE the products — a long 4th power wraps as soon as a
     single value exceeds ~$551, which the round-7 sf0.1 bitwise probe
-    hit as an ANSI ARITHMETIC_OVERFLOW).  decimal(12,0) admits values
-    to $10^10 (the ANSI cast itself raises loudly past that, never
-    silently); (12,0)^4 products stay inside decimal(38,0) per row
-    and the sums are exact to ~1e10 rows of maximal magnitude.  The
+    hit as an ANSI ARITHMETIC_OVERFLOW).  The binding ceiling is the
+    4th-power product, not the (12,0) cast: c^4 must fit decimal(38,0),
+    so cents stay below 10^9.5 ≈ 3.16e9 — values to ~$3.16e7 per row
+    (ANSI raises loudly past that, never silently).  Within that bound
+    the sums are exact to ~1e10 rows of maximal magnitude.  The
     oracle orders the same way (HUGEINT cast before its products).  Sums run
     in 128-bit exact arithmetic because the engines' built-in
     skewness/kurtosis aggregates use different estimators and

@@ -34,6 +34,25 @@ from pyspark.sql import types as T
 from etl_utils_spark.logtables import LogTables
 from etl_utils_spark.params import ParamError, rewrite_placeholders, substitute_sql
 
+# PySpark 4 logs a structured-JSON error blob (message + full JVM stack
+# trace) the moment a captured exception OBJECT is constructed
+# (pyspark/errors/exceptions/captured.py:78 -> base.py:_log_exception),
+# even when the caller catches and handles the exception — which this
+# wrapper does by contract (on_error='continue'/'rollback').  The blob
+# is pure duplication (the exception itself still propagates with the
+# same message) and it pollutes any captured stream with a multi-KB
+# stack trace per handled failure.  Disable the two emitters at import;
+# creation must go through PySparkLogger.getLogger so the registered
+# logger is the PySparkLogger subclass (a plain logging.Logger of the
+# same name would crash on the extra kwargs base.py passes).
+try:  # gate: pyspark<4 has no pyspark.logger
+    from pyspark.logger import PySparkLogger as _PySparkLogger
+
+    for _n in ("SQLQueryContextLogger", "DataFrameQueryContextLogger"):
+        _PySparkLogger.getLogger(_n).disabled = True
+except ImportError:  # pragma: no cover
+    pass
+
 # In-memory message-buffer schema returned by finish()
 # (query_wrapper.sql:414).
 MESSAGES_SCHEMA = T.StructType(

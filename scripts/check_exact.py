@@ -20,11 +20,13 @@ numeric laws that make queries pass it).  Exits nonzero on any failure.
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 
 def main() -> int:

@@ -8,11 +8,13 @@ exact IEEE-754 bit equality (the driver-hash-equivalent strictness; see
 scripts/check_exact.py for the single-query form).  The round-close
 protocol runs the bitwise form."""
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 from pyspark.sql import SparkSession
 

@@ -190,11 +190,13 @@ def _norm_exact(v):
         # DuckDB fetches HUGEINT as Python int but DECIMAL as Decimal;
         # Spark always yields Decimal for decimal columns.  Integral
         # decimals therefore merge with the int lane; fractional ones
-        # compare by plain-format string (type-family parity already
-        # guarantees both sides carry the same scale).
+        # compare by VALUE (trailing zeros stripped via normalize()) so
+        # a scale-only difference — Decimal('5.50') vs Decimal('5.5') —
+        # is reported by compare_types as a type-parity issue, not
+        # surfaced here as a confusing value mismatch.
         if v == v.to_integral_value():
             return ("i", int(v))
-        return ("dec", format(v, "f"))
+        return ("dec", format(v.normalize(), "f"))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")

@@ -352,3 +352,40 @@ def test_prefix_min_matches_window_semantics(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_md5_60_hash_family_parity_and_dispatch(spark):
+    """md5_60 must be pinned cross-engine (DuckDB computes the same
+    values in the replay oracles) and always non-negative; unknown
+    hash families must fail loudly, not fall back."""
+    import duckdb
+    import pytest
+
+    vals = ["abc", "hello world", "", "0:12345"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", dedup.md5_60(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        exp = con.execute(
+            "SELECT ('0x'||substr(md5(?),1,15))::BIGINT", [v]
+        ).fetchone()[0]
+        assert got[v] == exp and got[v] >= 0, (v, got[v], exp)
+    # pinned value: a silent md5/conv change must trip this, not just drift
+    assert got["abc"] == 648541476951500027
+    with pytest.raises(ValueError, match="hash_family"):
+        dedup._hash60(F.lit("x"), "fnv")
+
+
+def test_simhash_md5_flavor_bits_bound(spark, sf_dir):
+    """The 60-bit md5_60 simhash signature must never set bits 60-63
+    (the replay oracle's signed shifts rely on positivity)."""
+    sg = dedup.simhash_sig(
+        _docs(spark, sf_dir).limit(50), hash_family="md5_60", bits=60
+    )
+    bad = sg.filter(
+        (F.col("sig") < 0) | (F.shiftrightunsigned("sig", 60) != 0)
+    ).count()
+    assert bad == 0
