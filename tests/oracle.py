@@ -246,34 +246,113 @@ def _normalize_rows(rows, colnames, norm=None):
     return out
 
 
+# Past this many oracle rows the full compare switches to a streaming
+# order-independent digest: materializing + python-sorting 6M
+# normalized tuples per side blew the sf1 sweep's watchdog on
+# math_funcs_lineitem while BOTH engines ran the query itself in <5s.
+# Digest mode trades the first-mismatching-row diagnostic (fixture-
+# scale runs keep it) for O(batch) memory and no global sort.
+_DIGEST_THRESHOLD = int(os.environ.get("SPARK_GRAFT_COMPARE_DIGEST_ROWS", "500000"))
+
+
+def _arrow_row_iter(table):
+    """Yield plain-python row tuples from a pyarrow Table in bounded
+    batches — never a whole-table to_pylist."""
+    for batch in table.to_batches(max_chunksize=65536):
+        cols = [c.to_pylist() for c in batch.columns]
+        yield from zip(*cols)
+
+
+def _stream_digest(row_iter, colnames, norm):
+    """Order-independent digest over normalized rows: sum of per-row
+    sha1 prefixes mod 2^128 (sum, not xor — xor cancels duplicate row
+    PAIRS).  Normalization is byte-for-byte the one the full compare
+    uses, so digest mode has the same strictness, just no row diff."""
+    import hashlib
+
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    total = 0
+    n = 0
+    for row in row_iter:
+        t = tuple(norm(row[i]) for i in order)
+        h = hashlib.sha1(repr(t).encode()).digest()[:16]
+        total = (total + int.from_bytes(h, "little")) % (1 << 128)
+        n += 1
+    return n, total
+
+
 def compare_query(spark, sf_dir: str, name: str, bitwise: bool = False):
     """Return (ok, message) for one registered query vs its oracle.
 
     ``bitwise=True`` switches the float compare from 9-significant-digit
     rounding to exact IEEE-754 bit equality — the strictness level of the
     driver's value hash.  Use it for every new oracle-backed query before
-    declaring it window-ready (scripts/check_exact.py wraps this)."""
+    declaring it window-ready (scripts/check_exact.py wraps this).
+
+    Results larger than ``_DIGEST_THRESHOLD`` rows compare by streaming
+    digest (both sides via Arrow, so value types stay symmetric)."""
     from etl_utils_spark.queries import REGISTRY
 
     norm = _norm_exact if bitwise else _norm
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
     s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
 
     if q.oracle is None:
-        return (len(s_rows) >= 0, f"rows-only: {len(s_rows)} rows")
+        n = sdf.count()
+        return (n >= 0, f"rows-only: {n} rows")
 
     con = duckdb_connect(sf_dir)
     try:
+        n_oracle = con.execute(
+            f"SELECT count(*) FROM ({q.oracle})"
+        ).fetchone()[0]
+        if n_oracle > _DIGEST_THRESHOLD:
+            # Arrow on BOTH sides: to_pylist yields the same python
+            # types for the same arrow families, so normalization sees
+            # symmetric inputs (maps become (k,v)-tuple lists on both —
+            # which is why the SMALL path below must keep fetchall():
+            # against Spark's collect() dicts, mixed fetch styles would
+            # fabricate map mismatches).
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            if sorted(s_cols) != sorted(d_cols):
+                return (
+                    False,
+                    f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}",
+                )
+            d_table = res.fetch_arrow_table()
+            s_table = sdf.toArrow()
+            if s_table.num_rows != d_table.num_rows:
+                return (
+                    False,
+                    f"rowcount mismatch: spark={s_table.num_rows} "
+                    f"duckdb={d_table.num_rows}",
+                )
+            sn_n, sn_d = _stream_digest(_arrow_row_iter(s_table), s_cols, norm)
+            dn_n, dn_d = _stream_digest(_arrow_row_iter(d_table), d_cols, norm)
+            if sn_d != dn_d:
+                return (
+                    False,
+                    f"digest mismatch over {sn_n} rows"
+                    f"{' (bitwise)' if bitwise else ''}",
+                )
+            return (
+                True,
+                f"ok: {sn_n} rows (digest{', bitwise' if bitwise else ''})",
+            )
         res = con.execute(q.oracle)
         d_cols = [d[0] for d in res.description]
+        if sorted(s_cols) != sorted(d_cols):
+            return (
+                False,
+                f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}",
+            )
         d_rows = res.fetchall()
     finally:
         con.close()
 
-    if sorted(s_cols) != sorted(d_cols):
-        return (False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    s_rows = [tuple(r) for r in sdf.collect()]
     if len(s_rows) != len(d_rows):
         return (False, f"rowcount mismatch: spark={len(s_rows)} duckdb={len(d_rows)}")
 

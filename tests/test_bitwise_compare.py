@@ -54,3 +54,27 @@ def test_temporal_and_binary_lanes():
     assert _norm_exact(dt.date(2024, 1, 2)) != _norm_exact(dt.datetime(2024, 1, 2))
     assert _norm_exact(b"\x00\xff") == _norm_exact(bytearray(b"\x00\xff"))
     assert _norm_exact([0.5, None]) == (_norm_exact(0.5), None)
+
+
+def test_stream_digest_order_independent_and_sensitive():
+    """Digest mode (large-result compare path) must ignore row order,
+    count duplicate rows (sum, not xor), and catch 1-ulp drift."""
+    from tests.oracle import _stream_digest
+
+    rows = [(1, 0.1 + 0.2), (2, 0.5), (2, 0.5)]
+    cols = ["a", "b"]
+    n1, d1 = _stream_digest(iter(rows), cols, _norm_exact)
+    n2, d2 = _stream_digest(iter(reversed(rows)), cols, _norm_exact)
+    assert (n1, d1) == (n2, d2)  # order-independent
+    # duplicate-pair cancellation would make these equal under xor
+    _, d3 = _stream_digest(iter(rows[:1]), cols, _norm_exact)
+    assert d3 != d1
+    # 1-ulp drift must change the digest under the bitwise norm
+    _, d4 = _stream_digest(iter([(1, 0.3), (2, 0.5), (2, 0.5)]), cols, _norm_exact)
+    assert d4 != d1
+    # column-order normalization: reordered column NAMES with matching
+    # values digest equal (the full compare sorts columns by name too)
+    _, d5 = _stream_digest(
+        iter([(0.1 + 0.2, 1), (0.5, 2), (0.5, 2)]), ["b", "a"], _norm_exact
+    )
+    assert d5 == d1
