@@ -123,8 +123,28 @@ def build_big(spark) -> None:
             "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
         )
 
+    def fix_emb(p, k):
+        # Perturb each copy's vectors with a tiny deterministic,
+        # DIRECTION-changing offset (a pure rescale would leave cosine
+        # untouched).  Without this the derived corpus holds 10-member
+        # identical-vector cliques whose exact ties made every
+        # pair-density query incomparable at 10× (the r7 sweep's
+        # excluded family); with it the sweep's bitwise compare extends
+        # to the embedding tier.  Both engines read the same parquet
+        # bytes, so the perturbation itself is not a determinism risk.
+        if k == 0:
+            return p
+        pert = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                + F.lit(k * 1e-4) * F.sin(i.cast("double") + F.lit(float(k)))
+            ).cast("float"),
+        )
+        return p.withColumn("embedding", pert)
+
     replicate("documents", ["doc_id"], fix_docs)
-    replicate("embeddings", ["vec_id"])
+    replicate("embeddings", ["vec_id"], fix_emb)
     replicate("events", ["event_id", "user_id"])
     replicate("orders", ["o_orderkey", "o_custkey"])
     replicate("lineitem", ["l_orderkey"])
