@@ -281,7 +281,10 @@ def _stream_digest(row_iter, colnames, norm):
     return n, total
 
 
-def compare_query(spark, sf_dir: str, name: str, bitwise: bool = False):
+def compare_query(
+    spark, sf_dir: str, name: str, bitwise: bool = False,
+    duck_budget: float | None = None,
+):
     """Return (ok, message) for one registered query vs its oracle.
 
     ``bitwise=True`` switches the float compare from 9-significant-digit
@@ -290,7 +293,13 @@ def compare_query(spark, sf_dir: str, name: str, bitwise: bool = False):
     declaring it window-ready (scripts/check_exact.py wraps this).
 
     Results larger than ``_DIGEST_THRESHOLD`` rows compare by streaming
-    digest (both sides via Arrow, so value types stay symmetric)."""
+    digest (both sides via Arrow, so value types stay symmetric).
+
+    ``duck_budget`` (seconds) arms a watchdog thread that calls
+    ``con.interrupt()`` — the only cancellation DuckDB honors promptly;
+    a SIGALRM-raised exception can sit unserviced for minutes inside a
+    single pipeline (measured on the quadratic Hamming-join oracle).
+    On expiry the oracle raises duckdb.InterruptException."""
     from etl_utils_spark.queries import REGISTRY
 
     norm = _norm_exact if bitwise else _norm
@@ -303,6 +312,13 @@ def compare_query(spark, sf_dir: str, name: str, bitwise: bool = False):
         return (n >= 0, f"rows-only: {n} rows")
 
     con = duckdb_connect(sf_dir)
+    timer = None
+    if duck_budget:
+        import threading
+
+        timer = threading.Timer(duck_budget, con.interrupt)
+        timer.daemon = True
+        timer.start()
     try:
         n_oracle = con.execute(
             f"SELECT count(*) FROM ({q.oracle})"
@@ -350,6 +366,8 @@ def compare_query(spark, sf_dir: str, name: str, bitwise: bool = False):
             )
         d_rows = res.fetchall()
     finally:
+        if timer is not None:
+            timer.cancel()
         con.close()
 
     s_rows = [tuple(r) for r in sdf.collect()]
