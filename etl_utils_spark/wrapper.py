@@ -46,10 +46,17 @@ from etl_utils_spark.params import ParamError, rewrite_placeholders, substitute_
 # logger is the PySparkLogger subclass (a plain logging.Logger of the
 # same name would crash on the extra kwargs base.py passes).
 try:  # gate: pyspark<4 has no pyspark.logger
-    from pyspark.logger import PySparkLogger as _PySparkLogger
+    import os as _os
 
-    for _n in ("SQLQueryContextLogger", "DataFrameQueryContextLogger"):
-        _PySparkLogger.getLogger(_n).disabled = True
+    # the disable is process-global (python logging has no narrower
+    # scope for loggers PySpark instantiates inside its own call
+    # sites); consumers that want the duplicate structured logs back
+    # can opt out with this env var
+    if _os.environ.get("ETL_UTILS_KEEP_SPARK_ERROR_LOGS", "") != "1":
+        from pyspark.logger import PySparkLogger as _PySparkLogger
+
+        for _n in ("SQLQueryContextLogger", "DataFrameQueryContextLogger"):
+            _PySparkLogger.getLogger(_n).disabled = True
 except ImportError:  # pragma: no cover
     pass
 

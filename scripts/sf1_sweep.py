@@ -70,9 +70,13 @@ def main() -> int:
 
     import etl_utils_spark.queries  # noqa: F401 — registers the registry
     from etl_utils_spark.queries.registry import REGISTRY
-    from oracle import compare_query
+    from oracle import compare_query, compare_types
 
     names = sys.argv[1:] or list(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
     signal.signal(signal.SIGALRM, _alarm)
 
     passed, bounded, skipped, failures = [], [], [], []
@@ -94,19 +98,31 @@ def main() -> int:
             # arms con.interrupt() for the oracle side — SIGALRM alone
             # can sit unserviced for MINUTES inside one DuckDB pipeline
             # (measured on the quadratic Hamming-join oracle).
+            import duckdb
+
+            t_start = time.time()
             signal.alarm(2 * budget)
             try:
-                if q.oracle is None:
-                    n = q.fn(spark, sf_dir).count()
-                    return True, f"rows-only n={n}"
-                return compare_query(
+                ok, msg = compare_query(
                     spark, sf_dir, name, bitwise=True, duck_budget=budget
                 )
-            except Exception as exc:
-                # DuckDB surfaces the watchdog as InterruptException (or
-                # a "Query interrupted" RuntimeError when a pending
-                # signal lands mid-query) — both ARE the timeout firing.
-                if "interrupt" in f"{type(exc).__name__} {exc}".lower():
+                if ok and q.oracle is not None:
+                    ok, msg = compare_types(spark, sf_dir, name)
+                return ok, msg
+            except duckdb.InterruptException as exc:
+                # the con.interrupt() watchdog — but only trust it as a
+                # timeout if the budget actually elapsed; anything else
+                # is a real failure wearing the same exception type
+                if time.time() - t_start >= budget * 0.9:
+                    raise _Timeout() from None
+                raise RuntimeError(f"interrupted before budget: {exc}") from exc
+            except RuntimeError as exc:
+                # a pending SIGALRM landing mid-query surfaces as
+                # DuckDB's "Query interrupted" RuntimeError
+                if (
+                    "query interrupted" in str(exc).lower()
+                    and time.time() - t_start >= budget * 0.9
+                ):
                     raise _Timeout() from None
                 raise
             finally:

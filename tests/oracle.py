@@ -251,16 +251,24 @@ def _normalize_rows(rows, colnames, norm=None):
 # normalized tuples per side blew the sf1 sweep's watchdog on
 # math_funcs_lineitem while BOTH engines ran the query itself in <5s.
 # Digest mode trades the first-mismatching-row diagnostic (fixture-
-# scale runs keep it) for O(batch) memory and no global sort.
+# scale runs keep it) for O(chunk) memory and no global sort.  Both
+# sides stream with the SAME value rendering as the full compare
+# (DuckDB fetchmany == fetchall typing, Spark toLocalIterator ==
+# collect typing), so digest mode changes cost, never semantics.
 _DIGEST_THRESHOLD = int(os.environ.get("SPARK_GRAFT_COMPARE_DIGEST_ROWS", "500000"))
+_FETCH_CHUNK = 65536
 
 
-def _arrow_row_iter(table):
-    """Yield plain-python row tuples from a pyarrow Table in bounded
-    batches — never a whole-table to_pylist."""
-    for batch in table.to_batches(max_chunksize=65536):
-        cols = [c.to_pylist() for c in batch.columns]
-        yield from zip(*cols)
+def _duck_row_iter(res, first=()):
+    """Stream python-typed rows from a DuckDB result via fetchmany
+    (identical value rendering to fetchall), after replaying any rows
+    already pulled for the mode decision."""
+    yield from first
+    while True:
+        chunk = res.fetchmany(_FETCH_CHUNK)
+        if not chunk:
+            return
+        yield from chunk
 
 
 def _stream_digest(row_iter, colnames, norm):
@@ -308,7 +316,10 @@ def compare_query(
     s_cols = list(sdf.columns)
 
     if q.oracle is None:
-        n = sdf.count()
+        # collect, not count: column pruning under count() would skip
+        # the computed projections entirely, and the sweep's ANSI
+        # overflow certification needs every expression to execute.
+        n = len(sdf.collect())
         return (n >= 0, f"rows-only: {n} rows")
 
     con = duckdb_connect(sf_dir)
@@ -320,33 +331,35 @@ def compare_query(
         timer.daemon = True
         timer.start()
     try:
-        n_oracle = con.execute(
-            f"SELECT count(*) FROM ({q.oracle})"
-        ).fetchone()[0]
-        if n_oracle > _DIGEST_THRESHOLD:
-            # Arrow on BOTH sides: to_pylist yields the same python
-            # types for the same arrow families, so normalization sees
-            # symmetric inputs (maps become (k,v)-tuple lists on both —
-            # which is why the SMALL path below must keep fetchall():
-            # against Spark's collect() dicts, mixed fetch styles would
-            # fabricate map mismatches).
-            res = con.execute(q.oracle)
-            d_cols = [d[0] for d in res.description]
-            if sorted(s_cols) != sorted(d_cols):
-                return (
-                    False,
-                    f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}",
-                )
-            d_table = res.fetch_arrow_table()
-            s_table = sdf.toArrow()
-            if s_table.num_rows != d_table.num_rows:
-                return (
-                    False,
-                    f"rowcount mismatch: spark={s_table.num_rows} "
-                    f"duckdb={d_table.num_rows}",
-                )
-            sn_n, sn_d = _stream_digest(_arrow_row_iter(s_table), s_cols, norm)
-            dn_n, dn_d = _stream_digest(_arrow_row_iter(d_table), d_cols, norm)
+        # ONE oracle execution: stream rows out via fetchmany, deciding
+        # small-vs-digest by how many arrive (a count(*) probe would
+        # run the whole oracle twice and halve the effective watchdog
+        # on exactly the expensive queries).
+        res = con.execute(q.oracle)
+        d_cols = [d[0] for d in res.description]
+        if sorted(s_cols) != sorted(d_cols):
+            return (
+                False,
+                f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}",
+            )
+        head: list = []
+        while len(head) <= _DIGEST_THRESHOLD:
+            chunk = res.fetchmany(_FETCH_CHUNK)
+            if not chunk:
+                break
+            head.extend(chunk)
+        if len(head) > _DIGEST_THRESHOLD:
+            # digest mode — stream both sides with the same value
+            # rendering the full compare uses, count while digesting,
+            # compare counts first (order-independent sums only match
+            # trivially when counts do).
+            dn_n, dn_d = _stream_digest(_duck_row_iter(res, head), d_cols, norm)
+            sp_rows = (
+                tuple(r) for r in sdf.toLocalIterator(prefetchPartitions=True)
+            )
+            sn_n, sn_d = _stream_digest(sp_rows, s_cols, norm)
+            if sn_n != dn_n:
+                return (False, f"rowcount mismatch: spark={sn_n} duckdb={dn_n}")
             if sn_d != dn_d:
                 return (
                     False,
@@ -357,22 +370,23 @@ def compare_query(
                 True,
                 f"ok: {sn_n} rows (digest{', bitwise' if bitwise else ''})",
             )
-        res = con.execute(q.oracle)
-        d_cols = [d[0] for d in res.description]
-        if sorted(s_cols) != sorted(d_cols):
-            return (
-                False,
-                f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}",
-            )
-        d_rows = res.fetchall()
+        d_rows = head
     finally:
         if timer is not None:
             timer.cancel()
         con.close()
 
-    s_rows = [tuple(r) for r in sdf.collect()]
+    # Bound the spark-side collect by the oracle count: if spark emits
+    # even one row more, that is already a rowcount-mismatch FAIL, and
+    # an unbounded collect of a runaway spark result would misreport a
+    # real mismatch as a harness timeout.
+    s_rows = [tuple(r) for r in sdf.limit(len(d_rows) + 1).collect()]
     if len(s_rows) != len(d_rows):
-        return (False, f"rowcount mismatch: spark={len(s_rows)} duckdb={len(d_rows)}")
+        more = "+" if len(s_rows) > len(d_rows) else ""
+        return (
+            False,
+            f"rowcount mismatch: spark={len(s_rows)}{more} duckdb={len(d_rows)}",
+        )
 
     sn = _normalize_rows(s_rows, s_cols, norm)
     dn = _normalize_rows(d_rows, d_cols, norm)
