@@ -35,14 +35,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    on_disk = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # the file source requires a directory: stream the fixture dir with
-    # a glob filter selecting only the events file
-    raw = (
-        spark.readStream.schema(on_disk)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events_path = os.path.join(sf_dir, "events.parquet")
+    on_disk = spark.read.parquet(events_path).schema
+    if os.path.isdir(events_path):
+        # directory-style parquet (derived scale-up dirs): stream the
+        # table directory itself — a pathGlobFilter on the parent would
+        # match no FILE and silently yield zero rows
+        raw = spark.readStream.schema(on_disk).parquet(events_path)
+    else:
+        # the file source requires a directory: stream the fixture dir
+        # with a glob filter selecting only the events file
+        raw = (
+            spark.readStream.schema(on_disk)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = dict((f.name, f.dataType.simpleString()) for f in on_disk.fields)["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
