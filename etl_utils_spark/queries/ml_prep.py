@@ -238,15 +238,22 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     xs = F.transform("embedding", lambda x: x.cast("double"))
     scale = F.array_max(F.transform(xs, F.abs)) / 127.0
+    # the intermediate is named raw_scale, NOT scale: when the output
+    # alias shadows the input name, the analyzer binds the lambda's
+    # F.col("scale") to the ROUNDED sibling — Spark then divides by
+    # round(scale, 9) while the oracle divides by the raw scale, a
+    # 1-ulp split that flips floor() on near-tie elements (caught by
+    # the 10x bitwise sweep on perturbed embeddings; invisible at every
+    # driver fixture scale).
     return (
-        emb.select("vec_id", xs.alias("xs"), scale.alias("scale"))
+        emb.select("vec_id", xs.alias("xs"), scale.alias("raw_scale"))
         .select(
             "vec_id",
-            F.round("scale", 9).alias("scale"),
+            F.round("raw_scale", 9).alias("scale"),
             F.array_join(
                 F.transform(
                     "xs",
-                    lambda x: F.floor(x / F.col("scale") + 0.5)
+                    lambda x: F.floor(x / F.col("raw_scale") + 0.5)
                     .cast("int")
                     .cast("string"),
                 ),
