@@ -39,6 +39,22 @@ def main(real_stdout_fd: int) -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # The intentional missing-table probe (update_joblog_status) makes
+    # the ObservationManager listener throw inside AsyncEventQueue,
+    # which log4j prints as a full ERROR stack trace — multi-KB of
+    # noise per run on the captured stream despite zero real errors.
+    # Silence exactly those two categories for the bench process.
+    try:
+        jvm = spark.sparkContext._jvm
+        lvl = jvm.org.apache.logging.log4j.Level.OFF
+        cfg = jvm.org.apache.logging.log4j.core.config.Configurator
+        for cat in (
+            "org.apache.spark.scheduler.AsyncEventQueue",
+            "org.apache.spark.sql.util.ExecutionListenerBus",
+        ):
+            cfg.setLevel(cat, lvl)
+    except Exception:  # noqa: BLE001 — log tuning must never fail the bench
+        pass
 
     from etl_utils_spark.queries import REGISTRY
 
