@@ -164,3 +164,92 @@ def test_float_order_stats_only_in_allowlist():
         "mean/median/quantile over raw double columns — quantize to "
         f"cents first (see outliers_mad_user_value), or allowlist: {bad}"
     )
+
+
+# ---------------------------------------------------- alias shadowing
+# Spark's lateral-column-alias implicit resolution (default ON) makes a
+# higher-order-function lambda's F.col("x") bind to a SIBLING alias
+# named x in the same select, not the input column — plain refs bind to
+# the input.  The r8 10x sweep caught embedding_quantize_int8 dividing
+# by its sibling round(scale, 9) through exactly this.  The queries
+# must be correct under the DRIVER'S bare session (default conf), so
+# the fix is never a conf change: rename the intermediate instead.
+
+def _select_blocks(src):
+    import re
+
+    for m in re.finditer(r"\.select\(", src):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(src) and depth:
+            if src[i] == "(":
+                depth += 1
+            elif src[i] == ")":
+                depth -= 1
+            i += 1
+        yield src[:m.start()].count("\n") + 1, src[start : i - 1]
+
+
+def _split_args(block):
+    args, depth, cur = [], 0, ""
+    for ch in block:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        args.append(cur)
+    return args
+
+
+def test_no_lambda_ref_to_sibling_alias():
+    import pathlib
+    import re
+
+    hof = re.compile(
+        r"F\.(transform|filter|aggregate|zip_with|exists|forall|reduce)\("
+    )
+    root = pathlib.Path(__file__).resolve().parents[1] / "etl_utils_spark"
+    bad = []
+    for p in sorted(root.rglob("*.py")):
+        src = p.read_text()
+        for line, block in _select_blocks(src):
+            args = _split_args(block)
+            alias_of = {}
+            for ai, a in enumerate(args):
+                for al in re.findall(r'\.alias\("(\w+)"\)', a):
+                    alias_of.setdefault(al, ai)
+            for aj, a in enumerate(args):
+                if not hof.search(a):
+                    continue
+                for ref in set(re.findall(r'F\.col\("(\w+)"\)', a)):
+                    ai = alias_of.get(ref)
+                    if ai is not None and ai != aj:
+                        bad.append(f"{p.name}:{line}: lambda F.col({ref!r}) "
+                                   f"shadowed by sibling alias")
+    assert not bad, (
+        "lambda references a column name that a SIBLING select alias "
+        "shadows — under lateral-column-alias resolution the lambda "
+        f"binds to the sibling, not the input; rename it: {bad}"
+    )
+
+
+def test_lateral_alias_binds_lambda_to_sibling(spark):
+    """Pin the Spark behavior the lint guards against: if an engine
+    upgrade changes this default, the lint's premise must be re-checked."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(10.0, [1.0])], ["scale", "xs"])
+    out = df.select(
+        (F.col("scale") * 2).alias("scale"),
+        F.transform("xs", lambda x: x / F.col("scale")).alias("q"),
+    ).collect()[0]
+    assert out["q"] == [0.05], (
+        "lateral-column-alias lambda binding changed — re-evaluate "
+        f"test_no_lambda_ref_to_sibling_alias: got {out['q']}"
+    )
