@@ -23,6 +23,21 @@ def main(real_stdout_fd: int) -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # pyspark's own serializers.py emits pandas FutureWarnings from the
+    # PYTHON WORKER processes during applyInPandas paths (empty/all-NA
+    # concat deprecation) — a driver-side warnings filter can't reach
+    # them.  Workers inherit the env of the JVM, which inherits ours, so
+    # set PYTHONWARNINGS BEFORE get_spark launches the gateway.  Scoped
+    # to the bench process only; appends rather than clobbers.
+    _pw = os.environ.get("PYTHONWARNINGS", "")
+    if "FutureWarning" not in _pw:
+        os.environ["PYTHONWARNINGS"] = (
+            (_pw + "," if _pw else "") + "ignore::FutureWarning"
+        )
+    import warnings
+
+    warnings.filterwarnings("ignore", category=FutureWarning)
+
     from etl_utils_spark.session import get_spark
 
     spark = get_spark(

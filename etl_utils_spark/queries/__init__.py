@@ -57,83 +57,71 @@ from etl_utils_spark.queries import selection_v6  # noqa: E402,F401
 # queries that most need a driver-verified row THIS round; everything
 # else keeps its registration order behind them.
 #
-# The full rotation schedule (r7 window / r8 backlog / r9 residue) is
-# written out in SURVEY.md §14; every entry NOT in _WINDOW is already
-# driver-green in a previous round's CORRECTNESS file.
+# The full rotation schedule is written out in SURVEY.md §14/§14b;
+# every entry NOT in _WINDOW is already driver-green in a previous
+# round's CORRECTNESS file.
 _WINDOW = [
-    # --- r8 window (driver checks the FIRST 50 registry entries):
-    # the first 50 of the 55 remaining never-driver-verified
-    # oracle-backed queries, in the staged order pinned since r7
-    # (timeseries_v2 tail -> embeddings_v2 -> text_v3 ->
-    # rollups/attribution -> r6 additions -> eval/privacy/selection).
-    # Every r1-r7 window entry is driver-green (cumulative ledger
-    # 289/289 oracle-checked on latest check) and drops back to
-    # registration order.
-    "graph_assortativity_degree",
-    "acf_hourly_events",
-    "holt_linear_user_value",
-    "embedding_centroids_by_label",
-    "centroid_separation_by_label",
-    "zipf_slope_vocab",
-    "heaps_vocab_growth",
-    "vocab_coverage_top100",
-    "rollup_time_grains_events",
-    "window_rolling_median_spikes",
-    "retention_cohorts_weekly",
-    "attribution_last_touch",
-    "attribution_first_touch",
-    "markov_event_transitions",
-    "bm25_topk_maxscore",
-    "dsir_importance_resample",
-    "bpe_compression_by_lang",
-    "funnel_conversion_windowed",
-    "gate_histogram_quantile_bound",
-    "stats_ks_two_sample_price",
-    "stats_mann_whitney_price",
-    "lm_kneser_ney_source_ce",
-    "kmeans_embed_lloyd2",
-    "kmv_sketch_part_overlap",
-    "mmr_diversified_topk",
-    "stream_funnel_stages_live",
-    "user_activity_bitmap",
-    "pmi_top_collocations",
-    "attribution_position_based",
-    "pareto_frontier_orders",
-    "cohort_retention_bitmap",
-    "join_interval_overlap_binned",
-    "udf_grouped_arrow_stats",
-    "conversion_lag_relational",
-    "gate_misra_gries_heavy_hitters",
-    "dq_merkle_bucket_fingerprints",
-    "sql_udf_scalar_discount",
-    "sql_named_param_binding",
-    "stats_cramers_v_lang_source",
-    "stats_brown_forsythe_components",
-    "eval_ndcg_quantized_retrieval",
-    "eval_recall_mrr_quantized",
-    "eval_calibration_bins",
-    "eval_roc_points",
-    "join_fuzzy_hamming_ids",
-    "spell_correct_tokens",
-    "augment_span_corruption",
-    "gate_span_corruption_rate",
-    "split_kfold_by_source",
-    "curriculum_select_budget",
-    # --- entries past #50: the r9 residue — the LAST 5
-    # never-driver-verified oracle-backed queries (plus any r8
-    # additions appended below them).  After r9's window sweeps these,
-    # every oracle-backed query has a driver-verified row and windows
-    # become oldest-checked-first re-verification rotation.
+    # --- r9 window (driver checks the FIRST 50 registry entries):
+    # positions 1-7 are the last never-driver-verified oracle-backed
+    # queries (the 5-entry residue that sat past #50 in the r8 window,
+    # plus the 2 r8 additions).  After this window sweeps, EVERY
+    # oracle-backed query has a driver-verified row and windows become
+    # pure oldest-checked-first re-verification rotation.
     "mine_hard_negatives",
     "lm_heldout_nll",
     "ml_impute_group_median",
     "privacy_k_anonymity_events",
     "privacy_dp_noisy_counts",
-    # r8 additions (2 of the ≤5 cap): md5_60 bit-replay twins that give
-    # the minhash/simhash pipelines full oracle rows (VERDICT-r7 item
-    # 4); they queue behind the residue for the r9 window.
     "dedup_minhash_md5_replay",
     "dedup_simhash_md5_replay",
+    # --- positions 8-50: oldest-checked-first re-verification — the
+    # 43 stalest driver rows (all r1-window entries never re-checked
+    # since), alphabetical within the r1 cohort, exactly as staged in
+    # SURVEY.md §14b.  All 43 were green in the r8 362/362 bitwise
+    # dress rehearsal.
+    "agg_conditional_returns",
+    "agg_count_distinct_custkey",
+    "agg_docs_by_lang",
+    "agg_max_runid",
+    "agg_pricing_summary",
+    "agg_rollup_nation_region",
+    "array_explode_tokens",
+    "array_funcs_embeddings",
+    "case_when_segments",
+    "date_funcs_orders",
+    "date_to_timestamp",
+    "dedup_documents_exact",
+    "dedup_documents_ngram_jaccard",
+    "dedup_embeddings_cosine",
+    "distinct_event_types",
+    "filter_conj_events",
+    "join_anti_customer_no_orders",
+    "join_broadcast_nation_region",
+    "join_cross_region_nation",
+    "join_inner_orders_customer",
+    "join_left_outer_customer_orders",
+    "join_range_events",
+    "join_semi_customer_with_orders",
+    "json_extract_props",
+    "math_funcs_lineitem",
+    "param_filter_mktsegment",
+    "project_orders_cols",
+    "scan_count_lineitem",
+    "scan_project_region",
+    "set_except_customers",
+    "set_intersect_customers",
+    "set_union_event_types",
+    "sort_orders_totalprice",
+    "stream_tumbling_counts",
+    "string_funcs_part",
+    "string_truncate_rules",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_counts",
+    "topk_cosine_neighbors",
+    "topk_orders_by_price",
+    "window_rank_orders_by_price",
 ]
 
 

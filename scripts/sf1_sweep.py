@@ -158,6 +158,18 @@ def main() -> int:
             except _Timeout:
                 failures.append((name, "timeout at 10x AND 3x"))
                 print(f"[{i+1}/{len(names)}] FAIL {name}: timeout at both scales", flush=True)
+            except Exception as exc:  # noqa: BLE001
+                # a non-timeout error during the bounded retry (missing
+                # 3x corpus dir, a DuckDB error, ...) must record a FAIL
+                # for THIS query, not abort the whole sweep — the outer
+                # `except Exception` of this try statement does not
+                # cover exceptions raised inside this handler
+                failures.append((name, f"3x retry {type(exc).__name__}: {exc}"))
+                print(
+                    f"[{i+1}/{len(names)}] FAIL {name} at 3x retry: "
+                    f"{type(exc).__name__}: {exc}",
+                    flush=True,
+                )
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"{type(exc).__name__}: {exc}"))
             print(f"[{i+1}/{len(names)}] FAIL {name}: {type(exc).__name__}: {exc}", flush=True)

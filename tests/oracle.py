@@ -300,8 +300,12 @@ def compare_query(
     driver's value hash.  Use it for every new oracle-backed query before
     declaring it window-ready (scripts/check_exact.py wraps this).
 
-    Results larger than ``_DIGEST_THRESHOLD`` rows compare by streaming
-    digest (both sides via Arrow, so value types stay symmetric).
+    Results larger than ``_DIGEST_THRESHOLD`` rows compare by
+    order-independent streaming digest: DuckDB rows via ``fetchmany``
+    (identical Python typing to ``fetchall``) and Spark rows via
+    ``toLocalIterator`` (identical typing to ``collect``) — NOT Arrow,
+    whose ``to_pylist`` renders maps/HUGEINT differently than the
+    row-based paths the small compare uses.
 
     ``duck_budget`` (seconds) arms a watchdog thread that calls
     ``con.interrupt()`` — the only cancellation DuckDB honors promptly;
