@@ -408,14 +408,42 @@ def _diff_pos_sql(a: str, b: str) -> str:
     return f"CASE {whens} END"
 
 
+# The oracle blocks too — but on a DIFFERENT position partition than
+# the query ((1,4,5,8,9)/(2,3,6,7) vs the query's odd/even), so the
+# candidate sets are generated independently; recall 1 holds for ANY
+# 2-partition by pigeonhole (proven for arbitrary partitions by the
+# hypothesis property test in tests/test_pipeline_v5_props.py), and a
+# bitwise match proves both independently-blocked pipelines agree.
+# The earlier brute-force all-pairs oracle was quadratic in DuckDB
+# (343s at the bounded 3× corpus, hours at 10×); the blocked form is
+# candidate-bounded and sweeps at the full 10×.  Both projections mix
+# in low-order (varying) digits so block cardinality stays near-linear
+# on sequential identifiers (see the module comment above).
 _FUZZY_ORACLE = f"""
     WITH k AS (
         SELECT c_custkey, substr(c_name, 10, 9) AS code FROM customer
+    ),
+    blocks AS (
+        SELECT c_custkey, code, 0 AS h,
+               substr(code,1,1) || substr(code,4,1) || substr(code,5,1)
+               || substr(code,8,1) || substr(code,9,1) AS v
+        FROM k
+        UNION ALL
+        SELECT c_custkey, code, 1 AS h,
+               substr(code,2,1) || substr(code,3,1) || substr(code,6,1)
+               || substr(code,7,1) AS v
+        FROM k
+    ),
+    cand AS (
+        SELECT a.c_custkey AS ca, a.code AS code_a,
+               b.c_custkey AS cb, b.code AS code_b
+        FROM blocks a JOIN blocks b ON a.h = b.h AND a.v = b.v
+        WHERE a.c_custkey < b.c_custkey
     )
-    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
-           CAST({_diff_pos_sql('a.code', 'b.code')} AS INT) AS diff_pos
-    FROM k a JOIN k b ON a.c_custkey < b.c_custkey
-    WHERE ({_ham_terms_sql('a.code', 'b.code')}) = 1
+    SELECT ca AS custkey_a, cb AS custkey_b,
+           CAST({_diff_pos_sql('code_a', 'code_b')} AS INT) AS diff_pos
+    FROM cand
+    WHERE ({_ham_terms_sql('code_a', 'code_b')}) = 1
 """
 
 
@@ -431,9 +459,12 @@ def join_fuzzy_hamming_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     block — recall 1 by pigeonhole, candidates bounded by block
     cardinality (equi-shuffle join on the projection, never a
     cartesian).  Candidates are verified with the exact 9-position
-    mismatch count; the oracle brute-forces ALL pairs, so the hash
-    match PROVES the blocking dropped nothing.  At 100 TB the same
-    decomposition holds with k+1 position sets for Hamming ≤ k."""
+    mismatch count; the oracle blocks on a DIFFERENT position
+    partition (recall 1 for ANY partition — hypothesis-proven against
+    brute force in tests/test_pipeline_v5_props.py), so the hash match
+    proves two independently-blocked pipelines found the same pairs.
+    At 100 TB the same decomposition holds with k+1 position sets for
+    Hamming ≤ k."""
 
     def proj(positions):
         return F.concat(*[F.substring("code", i, 1) for i in positions])

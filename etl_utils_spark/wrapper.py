@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime as dt
 import re
 import traceback
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from decimal import Decimal
 
@@ -41,24 +42,50 @@ from etl_utils_spark.params import ParamError, rewrite_placeholders, substitute_
 # wrapper does by contract (on_error='continue'/'rollback').  The blob
 # is pure duplication (the exception itself still propagates with the
 # same message) and it pollutes any captured stream with a multi-KB
-# stack trace per handled failure.  Disable the two emitters at import;
-# creation must go through PySparkLogger.getLogger so the registered
-# logger is the PySparkLogger subclass (a plain logging.Logger of the
-# same name would crash on the extra kwargs base.py passes).
+# stack trace per handled failure.  The silencing is SCOPED to the
+# wrapper's contractually-handled regions via the context manager
+# below — exceptions a consumer does NOT handle keep their structured
+# logs.  Logger creation must go through PySparkLogger.getLogger so the
+# registered logger is the PySparkLogger subclass (a plain
+# logging.Logger of the same name would crash on the extra kwargs
+# base.py passes).
 try:  # gate: pyspark<4 has no pyspark.logger
+    from pyspark.logger import PySparkLogger as _PySparkLogger
+
+    _QUERY_CTX_LOGGERS = tuple(
+        _PySparkLogger.getLogger(_n)
+        for _n in ("SQLQueryContextLogger", "DataFrameQueryContextLogger")
+    )
+except ImportError:  # pragma: no cover
+    _QUERY_CTX_LOGGERS = ()
+
+
+@contextmanager
+def _silenced_spark_error_logs():
+    """Disable PySpark's query-context error loggers for the duration
+    of a wrapper region that handles the exception by contract
+    (on_error='continue'/'rollback', probe statements).  The disable is
+    process-global while active (python logging offers no narrower
+    scope for loggers PySpark instantiates inside its own call sites)
+    but restored on exit; wrapper usage is single-threaded per run.
+    ETL_UTILS_KEEP_SPARK_ERROR_LOGS=1 opts back into the duplicate
+    structured logs everywhere."""
     import os as _os
 
-    # the disable is process-global (python logging has no narrower
-    # scope for loggers PySpark instantiates inside its own call
-    # sites); consumers that want the duplicate structured logs back
-    # can opt out with this env var
-    if _os.environ.get("ETL_UTILS_KEEP_SPARK_ERROR_LOGS", "") != "1":
-        from pyspark.logger import PySparkLogger as _PySparkLogger
-
-        for _n in ("SQLQueryContextLogger", "DataFrameQueryContextLogger"):
-            _PySparkLogger.getLogger(_n).disabled = True
-except ImportError:  # pragma: no cover
-    pass
+    if (
+        not _QUERY_CTX_LOGGERS
+        or _os.environ.get("ETL_UTILS_KEEP_SPARK_ERROR_LOGS", "") == "1"
+    ):
+        yield
+        return
+    prev = [lg.disabled for lg in _QUERY_CTX_LOGGERS]
+    for lg in _QUERY_CTX_LOGGERS:
+        lg.disabled = True
+    try:
+        yield
+    finally:
+        for lg, was in zip(_QUERY_CTX_LOGGERS, prev):
+            lg.disabled = was
 
 # In-memory message-buffer schema returned by finish()
 # (query_wrapper.sql:414).
@@ -166,9 +193,12 @@ class Prepared:
     ) -> tuple[bool, list[QueryInfo]]:
         spark = self.wrapper.spark
         try:
-            target_schema = spark.table(table.replace('"', "").replace("`", "")).schema
-            df = spark.createDataFrame([tuple(r) for r in rows], target_schema)
-            df.write.insertInto(table.replace('"', "").replace("`", ""))
+            with _silenced_spark_error_logs():
+                target_schema = spark.table(
+                    table.replace('"', "").replace("`", "")
+                ).schema
+                df = spark.createDataFrame([tuple(r) for r in rows], target_schema)
+                df.write.insertInto(table.replace('"', "").replace("`", ""))
             info = QueryInfo(True, rows=len(rows), statement_text=self.sql)
             if logging:
                 self.wrapper.log("INFO", f"batch insert into {table}", len(rows))
@@ -281,8 +311,9 @@ class QueryWrapper:
         if params:
             merged.update(params)
         try:
-            sql, args = substitute_sql(sql_text, merged)
-            df = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
+            with _silenced_spark_error_logs():
+                sql, args = substitute_sql(sql_text, merged)
+                df = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
         except (ParamError, Exception) as exc:  # noqa: BLE001
             ok = self._handle_error(sql_text, exc)
             return ok, QueryInfo(False, error=str(exc), statement_text=sql_text)
@@ -298,19 +329,23 @@ class QueryWrapper:
         a 1×1 result of a statement containing 'count' logs the count
         VALUE, not 1 (query_wrapper.sql:51-59)."""
         try:
-            if "count" in sql_text.lower() and len(df.columns) == 1:
-                rows = df.take(2)
-                if (
-                    len(rows) == 1
-                    and isinstance(rows[0][0], (int, Decimal))
-                    and not isinstance(rows[0][0], bool)
-                ):
-                    return int(rows[0][0])
-                # not a 1×1 numeric result → the heuristic does not
-                # apply; log the TRUE row count (query_wrapper.sql:51-59)
-            return df.count()
+            with _silenced_spark_error_logs():
+                return self._infer_rowcount_inner(sql_text, df)
         except Exception:  # noqa: BLE001 — logging must never kill the job
             return None
+
+    def _infer_rowcount_inner(self, sql_text: str, df: DataFrame) -> int | None:
+        if "count" in sql_text.lower() and len(df.columns) == 1:
+            rows = df.take(2)
+            if (
+                len(rows) == 1
+                and isinstance(rows[0][0], (int, Decimal))
+                and not isinstance(rows[0][0], bool)
+            ):
+                return int(rows[0][0])
+            # not a 1×1 numeric result → the heuristic does not
+            # apply; log the TRUE row count (query_wrapper.sql:51-59)
+        return df.count()
 
     # ---------------------------------------------------------- prepared
 
@@ -414,7 +449,8 @@ class QueryWrapper:
             )  # :239-242
         self.log("START", f"function {function_name} started")
         try:
-            result = fn(self, *args)
+            with _silenced_spark_error_logs():
+                result = fn(self, *args)
         except Exception as exc:  # noqa: BLE001
             ok = self._handle_error(f"run({function_name})", exc)
             return ok, traceback.format_exc()
@@ -436,7 +472,8 @@ class QueryWrapper:
             if self.logs and self.run_id is not None:
                 self.logs.finish_run(self.run_id, ok)
             try:
-                self.spark.catalog.setCurrentDatabase(self.start_database)
+                with _silenced_spark_error_logs():
+                    self.spark.catalog.setCurrentDatabase(self.start_database)
             except Exception:  # noqa: BLE001 — database may have been dropped
                 pass
         rows = [

@@ -44,6 +44,7 @@ def test_pigeonhole_blocking_recall_is_one(codes):
     partitions = [
         ((0, 2, 4, 6, 8), (1, 3, 5, 7)),  # interleaved (0-based, query's choice)
         ((0, 1, 2, 3, 4), (5, 6, 7, 8)),  # contiguous halves
+        ((0, 3, 4, 7, 8), (1, 2, 5, 6)),  # mixed (0-based, the ORACLE's choice)
     ]
     for set_a, set_b in partitions:
         buckets = defaultdict(list)

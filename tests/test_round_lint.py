@@ -175,9 +175,49 @@ def test_float_order_stats_only_in_allowlist():
 # must be correct under the DRIVER'S bare session (default conf), so
 # the fix is never a conf change: rename the intermediate instead.
 
+def _mask_delims_in_strings(src):
+    """Replace ()[]{}, inside string literals and # comments with '_'.
+
+    The paren/comma scanners below track nesting depth textually; a
+    select argument containing a delimiter inside a string (e.g.
+    ``F.lit("a(b")``, a regex pattern, a concat_ws separator) would
+    corrupt the depth and silently truncate or merge scanned blocks.
+    Masking only the delimiter characters keeps offsets, line numbers
+    and every ``\\w`` token (alias / column names) intact for the
+    regexes that run on the blocks afterwards.
+    """
+    out = list(src)
+    i, n = 0, len(src)
+    delims = set("()[]{},")
+    while i < n:
+        ch = src[i]
+        if ch in "\"'":
+            q = src[i : i + 3] if src[i : i + 3] in ('"""', "'''") else ch
+            i += len(q)
+            while i < n:
+                if src[i] == "\\":
+                    i += 2
+                    continue
+                if src[i : i + len(q)] == q:
+                    i += len(q)
+                    break
+                if src[i] in delims:
+                    out[i] = "_"
+                i += 1
+        elif ch == "#":
+            while i < n and src[i] != "\n":
+                if src[i] in delims:
+                    out[i] = "_"
+                i += 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _select_blocks(src):
     import re
 
+    src = _mask_delims_in_strings(src)
     for m in re.finditer(r"\.select\(", src):
         start = m.end()
         depth, i = 1, start
