@@ -91,6 +91,17 @@ PROBES_100 = [
     # pass should both track the data growth, not the pair space
     "bm25_topk_maxscore",
     "dsir_importance_resample",
+    # round-9 (VERDICT-r8 item 7): the bench's slowest-five shapes, so
+    # the 100 TB claim rests on measured curves for the actual
+    # worst-case plans, not only the data-linear headliners.
+    "udf_cogrouped_conversion_lag",   # per-key cogrouped pandas
+    "stats_ks_two_sample_price",      # count-frame + chained prefix_sum
+    "stream_interval_join_live",      # stream-stream interval-join state
+    "dedup_documents_simhash",        # pigeonhole band join; pair density
+    #   grows with the corpus's duplicate density — quadratic in the
+    #   synthetic per-doc copy count BY CONSTRUCTION of the derived
+    #   corpus (100 near-copies/doc), not in corpus size
+    "pipeline_corpus_to_shards",      # multi-stage shard-packing chain
 ]
 PROBES = PROBES_100 if COPIES == 100 else PROBES_10
 
