@@ -374,10 +374,11 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 9-digit code: partition the positions into two sets — a single
 # mismatch lies in exactly ONE set, so every Hamming-1 pair shares the
 # OTHER set's projection verbatim.  Blocking is therefore PROVABLY
-# recall-1 for ANY 2-partition of positions, and the oracle certifies
-# it by brute force (all C(n,2) pairs — feasible on DuckDB at parity
-# scale, and an INDEPENDENT formulation: a pair the blocks missed
-# would hash-mismatch).
+# recall-1 for ANY 2-partition of positions (hypothesis-tested against
+# the brute-force definition in tests/test_pipeline_v5_props.py); the
+# oracle blocks on a DIFFERENT partition than the query, so the two
+# candidate generations are independent and a pair either side's
+# blocking missed would hash-mismatch.
 #
 # WHICH partition matters enormously for COST: contiguous halves are
 # degenerate for zero-padded sequential identifiers — the left half is

@@ -42,10 +42,17 @@ from etl_utils_spark.params import ParamError, rewrite_placeholders, substitute_
 # wrapper does by contract (on_error='continue'/'rollback').  The blob
 # is pure duplication (the exception itself still propagates with the
 # same message) and it pollutes any captured stream with a multi-KB
-# stack trace per handled failure.  The silencing is SCOPED to the
-# wrapper's contractually-handled regions via the context manager
-# below — exceptions a consumer does NOT handle keep their structured
-# logs.  Logger creation must go through PySparkLogger.getLogger so the
+# stack trace per handled failure.  The silencing is SCOPED via the
+# context manager below to the regions where the WRAPPER owns the
+# error by contract: it either swallows it (on_error =
+# 'continue'/'rollback') or converts it to a WrapperError carrying the
+# same message with the original exception chained (on_error =
+# 'abort') — in every case the structured blob would only duplicate
+# what the wrapper logs or propagates.  This includes run(), whose
+# dispatched function executes under the same uniform on_error
+# contract.  Spark work a consumer performs OUTSIDE wrapper calls is
+# never silenced (unlike the pre-r9 process-global import-time
+# disable).  Logger creation must go through PySparkLogger.getLogger so the
 # registered logger is the PySparkLogger subclass (a plain
 # logging.Logger of the same name would crash on the extra kwargs
 # base.py passes).
@@ -63,8 +70,9 @@ except ImportError:  # pragma: no cover
 @contextmanager
 def _silenced_spark_error_logs():
     """Disable PySpark's query-context error loggers for the duration
-    of a wrapper region that handles the exception by contract
-    (on_error='continue'/'rollback', probe statements).  The disable is
+    of a region where the wrapper owns the error by contract — swallow
+    (on_error='continue'/'rollback') or re-raise as WrapperError with
+    the original chained (on_error='abort').  The disable is
     process-global while active (python logging offers no narrower
     scope for loggers PySpark instantiates inside its own call sites)
     but restored on exit; wrapper usage is single-threaded per run.

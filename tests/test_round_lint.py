@@ -196,6 +196,10 @@ def _mask_delims_in_strings(src):
             i += len(q)
             while i < n:
                 if src[i] == "\\":
+                    # mask an escaped delimiter too (regex literals like
+                    # r"\(" carry the delimiter in the NEXT char)
+                    if i + 1 < n and src[i + 1] in delims:
+                        out[i + 1] = "_"
                     i += 2
                     continue
                 if src[i : i + len(q)] == q:
