@@ -194,3 +194,40 @@ def test_infer_rowcount_multirow_count_column(wrapper, spark):
     expected = spark.table("customer").filter("c_custkey <= 5").count()
     assert expected > 2  # the buggy r1 path would have logged exactly 2
     assert info.rows == expected
+
+
+def test_error_log_silencing_is_scoped(wrapper, spark):
+    """The PySpark query-context error loggers are silenced ONLY inside
+    wrapper regions that own the error by contract, and restored
+    afterward — the r9 replacement for the pre-r9 process-global
+    import-time disable (ADVICE r8)."""
+    import logging
+
+    from etl_utils_spark.wrapper import _QUERY_CTX_LOGGERS
+
+    if not _QUERY_CTX_LOGGERS:  # pyspark<4
+        pytest.skip("no query-context loggers on this pyspark")
+
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    h = _Catch()
+    for lg in _QUERY_CTX_LOGGERS:
+        lg.addHandler(h)
+    try:
+        # handled by contract: on_error='continue' swallows → no blob
+        wrapper.on_error = "continue"
+        ok, info = wrapper.query("SELECT * FROM missing_table_abc")
+        assert not ok and info.error is not None
+        assert records == [], "handled failure must not emit a structured blob"
+        # outside any wrapper call the loggers are live again
+        assert all(not lg.disabled for lg in _QUERY_CTX_LOGGERS)
+        with pytest.raises(Exception):
+            spark.sql("SELECT * FROM missing_table_def")
+        assert records, "consumer errors outside the wrapper keep their logs"
+    finally:
+        for lg in _QUERY_CTX_LOGGERS:
+            lg.removeHandler(h)
