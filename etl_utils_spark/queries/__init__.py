@@ -48,6 +48,7 @@ from etl_utils_spark.queries import ml_train  # noqa: E402,F401
 from etl_utils_spark.queries import pipeline_v5  # noqa: E402,F401
 from etl_utils_spark.queries import privacy_ops  # noqa: E402,F401
 from etl_utils_spark.queries import selection_v6  # noqa: E402,F401
+from etl_utils_spark.queries import semdedup  # noqa: E402,F401
 
 # ---------------------------------------------------------------- ordering
 # The driver's correctness gate checks the FIRST ~50 registry entries
