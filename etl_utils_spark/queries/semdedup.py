@@ -23,10 +23,16 @@ centroid-similarity election/pruning, not the clustering.
 Determinism (docs/SCALE.md float policy): every element is quantized
 once onto the 2^-20 grid (exact for float32), the centroid is
 re-quantized onto the SAME grid (the ``centroid_separation_by_label``
-idiom), so dot products and norms are EXACT int64 sums bounded by the
-GRID (≤ 64·2^40 ≈ 2^46), not by corpus size — overflow-free at any
-scale, ANSI-safe.  The cosine is one shared IEEE expression over
-sub-2^53 integers; ranking ties break on vec_id for a total order.
+idiom), so per-vector dot products and norms are EXACT int64 sums
+bounded by the GRID (≤ 64·2^40 ≈ 2^46), not by corpus size.  The one
+corpus-bounded integer is the centroid's SUM(qv) per (label, dim):
+it overflows int64 only past ~2^43 rows in a single cluster (ANSI
+would abort loudly, never silently) and stays double-exact below
+2^33 rows/cluster — both orders of magnitude beyond a 100 TB / 64-dim
+corpus.  The cosine is one shared IEEE expression over sub-2^53
+integers, with the zero-norm convention cos := 0.0 CASE-matched on
+both engines (ANSI Spark would otherwise raise DIVIDE_BY_ZERO where
+DuckDB yields NULL); ranking ties break on vec_id for a total order.
 
 Scale shape: one posexplode (no shuffle), one (label, dim) aggregate
 whose state is k×64 rows, that tiny centroid frame broadcast back,
@@ -73,16 +79,24 @@ _COS_CTES = f"""
     ),
     cosv AS (
         SELECT vec_id, label,
-               CAST(dot AS DOUBLE)
-                   / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc.nc AS DOUBLE)))
-                   AS cos_centroid
+               CASE WHEN nv = 0 OR nc.nc = 0 THEN 0.0
+                    ELSE CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(nv AS DOUBLE))
+                            * sqrt(CAST(nc.nc AS DOUBLE)))
+               END AS cos_centroid
         FROM pv JOIN nc USING (label)
     )
 """
 
 
-def _cos_to_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, cos_centroid) with the exact-grid arithmetic above."""
+def _cos_to_centroid(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """(vec_id, label, cos_centroid) with the exact-grid arithmetic above.
+
+    ``checkpoint=False`` keeps the full lineage so the plan-quality
+    tests can gate the broadcast/aggregate shape that the eager
+    checkpoints otherwise hide behind an RDD scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select(
         "vec_id",
@@ -94,6 +108,13 @@ def _cos_to_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("dim"),
         F.floor(F.col("e").cast("double") * _GRID + 0.5).cast("long").alias("qv"),
     )
+    # cent is k×64 rows but its lineage is the corpus-scale explode +
+    # aggregate, and it is consumed TWICE (nc and pv); cosv itself is
+    # consumed twice by the semdedup keeper election.  localCheckpoint
+    # both (order_stats.py idiom) so the corpus pipeline runs ONCE:
+    # cent's materialized size is grid-bounded (k×64 rows); cosv is a
+    # 3-column corpus frame, far cheaper to persist than to rebuild
+    # through the 64×-wider posexplode pipeline.
     cent = flat.groupBy("label", "dim").agg(
         F.floor(
             F.sum("qv").cast("double") / F.count(F.lit(1)).cast("double") + 0.5
@@ -101,6 +122,8 @@ def _cos_to_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cq")
     )
+    if checkpoint:
+        cent = cent.localCheckpoint(eager=True)
     nc = cent.groupBy("label").agg(F.sum(F.col("cq") * F.col("cq")).alias("nc"))
     pv = (
         flat.join(F.broadcast(cent), ["label", "dim"])
@@ -110,14 +133,20 @@ def _cos_to_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("qv") * F.col("qv")).alias("nv"),
         )
     )
-    return pv.join(F.broadcast(nc), "label").select(
+    cosv = pv.join(F.broadcast(nc), "label").select(
         "vec_id",
         "label",
-        (
+        F.when((F.col("nv") == 0) | (F.col("nc") == 0), F.lit(0.0))
+        .otherwise(
             F.col("dot").cast("double")
-            / (F.sqrt(F.col("nv").cast("double")) * F.sqrt(F.col("nc").cast("double")))
-        ).alias("cos_centroid"),
+            / (
+                F.sqrt(F.col("nv").cast("double"))
+                * F.sqrt(F.col("nc").cast("double"))
+            )
+        )
+        .alias("cos_centroid"),
     )
+    return cosv.localCheckpoint(eager=True) if checkpoint else cosv
 
 
 @query(
