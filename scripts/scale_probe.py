@@ -102,6 +102,9 @@ PROBES_100 = [
     #   synthetic per-doc copy count BY CONSTRUCTION of the derived
     #   corpus (100 near-copies/doc), not in corpus size
     "pipeline_corpus_to_shards",      # multi-stage shard-packing chain
+    # round-9 addition: the new linear semantic-dedup face — vector-vs-
+    # centroid only, so wall must track data growth, never pair density
+    "dedup_semdedup_prune",
 ]
 PROBES = PROBES_100 if COPIES == 100 else PROBES_10
 
