@@ -36,8 +36,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-COPIES = 100 if "--factor" in sys.argv and "100" in sys.argv else 10
-BIG = f"/tmp/sparkgraft_sf{COPIES//10}"
+if "--factor" in sys.argv and "100" in sys.argv:
+    COPIES = 100
+elif "--factor" in sys.argv and "3" in sys.argv:
+    # build-only mode: the bounded 3× dir that sf1_sweep.py retries
+    # quadratic-oracle families at (it is NOT probed — no SCALING_3x)
+    COPIES = 3
+else:
+    COPIES = 10
+BIG = (
+    "/tmp/sparkgraft_sf03" if COPIES == 3 else f"/tmp/sparkgraft_sf{COPIES // 10}"
+)
 KEY_OFF = 10_000_000
 
 # operator -> registered query name (timed with the bench's count action)
@@ -106,7 +115,12 @@ PROBES_100 = [
     # centroid only, so wall must track data growth, never pair density
     "dedup_semdedup_prune",
 ]
-PROBES = PROBES_100 if COPIES == 100 else PROBES_10
+if COPIES == 100:
+    PROBES = PROBES_100
+elif COPIES == 3:
+    PROBES = []  # --factor 3 is build-only (the sweep's retry dir)
+else:
+    PROBES = PROBES_10
 
 
 def build_big(spark) -> None:
@@ -215,6 +229,8 @@ def main() -> None:
             flush=True,
         )
 
+    if COPIES == 3:  # build-only: no probes, never overwrite SCALING*.json
+        return
     out = {"copies": COPIES, "results": results}
     fname = "SCALING.json" if COPIES == 10 else f"SCALING_{COPIES}x.json"
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), fname), "w") as f:
