@@ -111,10 +111,14 @@ def _cos_to_centroid(
     # cent is k×64 rows but its lineage is the corpus-scale explode +
     # aggregate, and it is consumed TWICE (nc and pv); cosv itself is
     # consumed twice by the semdedup keeper election.  localCheckpoint
-    # both (order_stats.py idiom) so the corpus pipeline runs ONCE:
-    # cent's materialized size is grid-bounded (k×64 rows); cosv is a
-    # 3-column corpus frame, far cheaper to persist than to rebuild
-    # through the 64×-wider posexplode pipeline.
+    # both (order_stats.py idiom).  Cost model: the flat explode still
+    # evaluates twice — once materializing cent, once on pv's probe
+    # side — but the checkpoints remove the DUPLICATE aggregate build
+    # inside the cosv job and the double evaluation of cosv itself
+    # (un-checkpointed, the plan rebuilt the corpus pipeline up to 12
+    # scans deep).  cent's materialized size is grid-bounded (k×64
+    # rows); cosv is a 3-column corpus frame, far cheaper to persist
+    # than to rebuild through the 64×-wider posexplode pipeline.
     cent = flat.groupBy("label", "dim").agg(
         F.floor(
             F.sum("qv").cast("double") / F.count(F.lit(1)).cast("double") + 0.5

@@ -18,9 +18,13 @@ shows 30-100× and fails the probe.  Usage:
     python scripts/scale_probe.py --reuse         # reuse the derived dir
     python scripts/scale_probe.py --factor 100    # 100x decade (cheap
                                                   # linear ops only)
+    python scripts/scale_probe.py --factor 3      # BUILD-ONLY: the
+                                                  # bounded retry dir
+                                                  # sf1_sweep.py uses
+                                                  # (SPARK_GRAFT_SF3_DIR)
 
 Writes SCALING.json (or SCALING_100x.json) next to the repo root and
-prints a markdown table.
+prints a markdown table; --factor 3 builds the dir and writes nothing.
 """
 
 from __future__ import annotations
@@ -36,16 +40,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-if "--factor" in sys.argv and "100" in sys.argv:
-    COPIES = 100
-elif "--factor" in sys.argv and "3" in sys.argv:
-    # build-only mode: the bounded 3× dir that sf1_sweep.py retries
-    # quadratic-oracle families at (it is NOT probed — no SCALING_3x)
-    COPIES = 3
+if "--factor" in sys.argv:
+    _fidx = sys.argv.index("--factor") + 1
+    _fval = sys.argv[_fidx] if _fidx < len(sys.argv) else None
+    if _fval not in ("3", "10", "100"):
+        sys.exit(f"--factor must be 3 (build-only), 10 or 100; got {_fval!r}")
+    COPIES = int(_fval)
 else:
     COPIES = 10
+# factor 3 is build-only: the bounded retry dir that sf1_sweep.py
+# falls back to on a 10x watchdog timeout (same env knob as the sweep;
+# it is NOT probed — no SCALING_3x is written)
 BIG = (
-    "/tmp/sparkgraft_sf03" if COPIES == 3 else f"/tmp/sparkgraft_sf{COPIES // 10}"
+    os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/sparkgraft_sf03")
+    if COPIES == 3
+    else f"/tmp/sparkgraft_sf{COPIES // 10}"
 )
 KEY_OFF = 10_000_000
 
