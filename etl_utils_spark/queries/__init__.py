@@ -62,67 +62,66 @@ from etl_utils_spark.queries import semdedup  # noqa: E402,F401
 # every entry NOT in _WINDOW is already driver-green in a previous
 # round's CORRECTNESS file.
 _WINDOW = [
-    # --- r9 window (driver checks the FIRST 50 registry entries):
-    # positions 1-7 are the last never-driver-verified oracle-backed
-    # queries (the 5-entry residue that sat past #50 in the r8 window,
-    # plus the 2 r8 additions).  After this window sweeps, EVERY
-    # oracle-backed query has a driver-verified row and windows become
-    # pure oldest-checked-first re-verification rotation.
-    "mine_hard_negatives",
-    "lm_heldout_nll",
-    "ml_impute_group_median",
-    "privacy_k_anonymity_events",
-    "privacy_dp_noisy_counts",
-    "dedup_minhash_md5_replay",
-    "dedup_simhash_md5_replay",
-    # --- positions 8-50: oldest-checked-first re-verification — the
-    # 43 stalest driver rows (all r1-window entries never re-checked
-    # since), alphabetical within the r1 cohort, exactly as staged in
-    # SURVEY.md §14b.  All 43 were green in the r8 362/362 bitwise
-    # dress rehearsal.
-    "agg_conditional_returns",
-    "agg_count_distinct_custkey",
-    "agg_docs_by_lang",
-    "agg_max_runid",
-    "agg_pricing_summary",
-    "agg_rollup_nation_region",
-    "array_explode_tokens",
-    "array_funcs_embeddings",
-    "case_when_segments",
-    "date_funcs_orders",
-    "date_to_timestamp",
-    "dedup_documents_exact",
-    "dedup_documents_ngram_jaccard",
-    "dedup_embeddings_cosine",
-    "distinct_event_types",
-    "filter_conj_events",
-    "join_anti_customer_no_orders",
-    "join_broadcast_nation_region",
-    "join_cross_region_nation",
-    "join_inner_orders_customer",
-    "join_left_outer_customer_orders",
-    "join_range_events",
-    "join_semi_customer_with_orders",
-    "json_extract_props",
-    "math_funcs_lineitem",
-    "param_filter_mktsegment",
-    "project_orders_cols",
-    "scan_count_lineitem",
-    "scan_project_region",
-    "set_except_customers",
-    "set_intersect_customers",
-    "set_union_event_types",
-    "sort_orders_totalprice",
-    "stream_tumbling_counts",
-    "string_funcs_part",
-    "string_truncate_rules",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_counts",
-    "topk_cosine_neighbors",
-    "topk_orders_by_price",
-    "window_rank_orders_by_price",
+    # --- r10 window (driver checks the FIRST 50 registry entries),
+    # exactly as staged in SURVEY.md §14c at r9 close.  With
+    # CORRECTNESS_r09 landed, every oracle-backed query has a driver
+    # row, so windows are pure oldest-checked-first rotation:
+    # positions 1-2 = the r9 additions (the only rows whose first
+    # driver check is pending beyond the rehearsal), position 3 = the
+    # last r1-checked row, positions 4-50 = the first 47 of the
+    # 48-entry r3 cohort (alphabetical).  Spilled to the r11 head:
+    # window_range_frame_spend (r3), bucketed_join_orders_lineitem (r4).
+    "dedup_semdedup_prune",
+    "prune_prototypes_percluster",
+    "window_running_sum_orders",
+    # --- positions 4-50: the r3 cohort, alphabetical.
+    "agg_cube_status_priority",
+    "asof_purchase_last_click",
+    "catalog_list_columns",
+    "catalog_list_tables",
+    "cte_nation_order_stats",
+    "ddl_create_schema_table",
+    "dedup_cluster_documents",
+    "fuzzy_match_part_names",
+    "gap_fill_forward_events",
+    "gate_ann_recall_floor",
+    "gate_minhash_recall_floor",
+    "having_filter_hot_parts",
+    "ident_param_count",
+    "json_struct_parse",
+    "merge_upsert_customers",
+    "nested_agg_avg_order_size",
+    "null_handling_join_fill",
+    "pack_sequences_docs",
+    "percentile_order_prices",
+    "pivot_status_by_priority",
+    "profile_orders_columns",
+    "ps_insert_batch",
+    "q17_small_quantity_revenue",
+    "q2_min_balance_per_nation",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_pair_volume",
+    "salted_group_count_parts",
+    "scan_params_kv",
+    "scd2_user_value_history",
+    "set_except_all_returnflags",
+    "set_intersect_all_status",
+    "sliding_window_counts",
+    "split_train_test_docs",
+    "string_pad_case_split",
+    "subq_exists_multi_order_days",
+    "subq_in_top_nations",
+    "subq_scalar_above_avg_price",
+    "udf_embedding_norm",
+    "udf_grouped_mean_value",
+    "udf_grouped_zscore",
+    "udtf_tokenize_docs",
+    "unpivot_customer_metrics",
+    "update_joblog_status",
+    "vocab_top_tokens",
+    "window_first_last_value",
+    "window_ntile_percentrank",
 ]
 
 
