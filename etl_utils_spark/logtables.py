@@ -119,6 +119,34 @@ class LogTables:
         self.job_log_path = os.path.join(base_dir, "job_log")
         self.job_details_path = os.path.join(base_dir, "job_details")
 
+    def _writer_lock(self):
+        """Serialize log-table writers across PROCESSES.
+
+        The reference tolerates concurrent runs by COMMITting the
+        run-id insert early (query_wrapper.sql:277-282); this engine's
+        max+1 read-modify-write needs the equivalent mutual exclusion,
+        provided here by one POSIX advisory flock per log directory —
+        register_run / finish_run / append_details all take it, so
+        concurrent jobs get unique monotonic run ids and no writer can
+        overwrite another's insert during finish_run's table rewrite
+        (tests/test_logtables_concurrent.py pins 8-process behavior).
+        Local-FS deployments only; on HDFS/S3 the seam is the
+        platform's lock service or conditional-put."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _ctx():
+            os.makedirs(self.base_dir, exist_ok=True)
+            with open(os.path.join(self.base_dir, ".writer.lock"), "w") as fh:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(fh, fcntl.LOCK_UN)
+
+        return _ctx()
+
     # ------------------------------------------------------------ reads
 
     def _recover(self, path: str) -> None:
@@ -157,22 +185,27 @@ class LogTables:
     def register_run(self, script_name: str) -> int:
         """INSERT a RUNNING row and return the new run_id
         (query_wrapper.sql:246-283 register/get_unique_run_id).
-        Driver-side pyarrow append — no Spark job for a 1-row insert."""
-        run_id = self._max_of(self.job_log_path, _PA_JOB_LOG, "run_id") + 1
-        table = pa.Table.from_pylist(
-            [
-                {
-                    "run_id": run_id,
-                    "script_name": script_name,
-                    "status": STATUS_RUNNING,
-                    "start_time": dt.datetime.now(),
-                    "end_time": None,
-                }
-            ],
-            schema=_PA_JOB_LOG,
-        )
-        _publish_file(self.job_log_path, table)
-        return run_id
+        Driver-side pyarrow append — no Spark job for a 1-row insert.
+        The max+1 allocation and the publish run under the per-log-dir
+        writer lock, so concurrent jobs get unique monotonic ids (the
+        reference's early-COMMIT contention contract,
+        query_wrapper.sql:277-282)."""
+        with self._writer_lock():
+            run_id = self._max_of(self.job_log_path, _PA_JOB_LOG, "run_id") + 1
+            table = pa.Table.from_pylist(
+                [
+                    {
+                        "run_id": run_id,
+                        "script_name": script_name,
+                        "status": STATUS_RUNNING,
+                        "start_time": dt.datetime.now(),
+                        "end_time": None,
+                    }
+                ],
+                schema=_PA_JOB_LOG,
+            )
+            _publish_file(self.job_log_path, table)
+            return run_id
 
     def finish_run(self, run_id: int, ok: bool) -> None:
         """UPDATE the run's row to its final status + end_time
@@ -189,23 +222,24 @@ class LogTables:
         pyarrow on a metadata-scale table.)  Local-POSIX rename
         semantics; on HDFS/S3 deployments route through the cluster's
         atomic-commit primitive instead."""
-        self._recover(self.job_log_path)
-        status = STATUS_OK if ok else STATUS_ERROR
-        end = dt.datetime.now()
-        rows = _read_arrow(self.job_log_path, _PA_JOB_LOG).to_pylist()
-        for r in rows:
-            if r["run_id"] == run_id:
-                r["status"] = status
-                r["end_time"] = end
-        table = pa.Table.from_pylist(rows, schema=_PA_JOB_LOG)
+        with self._writer_lock():
+            self._recover(self.job_log_path)
+            status = STATUS_OK if ok else STATUS_ERROR
+            end = dt.datetime.now()
+            rows = _read_arrow(self.job_log_path, _PA_JOB_LOG).to_pylist()
+            for r in rows:
+                if r["run_id"] == run_id:
+                    r["status"] = status
+                    r["end_time"] = end
+            table = pa.Table.from_pylist(rows, schema=_PA_JOB_LOG)
 
-        from etl_utils_spark.fsutil import promote_dir
+            from etl_utils_spark.fsutil import promote_dir
 
-        stage = self.job_log_path + ".__stage__"
-        shutil.rmtree(stage, ignore_errors=True)
-        os.makedirs(stage, exist_ok=True)
-        pq.write_table(table, os.path.join(stage, "part-00000.parquet"))
-        promote_dir(stage, self.job_log_path)
+            stage = self.job_log_path + ".__stage__"
+            shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(stage, exist_ok=True)
+            pq.write_table(table, os.path.join(stage, "part-00000.parquet"))
+            promote_dir(stage, self.job_log_path)
 
     def append_details(self, run_id: int, messages: list[tuple]) -> None:
         """Flush the whole message buffer in ONE append — the engine
@@ -214,6 +248,10 @@ class LogTables:
         single atomic rename, regardless of row count."""
         if not messages:
             return
+        with self._writer_lock():
+            self._append_details_locked(run_id, messages)
+
+    def _append_details_locked(self, run_id: int, messages: list[tuple]) -> None:
         base = self._max_of(self.job_details_path, _PA_JOB_DETAILS, "detail_id")
         rows = [
             {

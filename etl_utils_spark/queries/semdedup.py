@@ -24,12 +24,18 @@ Determinism (docs/SCALE.md float policy): every element is quantized
 once onto the 2^-20 grid (exact for float32), the centroid is
 re-quantized onto the SAME grid (the ``centroid_separation_by_label``
 idiom), so per-vector dot products and norms are EXACT int64 sums
-bounded by the GRID (≤ 64·2^40 ≈ 2^46), not by corpus size.  The one
-corpus-bounded integer is the centroid's SUM(qv) per (label, dim):
-it overflows int64 only past ~2^43 rows in a single cluster (ANSI
-would abort loudly, never silently) and stays double-exact below
-2^33 rows/cluster — both orders of magnitude beyond a 100 TB / 64-dim
-corpus.  The cosine is one shared IEEE expression over sub-2^53
+bounded by the GRID (≤ 64·2^40 ≈ 2^46), not by corpus size.  That
+bound ASSUMES |element| ≤ 1 (quantized magnitude ≤ 2^20): the fixture
+embeddings satisfy it (components in [-1, 1] by generation), and a
+deployment feeding unnormalized vectors must rescale first — past the
+bound the two engines diverge rather than both failing loudly,
+because DuckDB widens SUM(BIGINT) to HUGEINT (int128) while ANSI
+Spark stays int64 and aborts (DuckDB succeeds where Spark raises).
+The one corpus-bounded integer is the centroid's SUM(qv) per
+(label, dim): it overflows Spark's int64 only past ~2^43 rows in a
+single cluster (ANSI aborts loudly, never silently — DuckDB again
+widens instead) and stays double-exact below 2^33 rows/cluster — both
+orders of magnitude beyond a 100 TB / 64-dim corpus.  The cosine is one shared IEEE expression over sub-2^53
 integers, with the zero-norm convention cos := 0.0 CASE-matched on
 both engines (ANSI Spark would otherwise raise DIVIDE_BY_ZERO where
 DuckDB yields NULL); ranking ties break on vec_id for a total order.
@@ -226,6 +232,10 @@ def prune_prototypes_percluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cosv.withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(wn))
-        .where(F.col("rn") > (F.col("n") + F.lit(3)) / F.lit(4))
+        # integer `div` mirrors the oracle's (n+3)//4 EXACTLY: for
+        # integer rn, rn > (n+3)/4.0 and rn > (n+3) div 4 coincide,
+        # but the integer form can't drift if the threshold expression
+        # or the rank type is ever refactored (ADVICE r9)
+        .where(F.col("rn") > F.expr("(n + 3) div 4"))
         .select(F.col("label").alias("cluster_id"), "vec_id", "cos_centroid")
     )

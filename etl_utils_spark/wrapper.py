@@ -236,6 +236,11 @@ class QueryWrapper:
         self.error_count = 0
         self.run_id: int | None = None
         self.finished = False
+        # snapshot-backed rollback registry: target path -> (store,
+        # pre-image version | None-for-created).  Populated by
+        # manage_table()/write_table(), restored by rollback(),
+        # released by commit().
+        self._managed: dict[str, tuple] = {}
         # schema snapshot restored at finish (query_wrapper.sql:452,187-190)
         self.start_database = spark.catalog.currentDatabase()
         self.logs = LogTables(spark, log_dir) if log_dir else None
@@ -389,16 +394,94 @@ class QueryWrapper:
     # ------------------------------------------------------ transactions
 
     def commit(self) -> None:
-        """Flush logs (the observable commit effect,
-        query_wrapper.sql:127-136). Spark: storage commits per write."""
+        """Flush logs and make managed-table writes durable
+        (query_wrapper.sql:127-136): the restore points captured by
+        :meth:`manage_table` are released, so a later ``rollback()``
+        reverts only to THIS commit point — the reference's
+        txn-boundary semantics.  Spark: storage commits per write."""
+        self._managed.clear()
         self.write_log_details()
 
     def rollback(self) -> None:
-        """Spark cannot roll back multi-statement work; record the
-        intent (semantic delta from query_wrapper.sql:138-144). Real
-        rollback of table writes is available via ``staging()``."""
-        self.log("INFO", "rollback requested (storage-level rollback not applicable)")
+        """Restore every managed table to its pre-transaction snapshot
+        (query_wrapper.sql:138-144).  Spark has no multi-statement
+        transaction, so the wrapper substitutes an explicit pre-image
+        protocol: tables registered via :meth:`manage_table` (which
+        :meth:`write_table` calls automatically) are snapshotted before
+        their first write in the transaction and restored here —
+        tables CREATED inside the transaction are removed.  Unmanaged
+        writes keep the documented semantic delta; ``staging()``
+        remains the statement-level guard."""
+        import shutil as _shutil
+
+        from etl_utils_spark.fsutil import promote_dir
+
+        for target, (store, version) in self._managed.items():
+            if version is None:
+                _shutil.rmtree(target, ignore_errors=True)
+                self.log("INFO", f"rollback: removed created table {target}")
+                continue
+            stage = target.rstrip("/") + ".__restore__"
+            _shutil.rmtree(stage, ignore_errors=True)
+            _shutil.copytree(store._vdir(version), stage)
+            promote_dir(stage, target)
+            self.log("INFO", f"rollback: restored {target} to snapshot v{version}")
+        if self._managed:
+            self.log("INFO", f"rollback done ({len(self._managed)} managed tables)")
+        else:
+            self.log(
+                "INFO",
+                "rollback requested (no managed tables; storage-level "
+                "rollback not applicable to unmanaged writes)",
+            )
+        self._managed.clear()
         self.write_log_details()
+
+    def manage_table(self, target_path: str) -> None:
+        """Register a parquet-directory table for snapshot-backed
+        rollback: captures its pre-image NOW (first call per
+        transaction; later calls are no-ops until ``commit()`` releases
+        the restore point).  A missing target registers as
+        created-in-transaction — ``rollback()`` removes it.
+
+        The pre-image is a local directory copy into the table's
+        ``SnapshotStore`` (operators/snapshot.py) — file bytes, no
+        Spark job.  On a 100 TB deployment the copy seam is replaced by
+        a zero-copy version pin (Delta/Iceberg snapshot id); the
+        wrapper-side protocol — capture on first write, restore on
+        rollback, release on commit — is storage-independent."""
+        import os as _os
+
+        from etl_utils_spark.operators.snapshot import SnapshotStore
+
+        target_path = target_path.rstrip("/")
+        if target_path in self._managed:
+            return
+        store = SnapshotStore(target_path + ".__snapshots__")
+        if _os.path.isdir(target_path):
+            import shutil as _shutil
+
+            version = (store.versions()[-1] + 1) if store.versions() else 0
+            stage = store._vdir(version) + ".__stage__"
+            _shutil.rmtree(stage, ignore_errors=True)
+            _shutil.rmtree(store._vdir(version), ignore_errors=True)
+            _shutil.copytree(target_path, stage)
+            _os.rename(stage, store._vdir(version))
+            store._commit(version)
+            self._managed[target_path] = (store, version)
+            self.log("INFO", f"managed table {target_path}: pre-image v{version}")
+        else:
+            self._managed[target_path] = (store, None)
+            self.log("INFO", f"managed table {target_path}: created in transaction")
+
+    def write_table(self, df: DataFrame, target_path: str) -> None:
+        """Transactional managed write: capture the target's pre-image
+        (once per transaction), then stage-and-promote ``df`` over it.
+        A later ``rollback()`` — explicit or via ``on_error='rollback'``
+        — reverts the table; ``commit()`` makes the write durable."""
+        self.manage_table(target_path)
+        with self.staging(target_path) as stage:
+            df.write.mode("overwrite").parquet(stage)
 
     def staging(self, target_path: str):
         """Stage-and-promote write transaction — the engine's concrete

@@ -216,11 +216,16 @@ def main() -> None:
 
     from etl_utils_spark.queries import REGISTRY
 
+    # --factor 3 is build-only: PROBES must stay empty there, because
+    # the sf{COPIES//10} label below would compute to a bogus 'sf0'
+    # column/file name for any probe someone adds to it (ADVICE r9).
+    assert COPIES != 3 or not PROBES, "--factor 3 is build-only; probe under --factor 10/100"
+    big_label = "sf1" if COPIES == 10 else f"sf{COPIES//10}"
+
     results = {}
     for name in PROBES:
         fn = REGISTRY[name].fn
         times = {}
-        big_label = "sf1" if COPIES == 10 else f"sf{COPIES//10}"
         for label, sf in (("sf0.1", BASE), (big_label, BIG)):
             best = None
             for _ in range(2):  # keep the warm minimum, like bench.py
@@ -246,7 +251,6 @@ def main() -> None:
         json.dump(out, f, indent=2)
     print(f"| query | sf0.1 (s) | {COPIES}x (s) | ratio |")
     print("|---|---|---|---|")
-    big_label = "sf1" if COPIES == 10 else f"sf{COPIES//10}"
     for n, r in results.items():
         print(f"| {n} | {r['sf0.1']} | {r[big_label]} | {r['ratio']} |")
 

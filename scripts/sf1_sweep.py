@@ -56,6 +56,40 @@ def _alarm(_sig, _frm):
     raise _Timeout()
 
 
+def classify(run, timeout=TIMEOUT, sf10=None, sf3=None):
+    """Drive one query's 10×→bounded-3× classification and NEVER raise.
+
+    ``run(sf_dir, budget)`` returns ``(ok, msg)`` or raises (_Timeout
+    for a blown watchdog, anything else for a real error).  Returns
+    ``(status, msg)`` with status in {'pass', 'bounded', 'fail'}.  Every
+    exception path — including a non-timeout error inside the bounded
+    retry (missing 3× corpus dir, a DuckDB error, …) — records a FAIL
+    for THIS query instead of propagating and aborting the whole sweep
+    (ADVICE r9 / VERDICT r9 item 5); unit-tested in
+    tests/test_sweep_classify.py by injecting each failure shape."""
+    sf10 = SF10 if sf10 is None else sf10
+    sf3 = SF3 if sf3 is None else sf3
+    try:
+        ok, msg = run(sf10, timeout)
+        return ("pass", msg) if ok else ("fail", msg)
+    except _Timeout:
+        # oracle-side cost at 10× — bound the compare, don't skip it.
+        # The bounded retry gets a doubled budget: the point is a
+        # cost-bounded COMPARE, not a fast one (measured:
+        # join_fuzzy_hamming_ids needs ~510s at 3×).
+        try:
+            ok, msg = run(sf3, 2 * timeout)
+            if ok:
+                return ("bounded", msg)
+            return ("fail", f"3x after 10x timeout: {msg}")
+        except _Timeout:
+            return ("fail", "timeout at 10x AND 3x")
+        except Exception as exc:  # noqa: BLE001
+            return ("fail", f"3x retry {type(exc).__name__}: {exc}")
+    except Exception as exc:  # noqa: BLE001
+        return ("fail", f"{type(exc).__name__}: {exc}")
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -129,50 +163,21 @@ def main() -> int:
                 signal.alarm(0)
 
         t0 = time.time()
-        try:
-            ok, msg = _run(SF10)
-            if not ok:
-                failures.append((name, msg))
-                print(f"[{i+1}/{len(names)}] FAIL {name}: {msg}", flush=True)
-                continue
+        status, msg = classify(lambda sf, budget: _run(sf, budget=budget))
+        dt = time.time() - t0
+        if status == "pass":
             passed.append(name)
-            print(f"[{i+1}/{len(names)}] PASS {name} ({time.time()-t0:.1f}s)", flush=True)
-        except _Timeout:
-            # oracle-side cost at 10× — bound the compare, don't skip it
-            try:
-                t1 = time.time()
-                # the bounded retry gets a doubled budget: the point is
-                # a cost-bounded COMPARE, not a fast one (measured:
-                # join_fuzzy_hamming_ids needs ~510s at 3×)
-                ok, msg = _run(SF3, budget=2 * TIMEOUT)
-                if ok:
-                    bounded.append(name)
-                    print(
-                        f"[{i+1}/{len(names)}] BOUNDED-PASS {name} "
-                        f"(10x timeout; 3x {time.time()-t1:.1f}s)",
-                        flush=True,
-                    )
-                else:
-                    failures.append((name, f"3x after 10x timeout: {msg}"))
-                    print(f"[{i+1}/{len(names)}] FAIL {name} at 3x: {msg}", flush=True)
-            except _Timeout:
-                failures.append((name, "timeout at 10x AND 3x"))
-                print(f"[{i+1}/{len(names)}] FAIL {name}: timeout at both scales", flush=True)
-            except Exception as exc:  # noqa: BLE001
-                # a non-timeout error during the bounded retry (missing
-                # 3x corpus dir, a DuckDB error, ...) must record a FAIL
-                # for THIS query, not abort the whole sweep — the outer
-                # `except Exception` of this try statement does not
-                # cover exceptions raised inside this handler
-                failures.append((name, f"3x retry {type(exc).__name__}: {exc}"))
-                print(
-                    f"[{i+1}/{len(names)}] FAIL {name} at 3x retry: "
-                    f"{type(exc).__name__}: {exc}",
-                    flush=True,
-                )
-        except Exception as exc:  # noqa: BLE001
-            failures.append((name, f"{type(exc).__name__}: {exc}"))
-            print(f"[{i+1}/{len(names)}] FAIL {name}: {type(exc).__name__}: {exc}", flush=True)
+            print(f"[{i+1}/{len(names)}] PASS {name} ({dt:.1f}s)", flush=True)
+        elif status == "bounded":
+            bounded.append(name)
+            print(
+                f"[{i+1}/{len(names)}] BOUNDED-PASS {name} "
+                f"(10x timeout; total {dt:.1f}s)",
+                flush=True,
+            )
+        else:
+            failures.append((name, msg))
+            print(f"[{i+1}/{len(names)}] FAIL {name}: {msg}", flush=True)
 
     print(
         f"\ntotal {time.time()-t_all:.0f}s — {len(passed)} pass@10x, "

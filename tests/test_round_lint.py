@@ -251,31 +251,57 @@ def _split_args(block):
     return args
 
 
-def test_no_lambda_ref_to_sibling_alias():
-    import pathlib
+def _scan_shadowed_aliases(src, fname="<src>"):
+    """All lambda-refs-a-sibling-alias violations in one source text."""
     import re
 
     hof = re.compile(
         r"F\.(transform|filter|aggregate|zip_with|exists|forall|reduce)\("
     )
+    bad = []
+    for line, block in _select_blocks(src):
+        args = _split_args(block)
+        alias_of = {}
+        for ai, a in enumerate(args):
+            for al in re.findall(r'\.alias\("(\w+)"\)', a):
+                alias_of.setdefault(al, ai)
+        for aj, a in enumerate(args):
+            if not hof.search(a):
+                continue
+            for ref in set(re.findall(r'F\.col\("(\w+)"\)', a)):
+                ai = alias_of.get(ref)
+                if ai is not None and ai != aj:
+                    bad.append(f"{fname}:{line}: lambda F.col({ref!r}) "
+                               f"shadowed by sibling alias")
+    return bad
+
+
+def test_scanner_survives_string_delimiters():
+    """A delimiter-bearing string literal inside the select must not
+    corrupt the depth scan: the shadowed alias AFTER it is still caught
+    (VERDICT r9 item 6's fixture), and the string's contents never
+    create phantom args."""
+    fixture = (
+        'df.select(\n'
+        '    F.lit("a(b,c").alias("scale"),\n'
+        '    F.transform(F.col("xs"), lambda x: x / F.col("scale")).alias("out"),\n'
+        ')\n'
+    )
+    bad = _scan_shadowed_aliases(fixture)
+    assert len(bad) == 1 and "scale" in bad[0], bad
+    # and the masked split still sees exactly two arguments
+    blocks = list(_select_blocks(fixture))
+    assert len(blocks) == 1
+    assert len(_split_args(blocks[0][1])) == 2
+
+
+def test_no_lambda_ref_to_sibling_alias():
+    import pathlib
+
     root = pathlib.Path(__file__).resolve().parents[1] / "etl_utils_spark"
     bad = []
     for p in sorted(root.rglob("*.py")):
-        src = p.read_text()
-        for line, block in _select_blocks(src):
-            args = _split_args(block)
-            alias_of = {}
-            for ai, a in enumerate(args):
-                for al in re.findall(r'\.alias\("(\w+)"\)', a):
-                    alias_of.setdefault(al, ai)
-            for aj, a in enumerate(args):
-                if not hof.search(a):
-                    continue
-                for ref in set(re.findall(r'F\.col\("(\w+)"\)', a)):
-                    ai = alias_of.get(ref)
-                    if ai is not None and ai != aj:
-                        bad.append(f"{p.name}:{line}: lambda F.col({ref!r}) "
-                                   f"shadowed by sibling alias")
+        bad.extend(_scan_shadowed_aliases(p.read_text(), p.name))
     assert not bad, (
         "lambda references a column name that a SIBLING select alias "
         "shadows — under lateral-column-alias resolution the lambda "
