@@ -741,3 +741,97 @@ def cdc_chunk_digests(
             yield pd.DataFrame({id_col: ids, "chunk_digest": digs, "chunk_len": lens})
 
     return df.select(id_col, text_col).mapInPandas(_run, schema)
+
+
+def duplicate_span_runs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_family: str = "md5_60",
+) -> DataFrame:
+    """Maximal cross-document duplicate token spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every maximal run of token positions covered by
+    a ``k``-gram that also occurs in at least one OTHER document.
+    Output: (doc_id, span_start, span_end, span_tokens) with 0-based
+    inclusive token positions.
+
+    The paper's suffix-array pass is a single-machine construction; the
+    Spark-first shape replaces it with four linear stages:
+
+    1. posexplode tokens (narrow, linear);
+    2. k-gram hash at each position via ``k-1`` LEADs inside the
+       per-document window — no corpus-wide state, partitions bounded
+       by document length;
+    3. corpus gram frequency: groupBy(gram hash) → count(DISTINCT doc)
+       — a digest-only shuffle with map-side partial aggregation, then
+       a semi join back on the hash (never the text);
+    4. per-document island merge: positions whose covering intervals
+       [pos, pos+k-1] overlap OR touch collapse into maximal spans via
+       the classic cummax/new-island/cumsum window chain.
+
+    No stage is quadratic: pair explosion cannot happen because stage 3
+    joins positions to a DISTINCT gram-hash set (left-semi), not
+    gram-to-gram.  ``md5_60`` keeps every intermediate replayable on a
+    SQL oracle; production corpora swap in xxhash64 unchanged."""
+    from pyspark.sql.window import Window
+
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = df.select(
+        F.col(id_col).alias("sid"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    )
+    wdoc = Window.partitionBy("sid").orderBy("pos")
+    gram_text = F.concat_ws(
+        " ", F.col("token"), *[F.lead("token", j).over(wdoc) for j in range(1, k)]
+    )
+    last = F.lead("token", k - 1).over(wdoc)
+    grams = toks.select(
+        "sid", "pos", gram_text.alias("gram"), last.alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    # two consumers (corpus frequency + position hits): eagerly
+    # localCheckpoint so the explode+lead-window chain — the heavy
+    # linear stage — runs ONCE (the semdedup.py:156 idiom; persist()
+    # on a real cluster)
+    hashed = grams.select(
+        "sid", "pos", _hash60(F.col("gram"), hash_family).alias("gh")
+    ).localCheckpoint(eager=True)
+    dup_grams = (
+        hashed.groupBy("gh")
+        .agg(F.count_distinct("sid").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    hits = hashed.join(dup_grams, "gh", "left_semi")
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "sid",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy("sid", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("sid").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )

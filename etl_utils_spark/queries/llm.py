@@ -401,6 +401,81 @@ def dedup_simhash_md5_replay_capped(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# Duplicate-span detection (Lee et al. 2022) params: 8-gram anchors,
+# matching the decontamination family's gram width.
+_SPAN_K = 8
+
+_SPAN_GRAM_CONCAT = " || ' ' || ".join(
+    "token" if j == 0 else f"lead(token, {j}) OVER w" for j in range(_SPAN_K)
+)
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               {_SPAN_GRAM_CONCAT} AS gram,
+               lead(token, {_SPAN_K - 1}) OVER w AS _last
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    hashed AS (
+        SELECT doc_id, pos, {_MD5_60.format(x='gram')} AS gh
+        FROM grams WHERE _last IS NOT NULL
+    ),
+    dupg AS (
+        SELECT gh FROM hashed GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM hashed WHERE gh IN (SELECT gh FROM dupg)
+    ),
+    flags AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT doc_id, pos,
+                   max(pos + {_SPAN_K - 1}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_end
+            FROM hits
+        )
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS island
+        FROM flags
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_SPAN_K - 1} AS span_end,
+           max(pos) + {_SPAN_K} - min(pos) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicate token spans — the Lee et al.
+    2022 (arXiv:2107.06499) substring-dedup face, Spark-first: k-gram
+    anchors via per-doc LEAD windows, corpus gram doc-frequency as a
+    digest-only aggregate, left-semi back-join, and a per-document
+    cummax/island window merge (operators/dedup.py:duplicate_span_runs
+    documents the four linear stages; nothing is pairwise).  md5_60
+    anchors keep every intermediate bitwise-replayable on the oracle;
+    production corpora swap in xxhash64 unchanged."""
+    return dedup.duplicate_span_runs(
+        _t(spark, sf_dir, "documents"), k=_SPAN_K, hash_family="md5_60"
+    )
+
+
 @query(
     "dedup_jaccard_prefix_pairs",
     oracle="""

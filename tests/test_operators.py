@@ -389,3 +389,19 @@ def test_simhash_md5_flavor_bits_bound(spark, sf_dir):
         (F.col("sig") < 0) | (F.shiftrightunsigned("sig", 60) != 0)
     ).count()
     assert bad == 0
+
+
+def test_duplicate_span_runs_semantics(spark):
+    """Hand-built corpus: the shared 10-token run surfaces as ONE
+    maximal span per doc at the right positions; unique text never
+    enters a span; k=3 anchors."""
+    shared = "a b c d e f g h i j"
+    rows = [
+        (1, "x1 y1 z1 " + shared + " q1 r1"),   # span at tokens 3..12
+        (2, shared + " u2 v2 w2"),              # span at tokens 0..9
+        (3, "only unique words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicate_span_runs(df, k=3).collect()
+    spans = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out}
+    assert spans == {(1, 3, 12, 10), (2, 0, 9, 10)}
