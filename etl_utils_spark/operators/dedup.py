@@ -432,6 +432,17 @@ def simhash_sig(
     return agg.select("sid", sig.alias("sig"))
 
 
+def _chunk_expr(b: int, chunk_bits: int) -> Column:
+    """Band b's chunk of the packed signature.  A 64-bit chunk (bands=1,
+    the max_hamming=0 exact-duplicate configuration) skips the mask —
+    (1<<64)-1 does not fit a Spark long literal and the shifted value
+    already IS the whole signature."""
+    e = F.shiftrightunsigned("sig", b * chunk_bits)
+    if chunk_bits >= 64:
+        return e
+    return e.bitwiseAND(F.lit((1 << chunk_bits) - 1))
+
+
 def _simhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -461,13 +472,9 @@ def _simhash_candidates(
     emitted, and the final distinct dedups across paths."""
     bands = bands or (max_hamming + 1)
     chunk_bits = bits // bands
-    mask = (1 << chunk_bits) - 1
     sg = simhash_sig(df, id_col, text_col, hash_family, bits)
     chunks = F.array(
-        *[
-            F.shiftrightunsigned("sig", b * chunk_bits).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ]
+        *[_chunk_expr(b, chunk_bits) for b in range(bands)]
     )
     banded = sg.select("sid", "sig", F.posexplode(chunks).alias("band", "chunk"))
     if bucket_cap is None:
@@ -582,13 +589,9 @@ def simhash_bucket_stats(
     driver-visible gate VERDICT r9 asked for (weak item 1)."""
     bands_n = bands or (max_hamming + 1)
     chunk_bits = bits // bands_n
-    mask = (1 << chunk_bits) - 1
     sg = simhash_sig(df, id_col, text_col, hash_family, bits)
     chunks = F.array(
-        *[
-            F.shiftrightunsigned("sig", b * chunk_bits).bitwiseAND(F.lit(mask))
-            for b in range(bands_n)
-        ]
+        *[_chunk_expr(b, chunk_bits) for b in range(bands_n)]
     )
     banded = sg.select("sid", "sig", F.posexplode(chunks).alias("band", "chunk"))
     sizes = banded.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("n")).filter(
