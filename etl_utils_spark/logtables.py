@@ -13,9 +13,13 @@ is a single-write recoverable directory swap (see finish_run). On a
 deployment with Delta Lake the same class would use a Delta ``UPDATE``
 and identity columns.
 
-run_id allocation: max(run_id)+1 under a single-writer assumption —
-the reference has the same race and papers over it with an early COMMIT
-(query_wrapper.sql:246-283); we document it instead of hiding it.
+run_id allocation: max(run_id)+1 under a per-log-dir POSIX flock
+(_writer_lock) — the reference closes the same race with an early
+COMMIT (query_wrapper.sql:246-283); here the lock serializes every
+writer (register_run / finish_run / append_details) and the reader's
+crash-recovery rename, so concurrent jobs get unique monotonic ids
+(tests/test_logtables_concurrent.py).  Local-FS only; on HDFS/S3 the
+seam is the platform lock service or conditional-put.
 """
 
 from __future__ import annotations
@@ -149,13 +153,29 @@ class LogTables:
 
     # ------------------------------------------------------------ reads
 
-    def _recover(self, path: str) -> None:
+    def _recover(self, path: str, have_lock: bool = False) -> None:
         """Crash recovery for the finish_run directory swap: if a crash
         landed between 'rename target aside' and 'promote stage', the
-        previous table is still intact under .__old__ — restore it."""
-        from etl_utils_spark.fsutil import recover_dir
+        previous table is still intact under .__old__ — restore it.
 
-        recover_dir(path)
+        Recovery itself runs under the writer lock (double-checked: the
+        no-recovery-needed fast path never locks).  Without it a READER
+        observing the one-instruction window inside a live writer's
+        promote_dir — target renamed aside, stage not yet promoted —
+        would 'recover' the aside copy back and make the writer's
+        os.rename land on a non-empty directory (code-review r10).
+        Writers already inside the lock pass ``have_lock=True``; the
+        flock is per-open-file-description, so re-acquiring from the
+        same process would deadlock, not recurse."""
+        from etl_utils_spark.fsutil import _aside, recover_dir
+
+        if have_lock:
+            recover_dir(path)
+            return
+        if os.path.isdir(path) or not os.path.isdir(_aside(path)):
+            return  # live table (or nothing to recover): lock-free
+        with self._writer_lock():
+            recover_dir(path)  # re-checks the condition under the lock
 
     def _read_or_empty(self, path: str, schema: T.StructType) -> DataFrame:
         self._recover(path)
@@ -174,7 +194,8 @@ class LogTables:
     # ----------------------------------------------------------- writes
 
     def _max_of(self, path: str, schema: pa.Schema, col: str) -> int:
-        self._recover(path)
+        # callers (register_run, append_details) already hold the lock
+        self._recover(path, have_lock=True)
         tbl = _read_arrow(path, schema)
         if tbl.num_rows == 0:
             return 0
@@ -223,7 +244,7 @@ class LogTables:
         semantics; on HDFS/S3 deployments route through the cluster's
         atomic-commit primitive instead."""
         with self._writer_lock():
-            self._recover(self.job_log_path)
+            self._recover(self.job_log_path, have_lock=True)
             status = STATUS_OK if ok else STATUS_ERROR
             end = dt.datetime.now()
             rows = _read_arrow(self.job_log_path, _PA_JOB_LOG).to_pylist()

@@ -443,7 +443,7 @@ def _chunk_expr(b: int, chunk_bits: int) -> Column:
     return e.bitwiseAND(F.lit((1 << chunk_bits) - 1))
 
 
-def _simhash_candidates(
+def _simhash_banded(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -451,8 +451,19 @@ def _simhash_candidates(
     bands: int | None,
     hash_family: str,
     bits: int,
-    bucket_cap: int | None,
 ) -> DataFrame:
+    """Banded signature frame (sid, sig, band, chunk) — the shared
+    input of the candidate stage and the bucket-size audit, built ONCE
+    so :func:`simhash_bucket_stats` never pays the signature pipeline
+    twice (code-review r10)."""
+    bands = bands or (max_hamming + 1)
+    chunk_bits = bits // bands
+    sg = simhash_sig(df, id_col, text_col, hash_family, bits)
+    chunks = F.array(*[_chunk_expr(b, chunk_bits) for b in range(bands)])
+    return sg.select("sid", "sig", F.posexplode(chunks).alias("band", "chunk"))
+
+
+def _candidates_from_banded(banded: DataFrame, bucket_cap: int | None) -> DataFrame:
     """Pre-verify candidate pairs: (band, chunk, id_a, sig_a, id_b,
     sig_b) with id_a < id_b — the fan-out stage that
     :func:`simhash_bucket_stats` audits and :func:`simhash_pairs`
@@ -470,13 +481,6 @@ def _simhash_candidates(
     RECALL inside an over-cap bucket is reduced to the star by design;
     pairs reachable through any other (small) band bucket are still
     emitted, and the final distinct dedups across paths."""
-    bands = bands or (max_hamming + 1)
-    chunk_bits = bits // bands
-    sg = simhash_sig(df, id_col, text_col, hash_family, bits)
-    chunks = F.array(
-        *[_chunk_expr(b, chunk_bits) for b in range(bands)]
-    )
-    banded = sg.select("sid", "sig", F.posexplode(chunks).alias("band", "chunk"))
     if bucket_cap is None:
         la = banded.select(
             F.col("sid").alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk"
@@ -497,6 +501,11 @@ def _simhash_candidates(
     # localCheckpoint it: without this each consumer rebuilds the
     # whole signature pipeline (the semdedup.py:156 idiom; persist()
     # on a real cluster).
+    # Lifecycle note (code-review r10): the eager checkpoint runs the
+    # signature pipeline at DataFrame-CONSTRUCTION time and its blocks
+    # live until the session ends — the documented cost of the
+    # multi-consumer idiom on local[n].  A long-lived cluster job
+    # would persist() here and unpersist() after the action instead.
     w = Window.partitionBy("band", "chunk")
     sized = (
         banded.withColumn("n", F.count(F.lit(1)).over(w))
@@ -557,11 +566,10 @@ def simhash_pairs(
 
     ``bucket_cap`` bounds the residual quadratic face: buckets larger
     than the cap are star-paired against their min-id representative
-    (see :func:`_simhash_candidates`) so per-bucket fan-out is linear.
+    (see :func:`_candidates_from_banded`) so per-bucket fan-out is linear.
     ``None`` (the default) keeps the exact full-pairwise candidates."""
-    cand = _simhash_candidates(
-        df, id_col, text_col, max_hamming, bands, hash_family, bits, bucket_cap
-    )
+    banded = _simhash_banded(df, id_col, text_col, max_hamming, bands, hash_family, bits)
+    cand = _candidates_from_banded(banded, bucket_cap)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
@@ -581,25 +589,22 @@ def simhash_bucket_stats(
     bucket_cap: int = 512,
 ) -> DataFrame:
     """One-row audit of the bounded candidate stage: counts the ACTUAL
-    per-bucket candidate fan-out that :func:`_simhash_candidates`
+    per-bucket candidate fan-out that :func:`_candidates_from_banded`
     generates under ``bucket_cap`` and checks it against the analytic
     bound (n-1 for over-cap buckets, C(n,2) otherwise).  Cross-engine
     equality with an oracle that derives the same numbers purely from
     bucket sizes proves the implementation honors the cap — the
     driver-visible gate VERDICT r9 asked for (weak item 1)."""
-    bands_n = bands or (max_hamming + 1)
-    chunk_bits = bits // bands_n
-    sg = simhash_sig(df, id_col, text_col, hash_family, bits)
-    chunks = F.array(
-        *[_chunk_expr(b, chunk_bits) for b in range(bands_n)]
-    )
-    banded = sg.select("sid", "sig", F.posexplode(chunks).alias("band", "chunk"))
+    # ONE banded frame feeds both the size audit and the candidate
+    # stage — eagerly localCheckpointed so the signature pipeline (the
+    # heaviest linear stage) runs once, not twice (code-review r10)
+    banded = _simhash_banded(
+        df, id_col, text_col, max_hamming, bands, hash_family, bits
+    ).localCheckpoint(eager=True)
     sizes = banded.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= 2
     )
-    cand = _simhash_candidates(
-        df, id_col, text_col, max_hamming, bands, hash_family, bits, bucket_cap
-    )
+    cand = _candidates_from_banded(banded, bucket_cap)
     actual = cand.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("n_cand"))
     per_bucket = sizes.join(actual, ["band", "chunk"], "left").select(
         "n", F.coalesce("n_cand", F.lit(0)).alias("n_cand")
@@ -613,7 +618,10 @@ def simhash_bucket_stats(
         F.sum((F.col("n") > cap).cast("long")).alias("n_buckets_capped"),
         F.max("n").alias("max_bucket_n"),
         F.max("n_cand").alias("max_cand_per_bucket"),
-        (
+        # coalesce(True): on a corpus with NO bucket of size >= 2 the
+        # aggregates are NULL — the cap is trivially honored, and the
+        # oracle must agree (code-review r10)
+        F.coalesce(
             F.sum(
                 F.abs(
                     F.col("n_cand")
@@ -622,9 +630,14 @@ def simhash_bucket_stats(
                     )
                 )
             )
-            == 0
+            == 0,
+            F.lit(True),
         ).alias("matches_analytic"),
-        (F.max(F.when(F.col("n") > cap, F.lit(0)).otherwise(F.col("n_cand"))) <= linear_bound).alias("bound_ok"),
+        F.coalesce(
+            F.max(F.when(F.col("n") > cap, F.lit(0)).otherwise(F.col("n_cand")))
+            <= linear_bound,
+            F.lit(True),
+        ).alias("bound_ok"),
     )
 
 

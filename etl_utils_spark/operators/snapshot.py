@@ -81,6 +81,23 @@ class SnapshotStore:
         return version
 
     # ---------------------------------------------------------------- reads
+    def capture_dir(self, src_path: str) -> int:
+        """Commit a byte-for-byte COPY of an existing parquet directory
+        as the next snapshot version (no Spark job) and return its
+        number — same stage/rename/manifest protocol as
+        :meth:`write_version`, with the copy in place of df.write.
+        The pre-image primitive QueryWrapper.manage_table uses for
+        snapshot-backed rollback."""
+        version = (self.versions()[-1] + 1) if self.versions() else 0
+        vdir = self._vdir(version)
+        stage = vdir + ".__stage__"
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(vdir, ignore_errors=True)  # orphan from a prior crash
+        shutil.copytree(src_path, stage)
+        os.rename(stage, vdir)
+        self._commit(version)
+        return version
+
     def read_version(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read a committed snapshot (default: latest)."""
         committed = self.versions()

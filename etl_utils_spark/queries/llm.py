@@ -311,9 +311,12 @@ _SIMHASH_SIZED_SQL = f"""
            max(CASE WHEN n > {_SH_CAP} THEN n - 1
                     ELSE (n * (n - 1)) // 2 END) AS max_cand_per_bucket,
            CAST(true AS BOOLEAN) AS matches_analytic,
-           max(CASE WHEN n > {_SH_CAP} THEN 0
-                    ELSE (n * (n - 1)) // 2 END)
-               <= {_SH_CAP * (_SH_CAP - 1) // 2} AS bound_ok
+           coalesce(
+               max(CASE WHEN n > {_SH_CAP} THEN 0
+                        ELSE (n * (n - 1)) // 2 END)
+                   <= {_SH_CAP * (_SH_CAP - 1) // 2},
+               true
+           ) AS bound_ok
     FROM per
     """,
 )
@@ -393,7 +396,7 @@ def dedup_simhash_md5_replay_capped(spark: SparkSession, sf_dir: str) -> DataFra
     the same Hamming verify + distinct.  Bitwise cross-engine equality
     certifies the star-pair VALUES end-to-end, completing the bound
     gate's count-level certification
-    (operators/dedup.py:_simhash_candidates)."""
+    (operators/dedup.py:_candidates_from_banded)."""
     return dedup.simhash_pairs(
         _t(spark, sf_dir, "documents"),
         max_hamming=_SH_HAMMING, bands=_SH_BANDS,

@@ -398,7 +398,14 @@ class QueryWrapper:
         (query_wrapper.sql:127-136): the restore points captured by
         :meth:`manage_table` are released, so a later ``rollback()``
         reverts only to THIS commit point — the reference's
-        txn-boundary semantics.  Spark: storage commits per write."""
+        txn-boundary semantics.  Spark: storage commits per write.
+        Released pre-images are EXPIRED down to the single newest one
+        per table (a forensics copy) — without retention every
+        transaction would pile a full dead table copy under
+        ``<table>.__snapshots__`` forever (code-review r10)."""
+        for _target, (store, version) in self._managed.items():
+            if version is not None:
+                store.expire(keep_last=1)
         self._managed.clear()
         self.write_log_details()
 
@@ -425,6 +432,7 @@ class QueryWrapper:
             _shutil.rmtree(stage, ignore_errors=True)
             _shutil.copytree(store._vdir(version), stage)
             promote_dir(stage, target)
+            store.expire(keep_last=1)  # retention: same policy as commit()
             self.log("INFO", f"rollback: restored {target} to snapshot v{version}")
         if self._managed:
             self.log("INFO", f"rollback done ({len(self._managed)} managed tables)")
@@ -459,29 +467,34 @@ class QueryWrapper:
             return
         store = SnapshotStore(target_path + ".__snapshots__")
         if _os.path.isdir(target_path):
-            import shutil as _shutil
-
-            version = (store.versions()[-1] + 1) if store.versions() else 0
-            stage = store._vdir(version) + ".__stage__"
-            _shutil.rmtree(stage, ignore_errors=True)
-            _shutil.rmtree(store._vdir(version), ignore_errors=True)
-            _shutil.copytree(target_path, stage)
-            _os.rename(stage, store._vdir(version))
-            store._commit(version)
+            version = store.capture_dir(target_path)
             self._managed[target_path] = (store, version)
             self.log("INFO", f"managed table {target_path}: pre-image v{version}")
         else:
             self._managed[target_path] = (store, None)
             self.log("INFO", f"managed table {target_path}: created in transaction")
 
-    def write_table(self, df: DataFrame, target_path: str) -> None:
+    def write_table(self, df: DataFrame, target_path: str) -> bool:
         """Transactional managed write: capture the target's pre-image
         (once per transaction), then stage-and-promote ``df`` over it.
         A later ``rollback()`` — explicit or via ``on_error='rollback'``
-        — reverts the table; ``commit()`` makes the write durable."""
-        self.manage_table(target_path)
-        with self.staging(target_path) as stage:
-            df.write.mode("overwrite").parquet(stage)
+        — reverts the table; ``commit()`` makes the write durable.
+
+        Failures route through the wrapper's uniform on_error contract
+        like every other operation (query/run/Prepared.execute): under
+        'rollback' a failed write restores every managed table and
+        finishes the run; under 'continue' it returns False.  Without
+        this a raw exception out of the staged write would skip
+        _handle_error entirely — no rollback, run stuck RUNNING
+        (code-review r10)."""
+        try:
+            with _silenced_spark_error_logs():
+                self.manage_table(target_path)
+                with self.staging(target_path) as stage:
+                    df.write.mode("overwrite").parquet(stage)
+        except Exception as exc:  # noqa: BLE001
+            return self._handle_error(f"write_table({target_path})", exc)
+        return True
 
     def staging(self, target_path: str):
         """Stage-and-promote write transaction — the engine's concrete

@@ -219,7 +219,9 @@ def main() -> None:
     # --factor 3 is build-only: PROBES must stay empty there, because
     # the sf{COPIES//10} label below would compute to a bogus 'sf0'
     # column/file name for any probe someone adds to it (ADVICE r9).
-    assert COPIES != 3 or not PROBES, "--factor 3 is build-only; probe under --factor 10/100"
+    # sys.exit, not assert: asserts vanish under python -O.
+    if COPIES == 3 and PROBES:
+        sys.exit("--factor 3 is build-only; probe under --factor 10/100")
     big_label = "sf1" if COPIES == 10 else f"sf{COPIES//10}"
 
     results = {}

@@ -427,3 +427,20 @@ def test_simhash_bucket_cap_star_semantics(spark):
         if a in comp:
             comp.add(b)
     assert comp == {1, 2, 3, 4}
+
+
+def test_simhash_bucket_stats_no_collision_corpus(spark):
+    """On a corpus with NO bucket of size >= 2 the gate's booleans must
+    be True, not NULL — the oracle's constant-true/coalesce form and
+    the engine must agree on the trivially-honored cap (code-review
+    r10)."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta eta theta"),
+        (3, "iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.simhash_bucket_stats(df, bucket_cap=4).collect()[0]
+    assert r.n_buckets == 0
+    assert r.matches_analytic is True
+    assert r.bound_ok is True

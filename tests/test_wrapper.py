@@ -273,3 +273,26 @@ def test_commit_releases_restore_points(wrapper, spark, tmp_path):
     wrapper.write_table(spark.range(9), target)             # txn 2: 9 rows
     wrapper.rollback()
     assert spark.read.parquet(target).count() == 5          # commit point, not 2
+
+
+def test_write_table_failure_routes_through_on_error(wrapper, spark, tmp_path):
+    """A failing managed write must follow the uniform on_error
+    contract like query()/run(): under 'rollback' the managed tables
+    are restored and the run finishes with WrapperError; the raw Spark
+    exception never leaks (code-review r10)."""
+    target_a = str(tmp_path / "dim_a")
+    spark.range(3).write.mode("overwrite").parquet(target_a)
+
+    wrapper.on_error = "rollback"
+    wrapper.write_table(spark.range(8), target_a)        # step 1 ok
+    assert spark.read.parquet(target_a).count() == 8
+    bad = spark.range(1).selectExpr("assert_true(id > 100) AS boom")
+    with pytest.raises(WrapperError):
+        wrapper.write_table(bad, str(tmp_path / "dim_b"))  # step 2 fails
+    assert spark.read.parquet(target_a).count() == 3       # restored
+    assert wrapper.finished
+    # and under 'continue' the failure just reports False
+    w2 = QueryWrapper(spark, script_name="t2")
+    w2.on_error = "continue"
+    assert w2.write_table(bad, str(tmp_path / "dim_c")) is False
+    assert w2.error_count == 1
