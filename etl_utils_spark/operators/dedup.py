@@ -851,3 +851,80 @@ def duplicate_span_runs(
             .alias("span_tokens"),
         )
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_family: str = "md5_60",
+) -> DataFrame:
+    """The actionable output of :func:`duplicate_span_runs`: each
+    document with its duplicated spans REMOVED (Lee et al. 2022 §4 —
+    the corpus actually trained on).  Output: (doc_id, clean_text,
+    n_tokens_removed, n_tokens_kept).
+
+    Same four linear stages as the span detector up to the hit
+    positions; then covered positions = hit ∪ [pos, pos+k-1] (one
+    bounded explode), kept tokens = anti-join on position, and the
+    cleaned text is rebuilt with an order-preserving aggregate
+    (array_sort over (pos, token) structs — deterministic, no window).
+    Documents with nothing removed pass through unchanged, so the
+    operator is a corpus map, not a filter."""
+    from pyspark.sql.window import Window
+
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = df.select(
+        F.col(id_col).alias("sid"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    )
+    wdoc = Window.partitionBy("sid").orderBy("pos")
+    gram_text = F.concat_ws(
+        " ", F.col("token"), *[F.lead("token", j).over(wdoc) for j in range(1, k)]
+    )
+    last = F.lead("token", k - 1).over(wdoc)
+    # two consumers (kept anti-join needs toks too): checkpoint the
+    # token frame once, derive grams from it
+    toks = toks.localCheckpoint(eager=True)
+    grams = toks.select(
+        "sid", "pos", gram_text.alias("gram"), last.alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    hashed = grams.select(
+        "sid", "pos", _hash60(F.col("gram"), hash_family).alias("gh")
+    )
+    dup_grams = (
+        hashed.groupBy("gh")
+        .agg(F.count_distinct("sid").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    hits = hashed.join(dup_grams, "gh", "left_semi")
+    covered = hits.select(
+        "sid", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("pos")
+    ).distinct()
+    kept = toks.join(covered, ["sid", "pos"], "left_anti")
+    n_cov = covered.groupBy("sid").agg(F.count(F.lit(1)).alias("n_tokens_removed"))
+    rebuilt = kept.groupBy("sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s.token,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    # full outer over kept/covered: a doc may be fully removed (no kept
+    # rows) or fully clean (no covered rows)
+    all_docs = toks.select("sid").distinct()
+    return (
+        all_docs.join(rebuilt, "sid", "left")
+        .join(n_cov, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_removed", F.lit(0)).cast("long").alias("n_tokens_removed"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        )
+    )

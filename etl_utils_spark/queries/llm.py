@@ -480,6 +480,74 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_strip_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               {_SPAN_GRAM_CONCAT} AS gram,
+               lead(token, {_SPAN_K - 1}) OVER w AS _last
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    hashed AS (
+        SELECT doc_id, pos, {_MD5_60.format(x='gram')} AS gh
+        FROM grams WHERE _last IS NOT NULL
+    ),
+    dupg AS (
+        SELECT gh FROM hashed GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM hashed WHERE gh IN (SELECT gh FROM dupg)
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + j AS pos
+        FROM hits, LATERAL (
+            SELECT unnest(generate_series(0, {_SPAN_K - 1})) AS j
+        ) u
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.token
+        FROM toks t
+        LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        WHERE c.pos IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(token, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_tokens_kept
+        FROM kept GROUP BY doc_id
+    ),
+    ncov AS (
+        SELECT doc_id, count(*) AS n_tokens_removed FROM covered GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(coalesce(n.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+    FROM (SELECT DISTINCT doc_id FROM toks) d
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    LEFT JOIN ncov n ON n.doc_id = d.doc_id
+    """,
+)
+def text_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of the Lee et al. 2022 substring-dedup pair:
+    every document with its cross-document duplicate spans REMOVED —
+    the corpus a training run actually consumes.  Shares the span
+    detector's four linear stages, then covered-position explode (k
+    per hit, bounded), position anti-join, and an order-preserving
+    array_sort rebuild — no window over the corpus, a corpus map not a
+    filter (operators/dedup.py:strip_duplicate_spans)."""
+    return dedup.strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=_SPAN_K, hash_family="md5_60"
+    )
+
+
+@query(
     "dedup_jaccard_prefix_pairs",
     oracle="""
         WITH toks AS (

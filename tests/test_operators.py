@@ -444,3 +444,23 @@ def test_simhash_bucket_stats_no_collision_corpus(spark):
     assert r.n_buckets == 0
     assert r.matches_analytic is True
     assert r.bound_ok is True
+
+
+def test_strip_duplicate_spans_semantics(spark):
+    """Hand-built corpus (k=3): shared run removed from both docs,
+    unique text intact; the all-unique doc passes through unchanged
+    with zero removals."""
+    shared = "a b c d e f g h i j"
+    rows = [
+        (1, "x1 y1 z1 " + shared + " q1 r1"),
+        (2, shared + " u2 v2 w2"),
+        (3, "only unique words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.strip_duplicate_spans(df, k=3).collect()}
+    assert out[1].clean_text == "x1 y1 z1 q1 r1"
+    assert out[1].n_tokens_removed == 10 and out[1].n_tokens_kept == 5
+    assert out[2].clean_text == "u2 v2 w2"
+    assert out[2].n_tokens_removed == 10 and out[2].n_tokens_kept == 3
+    assert out[3].clean_text == rows[2][1]
+    assert out[3].n_tokens_removed == 0

@@ -485,3 +485,34 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan, plan[:1200]
     assert "coalesced" in plan, plan[:1200]
+
+
+def test_duplicate_spans_semi_join_no_cartesian(spark, sf_dir):
+    """The span detector's back-join must stay a LEFT-SEMI on the gram
+    hash (positions join a DISTINCT hash set — pair explosion is
+    structurally impossible) with no cartesian anywhere."""
+    plan = formatted_plan(_q("dedup_duplicate_spans", spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:800]
+    assert not has_cartesian_or_bnl(_q("dedup_duplicate_spans", spark, sf_dir))
+
+
+def test_strip_spans_anti_join_no_cartesian(spark, sf_dir):
+    """The corpus-map rebuild anti-joins covered positions and must
+    never widen into a cartesian; the rebuild is an aggregate, not a
+    corpus window."""
+    df = _q("text_strip_duplicate_spans", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan[:800]
+    assert not has_cartesian_or_bnl(df)
+
+
+def test_bounded_simhash_no_cartesian_and_star_is_projection(spark, sf_dir):
+    """The capped candidate stage adds ONE window over the bucket key
+    and a union of two join-free/star branches — no cartesian, and the
+    small-bucket self-join keeps its shuffled-hash shape (Zipfian
+    bucket keys degrade sort-merge)."""
+    df = _q("dedup_documents_simhash", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert not has_cartesian_or_bnl(df)
+    assert "ShuffledHashJoin" in plan, plan[:800]
+    assert "Union" in plan, plan[:800]
