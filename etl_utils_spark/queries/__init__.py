@@ -62,66 +62,66 @@ from etl_utils_spark.queries import semdedup  # noqa: E402,F401
 # every entry NOT in _WINDOW is already driver-green in a previous
 # round's CORRECTNESS file.
 _WINDOW = [
-    # --- r10 window (driver checks the FIRST 50 registry entries),
-    # exactly as staged in SURVEY.md §14c at r9 close.  With
-    # CORRECTNESS_r09 landed, every oracle-backed query has a driver
-    # row, so windows are pure oldest-checked-first rotation:
-    # positions 1-2 = the r9 additions (the only rows whose first
-    # driver check is pending beyond the rehearsal), position 3 = the
-    # last r1-checked row, positions 4-50 = the first 47 of the
-    # 48-entry r3 cohort (alphabetical).  Spilled to the r11 head:
-    # window_range_frame_spend (r3), bucketed_join_orders_lineitem (r4).
-    "dedup_semdedup_prune",
-    "prune_prototypes_percluster",
-    "window_running_sum_orders",
-    # --- positions 4-50: the r3 cohort, alphabetical.
-    "agg_cube_status_priority",
-    "asof_purchase_last_click",
-    "catalog_list_columns",
-    "catalog_list_tables",
-    "cte_nation_order_stats",
-    "ddl_create_schema_table",
-    "dedup_cluster_documents",
-    "fuzzy_match_part_names",
-    "gap_fill_forward_events",
-    "gate_ann_recall_floor",
-    "gate_minhash_recall_floor",
-    "having_filter_hot_parts",
-    "ident_param_count",
-    "json_struct_parse",
-    "merge_upsert_customers",
-    "nested_agg_avg_order_size",
-    "null_handling_join_fill",
-    "pack_sequences_docs",
-    "percentile_order_prices",
-    "pivot_status_by_priority",
-    "profile_orders_columns",
-    "ps_insert_batch",
-    "q17_small_quantity_revenue",
-    "q2_min_balance_per_nation",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_pair_volume",
-    "salted_group_count_parts",
-    "scan_params_kv",
-    "scd2_user_value_history",
-    "set_except_all_returnflags",
-    "set_intersect_all_status",
-    "sliding_window_counts",
-    "split_train_test_docs",
-    "string_pad_case_split",
-    "subq_exists_multi_order_days",
-    "subq_in_top_nations",
-    "subq_scalar_above_avg_price",
-    "udf_embedding_norm",
-    "udf_grouped_mean_value",
-    "udf_grouped_zscore",
-    "udtf_tokenize_docs",
-    "unpivot_customer_metrics",
-    "update_joblog_status",
-    "vocab_top_tokens",
-    "window_first_last_value",
-    "window_ntile_percentrank",
+    # --- r11 window (driver checks the FIRST 50 registry entries),
+    # exactly as staged in SURVEY.md §14d at r10 close (amended by
+    # r10 addition #4).  Positions 1-4 = the r10 additions (the only
+    # oracle-backed rows with no driver check yet), position 5 =
+    # window_range_frame_spend (last r3-checked row), position 6 =
+    # bucketed_join_orders_lineitem (r4), positions 7-50 = the first
+    # 44 of the r4 cohort, alphabetical.  Spilled to the r12 head:
+    # triangle_local_clustering, window_lag_event_gap,
+    # zorder_block_locality (all r4).
+    "gate_simhash_bucket_bound",
+    "dedup_simhash_md5_replay_capped",
+    "dedup_duplicate_spans",
+    "text_strip_duplicate_spans",
+    "window_range_frame_spend",
+    "bucketed_join_orders_lineitem",
+    # --- positions 7-50: the r4 cohort, alphabetical.
+    "dedup_chunks_cdc",
+    "dedup_graph_degree_hist",
+    "dedup_jaccard_prefix_pairs",
+    "dedup_keep_best_quality",
+    "ewma_user_value",
+    "funnel_view_click_purchase",
+    "gate_ivf_recall_floor",
+    "gate_kcore_min_degree",
+    "gate_pagerank_mass",
+    "graph_bfs_reachability",
+    "incremental_agg_refresh",
+    "ingest_new_documents_only",
+    "io_compact_small_files",
+    "io_csv_roundtrip",
+    "io_dynamic_partition_overwrite",
+    "io_json_roundtrip",
+    "io_partitioned_prune",
+    "io_schema_evolution",
+    "lm_bigram_doc_score",
+    "multimodal_byte_stats",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
+    "ngram_top_bigrams",
+    "point_in_time_join_purchases",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "quality_repetition_ratio",
+    "resample_ohlc_15min",
+    "sessionize_events",
+    "snapshot_time_travel",
+    "split_leakage_safe_docs",
+    "text_char_entropy",
+    "text_redact_numbers",
+    "tfidf_top_terms",
+    "tokenize_docs_to_ids",
 ]
 
 

@@ -403,11 +403,19 @@ class QueryWrapper:
         per table (a forensics copy) — without retention every
         transaction would pile a full dead table copy under
         ``<table>.__snapshots__`` forever (code-review r10)."""
+        self._release_managed()
+        self.write_log_details()
+
+    def _release_managed(self) -> None:
+        """Release the managed-table registry with commit semantics:
+        expire each table's pre-images down to the single newest
+        forensics copy and clear the registry so a later rollback()
+        reverts only past this point.  Shared by :meth:`commit` and
+        the success path of :meth:`finish`."""
         for _target, (store, version) in self._managed.items():
             if version is not None:
                 store.expire(keep_last=1)
         self._managed.clear()
-        self.write_log_details()
 
     def rollback(self) -> None:
         """Restore every managed table to its pre-transaction snapshot
@@ -460,11 +468,18 @@ class QueryWrapper:
         rollback, release on commit — is storage-independent."""
         import os as _os
 
+        from etl_utils_spark.fsutil import recover_dir
         from etl_utils_spark.operators.snapshot import SnapshotStore
 
         target_path = target_path.rstrip("/")
         if target_path in self._managed:
             return
+        # A table left in the crashed-aside state (target missing,
+        # <target>.__old__ present) must be repaired BEFORE the isdir
+        # check — otherwise it registers as created-in-transaction and
+        # a later rollback() would rmtree a pre-existing table the
+        # snapshot protocol exists to protect (advice r10).
+        recover_dir(target_path)
         store = SnapshotStore(target_path + ".__snapshots__")
         if _os.path.isdir(target_path):
             version = store.capture_dir(target_path)
@@ -571,6 +586,14 @@ class QueryWrapper:
             self.finished = True
             if rollback:
                 self.rollback()
+            else:
+                # Mirror the reference's wrap_finish, which commits on
+                # the way out (query_wrapper.sql:146-154): release the
+                # managed-table registry with commit() semantics so
+                # snapshot retention runs (no pre-image pile-up per
+                # run) and a post-finish rollback() cannot rewind
+                # writes finish made durable (advice r10).
+                self._release_managed()
             self.write_log_details()
             ok = self.error_count == 0 and not rollback
             if self.logs and self.run_id is not None:

@@ -275,6 +275,49 @@ def test_commit_releases_restore_points(wrapper, spark, tmp_path):
     assert spark.read.parquet(target).count() == 5          # commit point, not 2
 
 
+def test_manage_table_recovers_crashed_aside_as_preimage(wrapper, spark, tmp_path):
+    """A table left in the crashed-aside state (target missing,
+    <target>.__old__ present — the window promote_dir/recover_dir exist
+    for) must be repaired BEFORE manage_table classifies it: it is a
+    pre-existing table and gets a restore point, not the
+    created-in-transaction status whose rollback() rmtree would delete
+    it permanently (advice r10)."""
+    import os
+
+    target = str(tmp_path / "dim_crash")
+    spark.range(3).selectExpr("id", "id * 2 AS val").write.parquet(target)
+    # simulate a death mid-promote: live dir renamed aside, no new dir
+    os.rename(target, target + ".__old__")
+    assert not os.path.isdir(target)
+
+    wrapper.write_table(spark.range(9), target)  # manage → recover → snapshot
+    assert spark.read.parquet(target).count() == 9
+    wrapper.rollback()
+    # the recovered pre-image is restored — NOT deleted as created-in-txn
+    back = spark.read.parquet(target).orderBy("id").collect()
+    assert [(r.id, r.val) for r in back] == [(0, 0), (1, 2), (2, 4)]
+
+
+def test_finish_releases_restore_points_like_commit(wrapper, spark, tmp_path):
+    """finish() on the success path must release the managed registry
+    with commit() semantics (reference wrap_finish commits on the way
+    out, query_wrapper.sql:146-154): snapshot retention runs, and a
+    post-finish rollback() cannot rewind writes finish made durable
+    (advice r10)."""
+    import os
+
+    target = str(tmp_path / "dim_fin")
+    spark.range(2).write.mode("overwrite").parquet(target)   # pre-run: 2 rows
+    wrapper.write_table(spark.range(6), target)              # run writes 6
+    wrapper.finish()                                         # success close
+    wrapper.rollback()                                       # must be a no-op
+    assert spark.read.parquet(target).count() == 6           # durable at finish
+    # retention ran: at most one forensics pre-image remains
+    snapdir = target + ".__snapshots__"
+    versions = [d for d in os.listdir(snapdir) if d.startswith("v")]
+    assert len(versions) <= 1
+
+
 def test_write_table_failure_routes_through_on_error(wrapper, spark, tmp_path):
     """A failing managed write must follow the uniform on_error
     contract like query()/run(): under 'rollback' the managed tables
