@@ -62,66 +62,67 @@ from etl_utils_spark.queries import semdedup  # noqa: E402,F401
 # every entry NOT in _WINDOW is already driver-green in a previous
 # round's CORRECTNESS file.
 _WINDOW = [
-    # --- r11 window (driver checks the FIRST 50 registry entries),
-    # exactly as staged in SURVEY.md §14d at r10 close (amended by
-    # r10 addition #4).  Positions 1-4 = the r10 additions (the only
-    # oracle-backed rows with no driver check yet), position 5 =
-    # window_range_frame_spend (last r3-checked row), position 6 =
-    # bucketed_join_orders_lineitem (r4), positions 7-50 = the first
-    # 44 of the r4 cohort, alphabetical.  Spilled to the r12 head:
-    # triangle_local_clustering, window_lag_event_gap,
-    # zorder_block_locality (all r4).
-    "gate_simhash_bucket_bound",
-    "dedup_simhash_md5_replay_capped",
-    "dedup_duplicate_spans",
-    "text_strip_duplicate_spans",
-    "window_range_frame_spend",
-    "bucketed_join_orders_lineitem",
-    # --- positions 7-50: the r4 cohort, alphabetical.
-    "dedup_chunks_cdc",
-    "dedup_graph_degree_hist",
-    "dedup_jaccard_prefix_pairs",
-    "dedup_keep_best_quality",
-    "ewma_user_value",
-    "funnel_view_click_purchase",
-    "gate_ivf_recall_floor",
-    "gate_kcore_min_degree",
-    "gate_pagerank_mass",
-    "graph_bfs_reachability",
-    "incremental_agg_refresh",
-    "ingest_new_documents_only",
-    "io_compact_small_files",
-    "io_csv_roundtrip",
-    "io_dynamic_partition_overwrite",
-    "io_json_roundtrip",
-    "io_partitioned_prune",
-    "io_schema_evolution",
-    "lm_bigram_doc_score",
-    "multimodal_byte_stats",
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "multimodal_frame_sample",
-    "ngram_top_bigrams",
-    "point_in_time_join_purchases",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "quality_repetition_ratio",
-    "resample_ohlc_15min",
-    "sessionize_events",
-    "snapshot_time_travel",
-    "split_leakage_safe_docs",
-    "text_char_entropy",
-    "text_redact_numbers",
-    "tfidf_top_terms",
-    "tokenize_docs_to_ids",
+    # --- r12 window (driver checks the FIRST 50 registry entries),
+    # exactly as staged in SURVEY.md §14 at r11 close.  Positions 1-3 =
+    # the r11 additions (the only oracle-backed rows with no driver
+    # check once CORRECTNESS_r11 landed), positions 4-6 = the r4
+    # spills, positions 7-50 = the first 44 of the 49-entry r5 cohort,
+    # alphabetical.  Spilled to the r13 head:
+    # train_price_ols_normal_eq, udf_cogrouped_conversion_lag,
+    # weighted_median_price_by_qty, window_nth_cume_dist,
+    # xcorr_click_purchase_hourly (all r5).
+    "gate_pagerank_converged",
+    "profile_fleet_rowcounts_exact",
+    "gate_rollback_gap_flagged",
+    # --- positions 4-6: the r4 spills.
+    "triangle_local_clustering",
+    "window_lag_event_gap",
+    "zorder_block_locality",
+    # --- positions 7-50: the r5 cohort, alphabetical.
+    "array_advanced_ops",
+    "bpe_learn_merges",
+    "copurchase_lift_pairs",
+    "dedup_overlap_containment",
+    "dedup_sorted_neighborhood",
+    "dq_benford_totalprice",
+    "drift_js_lang_by_source",
+    "drift_psi_value_split",
+    "eval_auc_purchase_value",
+    "exact_percentile_cont_orders",
+    "exact_quantiles_orders",
+    "feature_target_encode_priority",
+    "gate_jl_distortion_bounded",
+    "gate_logreg_quality_auc",
+    "gate_pq_recall_floor",
+    "grouped_median_prices_by_priority",
+    "join_lateral_top_orders",
+    "langid_confusion_matrix",
+    "map_funcs_events",
+    "markov_top1_accuracy",
+    "max_concurrent_sessions",
+    "revenue_wow_change",
+    "rrf_fuse_multi_query",
+    "sample_reservoir_per_type",
+    "sample_weighted_docs_es",
+    "seasonal_decompose_daily",
+    "seasonal_hourly_baseline",
+    "skyline_orders_pareto",
+    "sliding_distinct_users_7d",
+    "stats_bootstrap_ci_mean",
+    "stats_chi2_lang_source",
+    "stats_ks_binned_prices",
+    "stats_mann_kendall_monthly",
+    "stats_mutual_info_lang_source",
+    "stats_randomization_test_diff",
+    "stats_skew_kurtosis_by_type",
+    "stats_spearman_price_qty",
+    "stats_theilsen_monthly",
+    "stats_ttest_price_by_status",
+    "stats_two_proportion_ztest",
+    "stream_dedup_within_watermark",
+    "stream_psi_daily_live",
+    "stream_sliding_counts_live",
+    "topk_similar_doc_pairs",
 ]
 
 
