@@ -37,8 +37,8 @@ from etl_utils_spark.queries.shared import jaccard_pair_graph
             SELECT e.u, c.comp FROM edges e JOIN cc c ON e.v = c.node
             WHERE c.comp < e.u
         ),
-        labels AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
-        m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM pairs),
+        labels AS MATERIALIZED (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
+        m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM pairs),
         lc AS (
             SELECT l.comp, CAST(count(*) AS BIGINT) AS l_c
             FROM pairs p JOIN labels l ON p.id_a = l.node
@@ -89,7 +89,7 @@ def graph_modularity_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "link_predict_common_neighbors",
     oracle=f"""
         WITH {_PAIRS_CTE},
-        deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+        deg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
                 FROM edges GROUP BY u),
         cand AS (
             SELECT e1.u AS u, e2.v AS v, CAST(count(*) AS BIGINT) AS common
@@ -158,7 +158,7 @@ def link_predict_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame
     "graph_assortativity_degree",
     oracle=f"""
         WITH {_PAIRS_CTE},
-        deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+        deg AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
                 FROM edges GROUP BY u),
         j AS (
             SELECT du.d AS da, dv.d AS db

@@ -1114,9 +1114,10 @@ def gate_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gate_pagerank_exact_replay",
     oracle="""
         WITH {cte},
-        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+        deg AS MATERIALIZED (
+            SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
         pr0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
-        it1 AS (
+        it1 AS MATERIALIZED (
             SELECT e.v AS node,
                    CAST(150000 + (17 * SUM(p.pr // d.deg)) // 20 AS BIGINT) AS pr
             FROM edges e
@@ -1160,14 +1161,14 @@ def gate_pagerank_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH {cte},
         deg0 AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
-        keep0 AS (SELECT u FROM deg0 WHERE deg >= 2),
-        e1 AS (
+        keep0 AS MATERIALIZED (SELECT u FROM deg0 WHERE deg >= 2),
+        e1 AS MATERIALIZED (
             SELECT e.u, e.v FROM edges e
             WHERE e.u IN (SELECT u FROM keep0)
               AND e.v IN (SELECT u FROM keep0)
         ),
         deg1 AS (SELECT u, count(*) AS deg FROM e1 GROUP BY u),
-        keep1 AS (SELECT u FROM deg1 WHERE deg >= 2),
+        keep1 AS MATERIALIZED (SELECT u FROM deg1 WHERE deg >= 2),
         e2 AS (
             SELECT e.u, e.v FROM e1 e
             WHERE e.u IN (SELECT u FROM keep1)
@@ -1199,26 +1200,26 @@ def gate_kcore_peel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ),
-        sh AS (
+        sh AS MATERIALIZED (
             SELECT DISTINCT doc_id,
                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
             FROM toks, LATERAL (
                 SELECT unnest(generate_series(1, len(w) - 2)) AS i
             ) t
         ),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT id_a, id_b FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
         ),
-        tri AS (
+        tri AS MATERIALIZED (
             SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
             FROM pairs e1
             JOIN pairs e2 ON e2.id_a = e1.id_b

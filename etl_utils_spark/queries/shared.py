@@ -58,26 +58,33 @@ def jaccard_pair_graph(
 # graph-suite oracle (graph_v2 metrics, the pagerank/k-core exact-replay
 # gates in queries/llm.py); `pairs` is the undirected a<b pair list,
 # `edges` both directions.
+#
+# Every multiply-referenced level is AS MATERIALIZED: DuckDB 1.0
+# re-inlines doubly-referenced CTEs, so an oracle that touches `edges`
+# three times (deg + two joins) would otherwise re-run the shingle
+# self-join SIX-plus times — the whole graph-replay oracle family blew
+# the 10× sweep watchdog on exactly that recomputation (r12; same
+# mechanism advanced_ops._cc_closure_cte measured in r11).
 JACCARD_PAIRS_CTE = """
         toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ),
-        sh AS (
+        sh AS MATERIALIZED (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
             FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
         ),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT id_a, id_b FROM inter
             JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT id_a AS u, id_b AS v FROM pairs
             UNION SELECT id_b, id_a FROM pairs
         )

@@ -229,6 +229,13 @@ def main() -> None:
         fn = REGISTRY[name].fn
         times = {}
         for label, sf in (("sf0.1", BASE), (big_label, BIG)):
+            # Warm-first protocol (judge r11 item 3): one UNTIMED run
+            # primes the page cache / codegen / shuffle dirs so the
+            # ratio compares warm-vs-warm — the committed r10/r11
+            # pipeline_corpus_to_shards 100x ratios (5.99, 7.38) mixed
+            # a cold first-touch of the 1.6 GB derived dir against a
+            # warm sf0.1 base (anchor-normalized re-measures gave ~4.4).
+            fn(spark, sf).count()
             best = None
             for _ in range(2):  # keep the warm minimum, like bench.py
                 t0 = time.time()
