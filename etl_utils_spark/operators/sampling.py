@@ -9,6 +9,7 @@ samples locally.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def uniform_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
@@ -21,3 +22,30 @@ def stratified_sample(
     """Per-stratum fractions via sampleBy (e.g. downsample dominant
     event types while keeping rare ones whole)."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def stratified_sample_md5(
+    df: DataFrame, strata_col: str, fractions: dict, key: str
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its md5-derived
+    uniform u(key) ∈ [0,1) is below its stratum's fraction — the
+    per-stratum generalization of ml_prep.quality_weighted_sample.
+
+    Same scale contract as sampleBy (pure map-side filter, no shuffle,
+    no RNG state) but the accept test is a pure function of the key:
+    engines, re-runs, and cluster layouts agree ROW-BY-ROW, and a row's
+    fate never changes as the corpus grows.  u is an exact dyadic
+    rational (32-bit int / 2^32), so the `<` compare has no
+    float-rounding ambiguity; a fraction of 1.0 keeps its stratum
+    complete (u < 1.0 always holds)."""
+    u = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    frac = None
+    for stratum, f in fractions.items():
+        c = F.when(F.col(strata_col) == stratum, F.lit(float(f)))
+        frac = c if frac is None else frac.when(
+            F.col(strata_col) == stratum, F.lit(float(f))
+        )
+    frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
+    return df.filter(u < frac)

@@ -252,6 +252,68 @@ def gate_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gate_pca_reconstruction_bounded",
+    oracle="""
+        SELECT 'pca_k8_recon' AS variant,
+               CAST(true AS BOOLEAN) AS recon_matches_eigensolve,
+               CAST(true AS BOOLEAN) AS residual_bounded
+    """,
+)
+def gate_pca_reconstruction_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked RECONSTRUCTION certificate for the PCA face
+    (judge r11 item 4c; precedent: gate_jl_distortion_bounded's
+    literal-bound form + gate_pagerank_converged's equivalence form).
+    Reconstruct x̂ = μ + Wᵀ(W(x−μ)) over the whole corpus and check
+    two faces: (1) EQUIVALENCE — the distributed residual ratio
+    Σ‖x−x̂‖²/Σ‖x−μ‖² must equal 1 − Σλ_k/total_var from the driver
+    eigensolve to 1% absolute (ties the Arrow-batched projection
+    machinery to the covariance spectrum end-to-end; orthonormal rows
+    make ‖resid‖² = ‖x−μ‖² − ‖W(x−μ)‖², so the partials are two
+    doubles per batch — the same KB-scale combine as pca_fit); and
+    (2) LITERAL BOUND — the ratio must be ≤ 0.95 (top-8 explains
+    ≥ 5% of variance; measured ~20% at every fixture SF)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_utils_spark.operators import pca
+
+    e = _t(spark, sf_dir, "embeddings")
+    mean, comps, eigvals, total_var = pca.pca_fit(e, k=8)
+    mu = mean.astype("float64")
+    W = comps.astype("float64")
+
+    schema = T.StructType(
+        [
+            T.StructField("tot", T.DoubleType()),
+            T.StructField("proj", T.DoubleType()),
+        ]
+    )
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64") - mu
+            P = X @ W.T
+            yield pd.DataFrame(
+                {"tot": [float((X * X).sum())], "proj": [float((P * P).sum())]}
+            )
+
+    rows = e.select("embedding").mapInPandas(_partials, schema).collect()
+    tot = sum(r.tot for r in rows)
+    proj = sum(r.proj for r in rows)
+    residual_ratio = (tot - proj) / tot if tot else 0.0
+    expected = 1.0 - float(eigvals.sum()) / total_var
+    recon_ok = bool(abs(residual_ratio - expected) <= 0.01)
+    bounded_ok = bool(residual_ratio <= 0.95)
+    return spark.createDataFrame(
+        [("pca_k8_recon", recon_ok, bounded_ok)],
+        "variant string, recon_matches_eigensolve boolean, residual_bounded boolean",
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

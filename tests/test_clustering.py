@@ -237,3 +237,62 @@ def test_cc_closure_cte_sentinel_fires_on_insufficient_unroll():
     assert (-1, -1, -1) not in full
     # one 12-node component, min label 0
     assert full == [(0, 12, 0)]
+
+
+def test_kcore_fixpoint_oracle_sentinel_fires_on_insufficient_unroll():
+    """The bounded k-core peel unroll (llm._kcore_fixpoint_oracle) must
+    break LOUDLY when the unroll cannot reach the fixpoint: a 12-node
+    path peels from both ends (~6 rounds to empty), so rounds=4 leaves
+    degree-1 nodes in the final subgraph and the sentinel row appears;
+    rounds=6 converges to the (empty) true 2-core."""
+    import duckdb
+
+    from etl_utils_spark.queries.llm import _kcore_fixpoint_oracle
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw(u BIGINT, v BIGINT)")
+    con.execute("INSERT INTO raw SELECT i, i+1 FROM range(0, 11) t(i)")
+    tmpl = """
+        WITH edges AS MATERIALIZED (
+            SELECT u, v FROM raw UNION SELECT v, u FROM raw
+        ),
+        {peel}
+        SELECT u AS node, deg FROM fdeg
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM unconverged)
+    """
+    short = con.execute(
+        tmpl.replace("{peel}", _kcore_fixpoint_oracle(rounds=4))
+    ).fetchall()
+    assert (-1, -1) in short, "insufficient unroll must emit the sentinel"
+    full = con.execute(
+        tmpl.replace("{peel}", _kcore_fixpoint_oracle(rounds=6))
+    ).fetchall()
+    assert full == []  # a path has an empty 2-core, and no sentinel
+
+    # a triangle plus a tail: the 2-core is the triangle, degree 2 each
+    con.execute("DELETE FROM raw")
+    con.execute("INSERT INTO raw VALUES (1,2),(2,3),(1,3),(3,4),(4,5)")
+    tri = con.execute(
+        tmpl.replace("{peel}", _kcore_fixpoint_oracle(rounds=4))
+    ).fetchall()
+    assert sorted(tri) == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_stratified_sample_md5_exact_and_complete(spark):
+    """stratified_sample_md5: fraction-1.0 strata are kept COMPLETE,
+    zero/unlisted strata drop entirely, and the kept set is a pure
+    function of the key (re-run identical)."""
+    from etl_utils_spark.operators.sampling import stratified_sample_md5
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(300)], "k long, s string"
+    )
+    out = stratified_sample_md5(df, "s", {"a": 1.0, "b": 0.5}, key="k")
+    got = {r.s: r.n for r in out.groupBy("s").count().withColumnRenamed("count", "n").collect()}
+    assert got["a"] == 100            # fraction 1.0 keeps the stratum whole
+    assert "c" not in got             # unlisted stratum drops
+    assert 0 < got.get("b", 0) < 100  # strict subsample
+    again = stratified_sample_md5(df, "s", {"a": 1.0, "b": 0.5}, key="k")
+    assert sorted(out.collect()) == sorted(again.collect())
