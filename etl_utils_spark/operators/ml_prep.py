@@ -25,6 +25,21 @@ def hash_bucket(col: str | Column, n_buckets: int = 10) -> Column:
     return F.pmod(h, F.lit(n_buckets))
 
 
+def md5_uniform(key: str | Column) -> Column:
+    """u(key) ∈ [0,1): md5 hex → first 8 chars → 32-bit int / 2^32.
+    An exact dyadic rational, so `<`-compares against it have no
+    float-rounding ambiguity either engine could resolve differently.
+    THE accept-test primitive for every deterministic sampler in the
+    repo (quality_weighted_sample, sampling.stratified_sample_md5) and
+    the expression every sampling oracle mirrors verbatim — one
+    definition, or the engine and its hash certification silently
+    desynchronize (code-review r12)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
 def quality_weighted_sample(
     df: DataFrame, key: str, score_col: str
 ) -> DataFrame:
@@ -38,10 +53,7 @@ def quality_weighted_sample(
     and a doc's fate never changes as the corpus grows. u is an exact
     dyadic rational (32-bit int / 2^32), so the `<` compare has no
     float-rounding ambiguity either engine could resolve differently."""
-    u = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(4294967296.0)
-    return df.filter(u < F.col(score_col))
+    return df.filter(md5_uniform(key) < F.col(score_col))
 
 
 def train_test_split(

@@ -38,14 +38,15 @@ def stratified_sample_md5(
     rational (32-bit int / 2^32), so the `<` compare has no
     float-rounding ambiguity; a fraction of 1.0 keeps its stratum
     complete (u < 1.0 always holds)."""
-    u = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(4294967296.0)
+    from etl_utils_spark.operators.ml_prep import md5_uniform
+
     frac = None
     for stratum, f in fractions.items():
-        c = F.when(F.col(strata_col) == stratum, F.lit(float(f)))
-        frac = c if frac is None else frac.when(
-            F.col(strata_col) == stratum, F.lit(float(f))
+        cond = F.col(strata_col) == stratum
+        frac = (
+            F.when(cond, F.lit(float(f)))
+            if frac is None
+            else frac.when(cond, F.lit(float(f)))
         )
     frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
-    return df.filter(u < frac)
+    return df.filter(md5_uniform(key) < frac)

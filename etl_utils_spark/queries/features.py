@@ -305,7 +305,10 @@ def gate_pca_reconstruction_bounded(spark: SparkSession, sf_dir: str) -> DataFra
     tot = sum(r.tot for r in rows)
     proj = sum(r.proj for r in rows)
     residual_ratio = (tot - proj) / tot if tot else 0.0
-    expected = 1.0 - float(eigvals.sum()) / total_var
+    # degenerate corpus (all vectors identical): total_var == 0 and
+    # everything reconstructs exactly — expected residual 0, not a
+    # ZeroDivisionError crashing the gate (code-review r12)
+    expected = 1.0 - (float(eigvals.sum()) / total_var if total_var else 1.0)
     recon_ok = bool(abs(residual_ratio - expected) <= 0.01)
     bounded_ok = bool(residual_ratio <= 0.95)
     return spark.createDataFrame(
