@@ -1,0 +1,47 @@
+"""Dump .explain("formatted") for named queries into plans/r12/.
+
+Usage::
+
+    python scripts/dump_plan_files.py before name1 name2 ...
+    python scripts/dump_plan_files.py after  name1 name2 ...
+
+Writes plans/r12/<name>_<suffix>.txt (the optimization-round evidence
+files the judge checks plan claims against).  Uses sf0.001 and a small
+local session — plan SHAPE is SF-independent for these queries.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main() -> int:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    assert suffix in ("before", "after"), "first arg must be before|after"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    from etl_utils_spark.plans import formatted_plan
+    from etl_utils_spark.queries import REGISTRY
+    from etl_utils_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-dump-r12", cpus=4, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out_dir = os.path.join(_REPO, "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan.strip() + "\n")
+        print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
