@@ -466,13 +466,16 @@ def stats_ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("i1").cast("long").alias("c1"),
             F.sum("i2").cast("long").alias("c2"),
         )
-        .localCheckpoint(eager=True)  # prefix_sum makes three passes
+        .localCheckpoint(eager=True)  # prefix_sum re-reads it twice
     )
-    pc = prefix_sum(c, "v", "c1", out_col="cum1").localCheckpoint(eager=True)
-    pc = prefix_sum(pc, "v", "c2", out_col="cum2")
-    n = s.agg(
-        F.sum("i1").cast("decimal(18,0)").alias("n1"),
-        F.sum("i2").cast("decimal(18,0)").alias("n2"),
+    # r12: BOTH ECDFs ride one multi-column prefix_sum (one bucketing,
+    # one window exchange) instead of two chained full calls, and the
+    # sample sizes come from the value-cardinality-bounded count frame
+    # (exact integer sums — identical values), not a second corpus pass.
+    pc = prefix_sum(c, "v", value_cols={"c1": "cum1", "c2": "cum2"})
+    n = c.agg(
+        F.sum("c1").cast("decimal(18,0)").alias("n1"),
+        F.sum("c2").cast("decimal(18,0)").alias("n2"),
     )
     d = (
         pc.crossJoin(F.broadcast(n))
@@ -575,9 +578,11 @@ def stats_mann_whitney_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum2r1"),
         F.sum(dct * dct * dct - dct).alias("tsum"),
     )
-    n = s.agg(
-        F.sum("i1").cast("decimal(18,0)").alias("n1"),
-        F.count(F.lit(1)).cast("decimal(18,0)").alias("nn"),
+    # r12: sample sizes from the count frame, not a second corpus pass
+    # (exact integer sums — identical values).
+    n = c.agg(
+        F.sum("c1").cast("decimal(18,0)").alias("n1"),
+        F.sum("ct").cast("decimal(18,0)").alias("nn"),
     )
     f = agg.crossJoin(F.broadcast(n)).select(
         "sum2r1",
