@@ -42,14 +42,97 @@ def exact_quantile(
     the value at 0-based rank ``floor((n-1)·q)`` in ascending order).
     Returns None on an empty input.  Null values are ignored (SQL
     aggregate semantics)."""
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"q must be in [0,1], got {q}")
+    return exact_quantiles(df, col, [q], accuracy, take_limit, max_rounds)[0]
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    accuracy: int = 10_000,
+    take_limit: int = 1_000_000,
+    max_rounds: int = 64,
+) -> list[float | None]:
+    """Exact quantiles for SEVERAL fractions with SHARED passes (r12,
+    guide §1.2 — don't repeat full passes the targets can share): one
+    count, one sketch bracketing every target, one verification
+    aggregate for all brackets, then a bounded selection per target.
+    Targets whose first-round bracket under-delivers (cannot happen
+    within the sketch error bound, but verify-don't-trust) fall back
+    to the per-target :func:`exact_rank` loop."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0,1], got {q}")
     vals = df.select(F.col(col).alias("x")).filter(F.col("x").isNotNull())
     n = vals.count()
     if n == 0:
-        return None
-    target = int((n - 1) * q)  # 0-based global rank
-    return exact_rank(df, col, target, accuracy, take_limit, max_rounds, n_hint=n)
+        return [None for _ in qs]
+    targets = [int((n - 1) * q) for q in qs]
+    return exact_ranks(
+        vals, "x", targets, accuracy, take_limit, max_rounds, n_hint=n
+    )
+
+
+def exact_ranks(
+    df: DataFrame,
+    col: str,
+    targets: list[int],
+    accuracy: int = 10_000,
+    take_limit: int = 1_000_000,
+    max_rounds: int = 64,
+    n_hint: int | None = None,
+) -> list[float | None]:
+    """Values at EXACT 0-based ascending ranks ``targets`` (nulls
+    ignored), sharing the sketch and verification passes across every
+    target: one ``percentile_approx`` with all 2·k bracket fractions,
+    one aggregate computing (below, inside) for all k brackets, then a
+    bounded per-bracket selection.  k targets cost 2 + k bounded jobs
+    instead of k·(3..5) full-pass jobs."""
+    vals = df.select(F.col(col).alias("x")).filter(F.col("x").isNotNull())
+    n = n_hint if n_hint is not None else vals.count()
+    if n == 0:
+        return [None for _ in targets]
+    for t in targets:
+        if not 0 <= t < n:
+            raise ValueError(f"rank {t} outside [0, {n})")
+    margin = 2.0 / accuracy
+    fracs: list[float] = []
+    for t in targets:
+        fracs.append(max(0.0, t / max(n - 1, 1) - margin))
+        fracs.append(min(1.0, t / max(n - 1, 1) + margin))
+    row = vals.agg(F.percentile_approx("x", fracs, accuracy).alias("b")).collect()[0]
+    bounds = [(row["b"][2 * i], row["b"][2 * i + 1]) for i in range(len(targets))]
+    stat_cols = []
+    for i, (lo, hi) in enumerate(bounds):
+        stat_cols.append(
+            F.sum(F.when(F.col("x") < lo, 1).otherwise(0)).alias(f"below{i}")
+        )
+        stat_cols.append(
+            F.sum(
+                F.when((F.col("x") >= lo) & (F.col("x") <= hi), 1).otherwise(0)
+            ).alias(f"inside{i}")
+        )
+    stats = vals.agg(*stat_cols).collect()[0]
+    out: list[float | None] = []
+    for i, (t, (lo, hi)) in enumerate(zip(targets, bounds)):
+        below = stats[f"below{i}"] or 0
+        inside = stats[f"inside{i}"] or 0
+        if 0 <= t - below < inside:
+            k = t - below
+            if lo == hi:
+                out.append(lo)
+                continue
+            if inside <= take_limit:
+                cand = vals.filter((F.col("x") >= lo) & (F.col("x") <= hi))
+                out.append(
+                    cand.orderBy("x").limit(k + 1).agg(F.max("x")).collect()[0][0]
+                )
+                continue
+        # bracket missed or too large: per-target convergence loop
+        out.append(
+            exact_rank(vals, "x", t, accuracy, take_limit, max_rounds, n_hint=n)
+        )
+    return out
 
 
 def exact_rank(
@@ -71,10 +154,13 @@ def exact_rank(
         return None
     if not 0 <= target < n:
         raise ValueError(f"rank {target} outside [0, {n})")
-    frame, rank_offset = vals, 0
+    # m (the remaining frame's row count) is tracked arithmetically —
+    # the initial count is n, a bracket recursion leaves `inside` rows,
+    # a bisection leaves `cnt_le` / `m - cnt_le` — so the loop never
+    # pays a count() job (r12: one full pass per round removed).
+    frame, rank_offset, m = vals, 0, n
     margin = 2.0 / accuracy
     for _ in range(max_rounds):
-        m = frame.count()
         local_target = target - rank_offset
         # local quantile of the remaining frame that pins the target
         ql = max(0.0, local_target / max(m - 1, 1) - margin)
@@ -110,6 +196,7 @@ def exact_rank(
             # recurse into the bracket; ranks below it are accounted
             frame = frame.filter((F.col("x") >= lo) & (F.col("x") <= hi))
             rank_offset += below
+            m = inside
             margin = 2.0 / accuracy
             continue
         # Sketch made no progress (bracket covers the whole frame —
@@ -120,9 +207,11 @@ def exact_rank(
         cnt_le = frame.filter(F.col("x") <= mid).count()
         if local_target < cnt_le:
             frame = frame.filter(F.col("x") <= mid)
+            m = cnt_le
         else:
             frame = frame.filter(F.col("x") > mid)
             rank_offset += cnt_le
+            m = m - cnt_le
         margin = 2.0 / accuracy
     raise RuntimeError("exact_quantile failed to converge")
 

@@ -701,10 +701,14 @@ def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection bounded at any corpus size.  No global sort anywhere.
     The outputs are ACTUAL data values, so the cross-engine match is
     bit-exact with no rounding."""
-    from etl_utils_spark.operators.order_stats import exact_quantile
+    from etl_utils_spark.operators.order_stats import exact_quantiles
 
     o = _t(spark, sf_dir, "orders")
-    vals = [exact_quantile(o, "o_totalprice", q) for q in (0.5, 0.9, 0.99)]
+    # r12: one shared count + one shared sketch + one shared bracket
+    # verification for all three targets (3 independent searches paid
+    # 3x the full passes before); per-target work is only the bounded
+    # in-bracket selection.
+    vals = exact_quantiles(o, "o_totalprice", [0.5, 0.9, 0.99])
     return spark.createDataFrame([tuple(vals)], "p50 double, p90 double, p99 double")
 
 
@@ -768,7 +772,7 @@ def exact_percentile_cont_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the IDENTICAL double arithmetic on both engines (the oracle's
     0.9 is cast to DOUBLE so frac is the same IEEE value, and a/b are
     exact 2-decimal data values).  Emitted unrounded."""
-    from etl_utils_spark.operators.order_stats import exact_rank
+    from etl_utils_spark.operators.order_stats import exact_ranks
 
     o = _t(spark, sf_dir, "orders")
     vals = o.select("o_totalprice").filter(F.col("o_totalprice").isNotNull())
@@ -776,8 +780,9 @@ def exact_percentile_cont_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = (n - 1) * 0.9
     k = int(rank)
     frac = rank - k
-    a = exact_rank(o, "o_totalprice", k, n_hint=n)
-    b = exact_rank(o, "o_totalprice", min(k + 1, n - 1), n_hint=n)
+    # r12: both order statistics share one sketch + one verification
+    # pass (exact_ranks) instead of two independent bracket searches.
+    a, b = exact_ranks(o, "o_totalprice", [k, min(k + 1, n - 1)], n_hint=n)
     return spark.createDataFrame(
         [(a + (b - a) * frac, n)], "p90_cont double, n bigint"
     )
