@@ -408,16 +408,27 @@ def simhash_sig(
     distance is a single ``bit_count(sig_a ^ sig_b)`` instead of a
     64-step ``zip_with`` fold.  The md5_60 flavor uses bits=60 (the
     hash is 60 bits wide and always positive, so signed ``>>`` in plain
-    SQL reproduces every shift exactly)."""
+    SQL reproduces every shift exactly).
+
+    Shape (r12, guide §2.3-2.4): ONE exchange.  The per-bit ±1 sums run
+    directly over exploded token instances with map-side partial
+    aggregation on ``sid`` — arithmetically identical to the previous
+    per-(sid, token) pre-count (an integer sum commutes over collapsing
+    duplicate tokens: Σ_instances sign_j = Σ_tokens cnt·sign_j), but
+    the (sid, token-string) pre-count exchange is gone and the hash is
+    a projected column computed once per instance pre-shuffle instead
+    of a string-keyed group plus 60-64 hash-expression references.
+    Verified bit-identical on both hash families before the switch."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tok = df.select(
-        F.col(id_col).alias("sid"), F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).groupBy("sid", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    h = _hash60(F.col("token"), hash_family)
+        F.col(id_col).alias("sid"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).select("sid", _hash60(F.col("token"), hash_family).alias("h"))
     aggs = [
         F.sum(
-            F.col("cnt")
-            * F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(bits)
     ]
