@@ -247,11 +247,15 @@ def weighted_quantiles(
     num_partitions: int = 16,
 ):
     """Exact weighted quantiles for SEVERAL fractions from ONE pass:
-    the (value → weight-sum) aggregate, the distributed prefix sum,
-    and the 1-row total are built once and localCheckpointed; each
-    fraction then costs only a bounded min-aggregate over the cum
-    frame.  Same integer-exact rank test as :func:`weighted_quantile`
-    (which is now a 1-fraction wrapper)."""
+    the (value → weight-sum) aggregate and the 1-row total are built
+    once (the aggregate localCheckpointed — four consumers read it),
+    then ALL fractions are answered by ONE conditional-min aggregate
+    over the prefix-sum frame (r12, guide §1.2: the per-fraction
+    filter+min collects each re-ran the cum plan, plus a full
+    localCheckpoint materialization to amortize them; a single
+    ``min(CASE WHEN cw·den ≥ num·tw THEN x END)`` per fraction reads it
+    exactly once with no materialization).  Same integer-exact rank
+    test as :func:`weighted_quantile` (now a 1-fraction wrapper)."""
     from etl_utils_spark.operators.ids import prefix_sum
 
     for q_num, q_den in fractions:
@@ -272,11 +276,12 @@ def weighted_quantiles(
         agg, order_col="x", value_col="wx", out_col="cw",
         num_partitions=num_partitions,
     )
-    if len(fractions) > 1:
-        # several bounded min-aggregates will read cum — materialize it
-        # once; the single-fraction path streams straight through
-        cum = cum.localCheckpoint(eager=True)
-    return [
-        cum.filter(F.col("cw") * q_den >= q_num * tw).agg(F.min("x")).collect()[0][0]
-        for q_num, q_den in fractions
-    ]
+    row = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("cw") * q_den >= q_num * tw, F.col("x"))
+            ).alias(f"_q{i}")
+            for i, (q_num, q_den) in enumerate(fractions)
+        ]
+    ).collect()[0]
+    return [row[i] for i in range(len(fractions))]
