@@ -303,25 +303,24 @@ def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Margins join AFTER the top-k cut (20 rows), so the lift stage
     touches 20 rows + the margin aggregate; the ratio is one IEEE
     division of exact counts (unrounded, bit-identical)."""
-    li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    nord = op.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n"))
-    marg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
-        .limit(20)
+    from etl_utils_spark.queries.scale_ops import (
+        copurchase_pair_counts,
+        order_part_baskets,
     )
+
+    li = _t(spark, sf_dir, "lineitem")
+    # r12 (guide §2.4): baskets replace the op self-join — the basket
+    # exchange is built once and REUSED by all three readers below
+    # (pairs / margins / order count), so the whole query runs off one
+    # data-scale exchange plus bounded aggregates.
+    baskets = order_part_baskets(li)
+    nord = baskets.agg(F.count(F.lit(1)).alias("n"))
+    marg = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    pairs = copurchase_pair_counts(li)
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
     mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
     return (

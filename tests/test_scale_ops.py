@@ -31,6 +31,11 @@ def test_global_ids_single_row_and_skewed_partitions(spark):
 
 
 def test_global_ids_no_global_window(spark, sf_dir):
+    # r12: the operator now runs its in-bucket running aggregate as a
+    # JVM window PARTITIONED BY the literal-boundary bucket id (bounded
+    # partitions).  The scale property this gate protects is "no
+    # single-reducer stage": every exchange must be the bucket hash
+    # shuffle, never a 1-partition exchange feeding a global window.
     plan = (
         REGISTRY["assign_global_ids_docs"]
         .fn(spark, sf_dir)
@@ -38,10 +43,18 @@ def test_global_ids_no_global_window(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "Window" not in plan, plan[:800]
-    # bucket shuffle, not a 1-partition exchange
+    # the data-scale pass: bucket hash shuffle + bucket-partitioned
+    # window (never an unpartitioned window over the rows)
     assert "hashpartitioning(_bucket" in plan, plan[:800]
-    assert "SinglePartition" not in plan, plan[:800]
+    assert "row_number() windowspecdefinition(_bucket" in plan, plan[:800]
+    # any SinglePartition exchange must sit above the per-bucket
+    # totals aggregate (<= num_partitions rows, bounded by the
+    # constant bucket count) — never above a data-scale subtree
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate(keys=[_bucket" in below, plan[:800]
 
 
 def test_boilerplate_dedup_drops_shared_passages(spark):
