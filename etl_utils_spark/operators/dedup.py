@@ -112,6 +112,38 @@ def hashed_shingles(
     )
 
 
+def _posting_pair_counts(sh: DataFrame) -> DataFrame:
+    """(id_a < id_b, n_inter = shared-shingle count) from a (sid, sh)
+    frame via per-shingle posting lists (r12, guide §2.4): ONE exchange
+    builds sorted posting arrays per shingle, all ordered pairs expand
+    ROW-LOCALLY with nested Catalyst ``transform`` (sorted order makes
+    a < b structural), and one more exchange counts pairs.  Replaces
+    the inverted-index SELF-JOIN, which shuffled the shingle frame
+    twice more and hash-joined it against itself.
+
+    The pair fan-out of a hot shingle is identical to the join's
+    (candidate-pair count is a property of EXACT pairwise semantics,
+    not of the plan); the posting array additionally materializes the
+    hot doc-list per row, so truly corpus-scale dedup belongs to the
+    prefix-filter / MinHash / SimHash operators — this is the exact
+    face."""
+    posting = sh.groupBy("sh").agg(F.sort_array(F.collect_list("sid")).alias("ids"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids") - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        posting.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -119,26 +151,17 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity join via inverted index.
+    """EXACT n-gram Jaccard similarity pairs via per-shingle posting
+    lists (:func:`_posting_pair_counts` — one exchange + row-local pair
+    expansion instead of the former inverted-index self-join).
 
     candidate pairs = docs sharing ≥1 shingle (an exact superset of any
-    pair with J>0); per pair, |A∩B| falls out of the join count and
+    pair with J>0); per pair, |A∩B| falls out of the pair count and
     |A|,|B| from per-doc shingle counts. Output: (id_a, id_b, jaccard)
     with id_a < id_b, jaccard ≥ threshold."""
     sh = hashed_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
-
-    a = sh.select(F.col("sid").alias("id_a"), "sh")
-    b = sh.select(F.col("sid").alias("id_b"), "sh")
-    # Shingle doc-frequency is Zipfian: a sort-merge join degenerates on
-    # the hot keys (quadratic per-key buffering). A hash join streams
-    # them.
-    inter = (
-        a.join(b.hint("shuffle_hash"), "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = _posting_pair_counts(sh)
     sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (
@@ -164,19 +187,12 @@ def overlap_coefficient_pairs(
     The containment measure Jaccard misses: a short document quoted
     verbatim inside a long one scores overlap ≈ 1 but Jaccard ≈
     |A|/|B| → 0, so near-containment dedup (boilerplate, embedded
-    quotes, subset pages) needs this join. Same inverted-index shape as
+    quotes, subset pages) needs this join. Same posting-list shape as
     :func:`ngram_jaccard_pairs` — candidates share ≥1 shingle, which is
     exact for any threshold > 0."""
     sh = hashed_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("sid").alias("id_a"), "sh")
-    b = sh.select(F.col("sid").alias("id_b"), "sh")
-    inter = (
-        a.join(b.hint("shuffle_hash"), "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = _posting_pair_counts(sh)
     sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("n_b"))
     ovl = F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
