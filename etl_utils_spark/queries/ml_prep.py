@@ -516,31 +516,38 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval decontamination: test documents sharing any verbatim 8-gram
     with ANY train document (the standard benchmark-leakage check) —
     output is (test doc, distinct shared 8-grams). Same md5 split rule
-    as split_train_test_docs; the gram join runs on xxhash64 longs (the
-    64-bit space keeps cross-collision odds ~1e-9 at fixture scale and
-    far below 1 even at 100 TB gram counts), so the exchange carries
-    8-byte keys, never gram text — a shuffle hash semi-shape join where
-    both sides stay corpus-scale."""
+    as split_train_test_docs; grams are xxhash64 longs (the 64-bit
+    space keeps cross-collision odds ~1e-9 at fixture scale and far
+    below 1 even at 100 TB gram counts), so the exchange carries
+    8-byte keys, never gram text.
+
+    r12 shape (guide §2.4): the split flag is a PURE FUNCTION of
+    doc_id, so it is computed row-locally on the shingle frame (the
+    former lab join + eager localCheckpoint of the joined frame are
+    gone), and ONE groupBy(gram) builds a posting row per gram —
+    any-train flag + test doc list.  Exploding the test lists of
+    in-train grams emits each (gram, test doc) exactly once (shingles
+    are distinct per doc), so the per-doc tally is a plain count — the
+    former train-distinct exchange, shuffle-hash join and two-phase
+    count_distinct all collapse into that single posting aggregate
+    plus one bounded count."""
     from etl_utils_spark.operators.dedup import hashed_shingles
     from etl_utils_spark.operators.ml_prep import hash_bucket
 
     docs = _t(spark, sf_dir, "documents")
-    lab = docs.select(
-        "doc_id", (hash_bucket(F.col("doc_id").cast("string"), 10) >= 8).alias("is_test")
-    )
     sh = hashed_shingles(docs, "doc_id", "text", n=8).withColumnRenamed("sid", "doc_id")
-    # Two consumers (train gram set + test probe) would re-run the
-    # tokenize/explode lineage twice; materialize the narrow
-    # (8-byte gram hash, doc_id, flag) frame once — measured 7.0→2.1s
-    # cold at sf0.1.  At 100 TB swap for persist(DISK_ONLY) or a
-    # staged write: the frame is ~|tokens| rows but only 17 bytes wide.
-    sh = sh.join(lab, "doc_id").localCheckpoint(eager=True)
-    train_g = sh.filter(~F.col("is_test")).select("sh").distinct()
-    test_g = sh.filter(F.col("is_test")).select("doc_id", "sh")
+    sh = sh.withColumn(
+        "is_test", hash_bucket(F.col("doc_id").cast("string"), 10) >= 8
+    )
+    posting = sh.groupBy("sh").agg(
+        F.max(~F.col("is_test")).alias("in_train"),
+        F.collect_list(F.when(F.col("is_test"), F.col("doc_id"))).alias("test_ids"),
+    )
     return (
-        test_g.join(train_g.hint("shuffle_hash"), "sh")
+        posting.filter("in_train")
+        .select(F.explode("test_ids").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(F.count_distinct("sh").alias("n_shared_ngrams"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
 
 
