@@ -252,14 +252,37 @@ def jaccard_prefix_pairs(
         "n_sh",
         F.explode(F.slice(F.col("items.sh"), F.lit(1), prefix_len)).alias("sh"),
     )
-    pa = prefix.select(F.col("sid").alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
-    pb = prefix.select(F.col("sid").alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+    # r12 (guide §2.4): per-prefix-shingle posting arrays replace the
+    # prefix self-join — one exchange instead of two + ShuffledHashJoin,
+    # with pairs (and the size filter) expanded row-locally.  Prefix
+    # postings are short BY CONSTRUCTION (prefix filtering indexes only
+    # each doc's rarest shingles — that is the algorithm's point), so
+    # the per-row array is bounded in practice where a raw
+    # inverted-index posting would not be.  Verified result-identical
+    # to the join formulation at sf0.1 before the switch.
+    post = prefix.groupBy("sh").agg(
+        F.array_sort(F.collect_list(F.struct("sid", "n_sh"))).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size("ps") - i - F.lit(1)),
+                lambda y: F.struct(
+                    x.sid.alias("id_a"),
+                    x.n_sh.alias("n_a"),
+                    y.sid.alias("id_b"),
+                    y.n_sh.alias("n_b"),
+                ),
+            ),
+        )
+    )
     # cached for the same two-reader reason as minhash_lsh_pairs
     cands = (
-        pa.join(pb.hint("shuffle_hash"), "sh")
+        post.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
             & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
         )
         .select("id_a", "id_b")
