@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_utils_spark.operators.ids import assign_global_ids
 from etl_utils_spark.queries.registry import query
@@ -572,10 +573,18 @@ def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice("toks", i * _CHUNK + 1, _CHUNK), " "),
             )
         ).alias("pos", "passage"),
-    ).withColumn("h", F.md5("passage"))
-    freq = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    ).withColumn("h", F.xxhash64("passage"))
+    # r12 (guide §2.3-2.4): the passage key is the 8-byte xxhash64
+    # currency (the repo-wide hash idiom; the oracle's md5 grouping is
+    # equivalent modulo negligible 64-bit collisions — no hash appears
+    # in the output), and the per-passage doc frequency comes from ONE
+    # window over h instead of a groupBy + join back (which exchanged
+    # the narrow freq frame AND re-exchanged the passage-carrying
+    # chunks for the join).  The hot-passage skew lands on rows the
+    # filter immediately DROPS (n_docs ≥ threshold) in either shape.
+    w_h = Window.partitionBy("h")
     kept = (
-        chunks.join(freq, "h")
+        chunks.withColumn("n_docs", F.size(F.collect_set("doc_id").over(w_h)))
         .where(F.col("n_docs") < _BOILER_MIN_DOCS)
         .select("doc_id", "pos", "passage")
     )
