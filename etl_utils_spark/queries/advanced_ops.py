@@ -332,7 +332,9 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_utils_spark.streaming.stateful import running_user_counts
 
     s = W.read_events_stream(spark, sf_dir)
-    return W.run_stream_to_batch(spark, running_user_counts(s), output_mode="update")
+    return W.run_stream_to_batch(
+        spark, running_user_counts(s), output_mode="update", python_stateful=True
+    )
 
 
 @query(
@@ -365,7 +367,9 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_utils_spark.streaming.stateful import running_ewma
 
     s = W.read_events_stream(spark, sf_dir)
-    return W.run_stream_to_batch(spark, running_ewma(s), output_mode="update").select(
+    return W.run_stream_to_batch(
+        spark, running_ewma(s), output_mode="update", python_stateful=True
+    ).select(
         "user_id", "event_id", "value", "ewma"
     )
 

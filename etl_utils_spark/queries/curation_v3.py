@@ -411,7 +411,9 @@ def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_utils_spark.streaming.stateful import running_cusum
 
     s = W.read_events_stream(spark, sf_dir)
-    return W.run_stream_to_batch(spark, running_cusum(s), output_mode="update").select(
+    return W.run_stream_to_batch(
+        spark, running_cusum(s), output_mode="update", python_stateful=True
+    ).select(
         "user_id", "event_id", "value", "cusum"
     )
 

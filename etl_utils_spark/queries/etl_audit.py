@@ -365,7 +365,10 @@ def stream_python_datasource_live(spark: SparkSession, sf_dir: str) -> DataFrame
     registered the source.  Dropping the override entirely also
     measured 2-4× slower (4 micro-batches × 16-32 shuffle partitions
     of stateful tiny tasks vs 8), so the set/restore stays, with this
-    record as the why."""
+    record as the why.  r12: the pinned 8 became the shared
+    scale-adaptive ``stream_shuffle_partitions`` (guide §2.2 — each
+    state store pays a fixed commit cost per micro-batch, ×4 batches
+    here)."""
     import uuid
 
     from pyspark.sql import functions as F2
@@ -385,9 +388,11 @@ def stream_python_datasource_live(spark: SparkSession, sf_dir: str) -> DataFrame
         F2.min("row_id").alias("first_row"),
         F2.max("row_id").alias("last_row"),
     )
+    from etl_utils_spark.streaming.windows import stream_shuffle_partitions
+
     name = f"pyds_sink_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle_partitions(spark))
     try:
         q = (
             agg.writeStream.format("memory")

@@ -166,6 +166,8 @@ def stream_funnel_stages_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_utils_spark.streaming.stateful import running_funnel
 
     s = read_events_stream(spark, sf_dir)
-    return run_stream_to_batch(spark, running_funnel(s), output_mode="update").select(
+    return run_stream_to_batch(
+        spark, running_funnel(s), output_mode="update", python_stateful=True
+    ).select(
         "user_id", "t1", "t2", "t3"
     )

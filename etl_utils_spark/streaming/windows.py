@@ -112,23 +112,57 @@ def dedup_within_watermark(events: DataFrame, delay: str = "10 minutes") -> Data
     return w.dropDuplicates(["event_id"])
 
 
+def stream_shuffle_partitions(
+    spark: SparkSession, python_stateful: bool = False
+) -> str:
+    """Shuffle/state-store partition count for harness stream runs.
+
+    Every stateful streaming operator keeps one state store per shuffle
+    partition, and each store pays a fixed open/delta-file/commit cost
+    PER MICRO-BATCH regardless of data volume — on these AvailableNow
+    memory-sink harness runs that fixed cost dwarfs the data (guide
+    §2.2: fewer, larger partitions; r12 A/B: 8 stores → 2 saved
+    0.3-1.0s per JVM-stateful live query at sf0.1, results identical).
+
+    ``python_stateful`` marks applyInPandasWithState pipelines, where
+    the binding resource is Python WORKER parallelism, not store count
+    (guide §4: the per-key pandas boundary is the cost): the r12 sweep
+    measured 2 partitions 1.4-2.3× SLOWER than 8 for cusum/ewma/funnel,
+    with 8 ≈ 16 best at 32 cores — so those get defaultParallelism/4.
+
+    Both defaults scale with the cluster rather than pinning a local
+    constant; a production continuous stream sizes state partitions to
+    its key cardinality via ``SPARK_GRAFT_STREAM_PARTS``, which
+    overrides both."""
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    if v:
+        return v
+    dp = spark.sparkContext.defaultParallelism
+    if python_stateful:
+        return str(max(4, dp // 4))
+    return str(max(2, dp // 16))
+
+
 def run_stream_to_batch(
     spark: SparkSession,
     stream_df: DataFrame,
     output_mode: str = "complete",
+    python_stateful: bool = False,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into
     a memory sink; return the sink contents as a batch DataFrame.
 
-    The stream runs with a LOW shuffle-partition count: every stateful
-    operator keeps one state store per shuffle partition, and on these
-    micro-batch harness runs the per-store open/commit/maintenance cost
-    dwarfs the data — 32 stores of a few KB each was measurable
-    seconds of pure overhead in r1's bench.  A production continuous
-    stream sizes this to its key cardinality instead."""
+    The stream runs with a LOW shuffle-partition count — see
+    ``stream_shuffle_partitions`` for the sizing rationale and the
+    production override."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        stream_shuffle_partitions(spark, python_stateful=python_stateful),
+    )
     try:
         q = (
             stream_df.writeStream.format("memory")
