@@ -852,50 +852,54 @@ def kmv_sketch_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside for calibration.  Both ratios are single IEEE divisions
     of exact small integers, emitted unrounded.
 
-    100 TB shape: each sketch is a TakeOrdered over the distinct
-    stream — map-side partial bottom-k per partition, k rows per
-    partition to the final merge (never the corpus); sketches then
-    merge/intersect driver-free on 64-row frames.  The exact branch
-    is one distinct + semi-join at fixture scale for calibration
-    only."""
+    100 TB shape (r12, guide §1.2 / §2.4): ONE corpus scan — both
+    quarter filters tag the same pass, one (id)-keyed aggregate
+    carries per-id membership flags, and every downstream face reads
+    that frame: each sketch is a TakeOrdered over its flag slice
+    (map-side partial bottom-k per partition, k rows per partition to
+    the final merge — never the corpus), the exact n_a/n_b/n_inter
+    calibration counts are ONE aggregate over the flags (the former
+    distinct + distinct + semi-join — three more corpus-derived
+    shuffles — is gone), and sketches merge/intersect driver-free on
+    64-row frames."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
-    ua = (
-        li.filter(F.expr(_KMV_A)).select(F.col("l_partkey").alias("id")).distinct()
+    tagged = li.filter(F.expr(f"({_KMV_A}) OR ({_KMV_B})")).select(
+        F.col("l_partkey").alias("id"),
+        F.expr(_KMV_A).cast("int").alias("a"),
+        F.expr(_KMV_B).cast("int").alias("b"),
     )
-    ub = (
-        li.filter(F.expr(_KMV_B)).select(F.col("l_partkey").alias("id")).distinct()
+    g = (
+        tagged.groupBy("id")
+        .agg(F.max("a").alias("ina"), F.max("b").alias("inb"))
+        .withColumn("h", F.md5(F.col("id").cast("string").cast("binary")))
+        .localCheckpoint(eager=True)
     )
 
-    def sketch(u: DataFrame) -> DataFrame:
-        return (
-            u.select(F.md5(F.col("id").cast("string").cast("binary")).alias("h"))
-            .orderBy("h")
-            .limit(_KMV_K)
-        )
+    def sketch(flag: str) -> DataFrame:
+        return g.filter(F.col(flag) == 1).select("h").orderBy("h").limit(_KMV_K)
 
-    ha = sketch(ua).localCheckpoint(eager=True)
-    hb = sketch(ub).localCheckpoint(eager=True)
-    un = (
-        ha.select("h")
-        .union(hb.select("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(_KMV_K)
-    )
+    ha = sketch("ina").localCheckpoint(eager=True)
+    hb = sketch("inb").localCheckpoint(eager=True)
+    un = ha.union(hb).distinct().orderBy("h").limit(_KMV_K)
     est = (
-        un.join(ha.withColumn("ina", F.lit(1)), "h", "left")
-        .join(hb.withColumn("inb", F.lit(1)), "h", "left")
+        un.join(ha.withColumn("xa", F.lit(1)), "h", "left")
+        .join(hb.withColumn("xb", F.lit(1)), "h", "left")
         .agg(
             F.count(F.lit(1)).alias("m"),
             F.sum(
-                F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1)
+                F.when(F.col("xa").isNotNull() & F.col("xb").isNotNull(), 1)
                 .otherwise(0)
             ).alias("n_both"),
         )
     )
-    n_a = ua.count()
-    n_b = ub.count()
-    n_inter = ua.join(ub, "id", "left_semi").count()
+    c = g.agg(
+        F.sum("ina").alias("na"),
+        F.sum("inb").alias("nb"),
+        F.sum(
+            F.when((F.col("ina") == 1) & (F.col("inb") == 1), 1).otherwise(0)
+        ).alias("ni"),
+    ).collect()[0]
+    n_a, n_b, n_inter = int(c["na"]), int(c["nb"]), int(c["ni"])
     return est.select(
         (F.col("n_both").cast("double") / F.col("m").cast("double")).alias(
             "est_jaccard"
