@@ -1043,25 +1043,54 @@ def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = len(_CORR_COLS)
     pairs = [(i, j) for i in range(k) for j in range(k) if i < j]
     # Exact integer moments for every column/pair in ONE hash-aggregate
-    # pass (decimal sums — products overflow int64 at scale), then each
-    # r is the shared IEEE corr expression; builtin corr() accumulates
-    # engine-specifically (the r5 rolling-corr red class).  +0.0
+    # pass.  Products overflow int64 at scale, but BigDecimal-backed
+    # decimal(38,0) sums on the HOT per-row path measured 40% slower
+    # than long arithmetic (r12, guide §2.3 narrower types / §1.2.2
+    # per-task work): each long product is instead split into three
+    # 20-bit limbs summed as plain longs — exact for any corpus below
+    # 2^43 rows (limb sums < 2^63; 100 TB lineitem ≈ 2^39.5 rows) —
+    # and the limbs recombine into the IDENTICAL decimal(38,0) moment
+    # on the single result row, so every downstream expression (and
+    # the oracle match) is bit-for-bit unchanged.  Builtin corr()
+    # stays out for the same reason as before (engine-specific
+    # accumulation, the r5 rolling-corr red class).  +0.0
     # canonicalizes IEEE negative zero after the round.
     x = [
-        (F.col(c).cast("decimal(18,2)") * 100)
-        .cast("long")
-        .cast("decimal(18,0)")
-        .alias(f"x_{i}")
+        (F.col(c).cast("decimal(18,2)") * 100).cast("long").alias(f"x_{i}")
         for i, c in enumerate(_CORR_COLS)
     ]
     b = li.select(*x)
+    _M20 = (1 << 20) - 1
     aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(k):
-        aggs.append(F.sum(F.col(f"x_{i}")).alias(f"s_{i}"))
-        aggs.append(F.sum(F.col(f"x_{i}") * F.col(f"x_{i}")).alias(f"ss_{i}"))
+        aggs.append(F.sum(F.col(f"x_{i}").cast("decimal(18,0)")).alias(f"s_{i}"))
+
+    def _limb_sums(i: int, j: int, name: str) -> list:
+        p = F.col(f"x_{i}") * F.col(f"x_{j}")
+        return [
+            F.sum(p.bitwiseAND(F.lit(_M20))).alias(f"{name}_l0"),
+            F.sum(F.shiftright(p, 20).bitwiseAND(F.lit(_M20))).alias(f"{name}_l1"),
+            F.sum(F.shiftright(p, 40)).alias(f"{name}_l2"),
+        ]
+
+    for i in range(k):
+        aggs.extend(_limb_sums(i, i, f"ss_{i}"))
     for i, j in pairs:
-        aggs.append(F.sum(F.col(f"x_{i}") * F.col(f"x_{j}")).alias(f"sp_{i}_{j}"))
+        aggs.extend(_limb_sums(i, j, f"sp_{i}_{j}"))
     one = b.agg(*aggs)
+
+    def _recomb(name: str):
+        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        return (
+            d(F.col(f"{name}_l2")) * F.lit(1 << 40).cast("decimal(38,0)")
+            + d(F.col(f"{name}_l1")) * F.lit(1 << 20).cast("decimal(38,0)")
+            + d(F.col(f"{name}_l0"))
+        )
+
+    recombined = [F.col("n")] + [F.col(f"s_{i}") for i in range(k)]
+    recombined += [_recomb(f"ss_{i}").alias(f"ss_{i}") for i in range(k)]
+    recombined += [_recomb(f"sp_{i}_{j}").alias(f"sp_{i}_{j}") for i, j in pairs]
+    one = one.select(*recombined)
 
     def _r(i: int, j: int):
         num = (F.col("n") * F.col(f"sp_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}")).cast("double")
