@@ -139,9 +139,18 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = d.select("doc_id", F.explode(bigrams).alias("bigram")).withColumn(
         "w1", F.split("bigram", " ")[0]
     )
-    big_counts = db.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
-    uni_counts = db.groupBy("w1").agg(F.count(F.lit(1)).alias("nu"))
-    joined = db.join(big_counts, "bigram").join(uni_counts, "w1")
+    # r12 (guide §2.4): the MLE count tables are WINDOW counts over the
+    # exploded frame instead of two groupBy frames joined back — the
+    # explode runs once (was three times: both count branches and the
+    # probe side re-derived it) and the plan drops from 5 exchanges
+    # (2 aggregates + 2 join shuffles + final) to 3 (two window sorts +
+    # final groupBy).  `count() OVER (PARTITION BY k)` equals the
+    # joined `GROUP BY k` count row-for-row, so results are identical
+    # (verified bitwise).  Hot-bigram skew lands on one window task
+    # exactly as it landed on one join task before.
+    nb_w = F.count(F.lit(1)).over(Window.partitionBy("bigram"))
+    nu_w = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    joined = db.withColumn("nb", nb_w).withColumn("nu", nu_w)
     # Per-term log-likelihoods are irrational doubles; averaging them
     # directly is summation-order-dependent (a ROUND on top is the r5
     # red class).  Quantize each term at 2^-30 with the shared
@@ -348,48 +357,71 @@ def lm_kneser_ney_source_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-scoring the training corpus means every scored bigram has
     c >= 1, so no zero floor is needed and the expression is total.
 
-    Scale shape: three count tables (bigram, forward-continuation,
-    backward-continuation) are inverted-index-style hash aggregates on
-    the exploded pairs; scoring is keyed joins back to the pair
-    stream; the bigram-type count is the one collected scalar.  Each
-    term's -ln is 2^-30-quantized (shared floor IEEE expression), so
-    the per-source mean is exact-integer arithmetic plus one shared
+    Scale shape (r12, guide §2.3/§2.4): ONE instance-scale exchange
+    collapses the exploded pairs to per-(source, w1, w2) counts; every
+    KN count table is then a WINDOW sum over that TYPE-scale frame —
+    nb/first-flag share one (w1,w2) sort, nu/N1+(w1,·) share one (w1)
+    sort, N1+(·,w2) one (w2) sort — and the per-instance q·count sums
+    fold from the same rows.  The former shape hash-aggregated three
+    count tables AND shuffle-joined each back onto the full instance
+    stream (3 instance-scale join exchanges, now gone).  The
+    bigram-type count stays the one collected scalar.  Each term's
+    -ln is 2^-30-quantized (shared floor IEEE expression), so the
+    per-source mean is exact-integer arithmetic plus one shared
     division — summing raw irrational doubles is summation-order-
     dependent across engines (docs/SCALE.md)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    pl = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 1, pl),
+        F.slice(toks, 2, pl),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    db = (
+    gs = (
         d.select("source", F.explode(pairs).alias("p"))
-        .select(
-            "source",
-            F.col("p.w1").alias("w1"),
-            F.col("p.w2").alias("w2"),
-            F.concat_ws(" ", "p.w1", "p.w2").alias("bigram"),
-        )
-        .localCheckpoint(eager=True)  # three count tables + the probe reuse it
+        .groupBy("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .localCheckpoint(eager=True)  # type-scale; reused by 4 readers
     )
-    nb = db.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
-    nu = db.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("nu"),
-        F.countDistinct("w2").alias("n1f"),
+    _FULL = (Window.unboundedPreceding, Window.unboundedFollowing)
+    w_bg = Window.partitionBy("w1", "w2").orderBy("source")
+    g1 = gs.select(
+        "source",
+        "w1",
+        "w2",
+        "cs",
+        F.sum("cs").over(w_bg.rowsBetween(*_FULL)).alias("nb"),
+        # marks ONE row per distinct (w1, w2): summing it over the w1
+        # (resp. w2) window below IS countDistinct(w2) per w1 (resp.
+        # countDistinct(w1) per w2), which window functions can't
+        # express directly
+        F.when(F.row_number().over(w_bg) == 1, 1).otherwise(0).alias("first"),
     )
-    c = db.groupBy("w2").agg(F.countDistinct("w1").alias("n1b"))
-    nbt = db.select("bigram").distinct().count()  # bounded: bigram type count
-    joined = db.join(nb, "bigram").join(nu, "w1").join(c, "w2")
+    w1w = Window.partitionBy("w1").rowsBetween(*_FULL)
+    w2w = Window.partitionBy("w2").rowsBetween(*_FULL)
+    g2 = g1.select(
+        "source",
+        "w2",
+        "cs",
+        "nb",
+        "first",
+        F.sum("cs").over(w1w).alias("nu"),
+        F.sum("first").over(w1w).alias("n1f"),
+    )
+    g3 = g2.select(
+        "source", "cs", "nb", "nu", "n1f", F.sum("first").over(w2w).alias("n1b")
+    )
+    nbt = gs.select("w1", "w2").distinct().count()  # bounded: bigram type count
     p_kn = (F.col("nb").cast("double") - 0.75) / F.col("nu").cast("double") + (
         0.75 * F.col("n1f").cast("double") / F.col("nu").cast("double")
     ) * (F.col("n1b").cast("double") / F.lit(float(nbt)))
     q = F.floor(-F.log(p_kn) * 1073741824.0 + 0.5).cast("long")
-    return joined.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+    return g3.groupBy("source").agg(
+        F.sum("cs").alias("n_bigrams"),
         (
-            F.sum(q).cast("double")
-            / (F.count(F.lit(1)).cast("double") * 1073741824.0)
+            F.sum(F.col("cs") * q).cast("double")
+            / (F.sum("cs").cast("double") * 1073741824.0)
         ).alias("kn_ce"),
     )
 
