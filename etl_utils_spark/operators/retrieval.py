@@ -85,27 +85,35 @@ def inverted_index(
     """Token → (document frequency, first-``postings_cap`` posting ids
     as a csv string).  Posting lists are truncated with a window
     row_number BEFORE aggregation, so per-token state is bounded at
-    any corpus size; df is counted over the full distinct pair set."""
+    any corpus size; df is counted over the full distinct pair set.
+
+    r12 (guide §2.4): ONE token-partitioned window computes the
+    truncation rank AND df (count over the full partition — equal
+    row-for-row to the former separate groupBy count), the min_df
+    filter runs before the postings aggregate, and that aggregate
+    reuses the window's partitioning — the old shape re-derived the
+    distinct pair set twice (dfreq + window branches) and shuffle-
+    joined the two frames back together."""
     pairs = (
         df.select(F.col(id_col), F.explode(_alpha_tokens(text_col)).alias("token"))
         .distinct()
     )
-    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("token").orderBy(F.col(id_col).asc())
-    capped = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= postings_cap
+    w_full = Window.partitionBy("token").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    postings = capped.groupBy("token").agg(
+    kept = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("df", F.count(F.lit(1)).over(w_full))
+        .filter((F.col("rn") <= postings_cap) & (F.col("df") >= min_df))
+    )
+    return kept.groupBy("token").agg(
+        F.first("df").alias("df"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.col(id_col))),
                 lambda x: x.cast("string"),
             ),
             ",",
-        ).alias("postings_csv")
-    )
-    return (
-        dfreq.filter(F.col("df") >= min_df)
-        .join(postings, "token")
-        .select("token", "df", "postings_csv")
-    )
+        ).alias("postings_csv"),
+    ).select("token", "df", "postings_csv")
