@@ -209,64 +209,60 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-selection step that biases a pre-training mixture toward a
     target domain without training a classifier.
 
-    100 TB shape: ONE token pass feeds two bucket-count aggregates
-    (256-row frames); the per-bucket log-ratios quantize to exact
-    BIGINTs once, so every per-document weight is an exact integer
-    dot product (c_b · qlr_b) — no float summation in any corpus-
-    sized path — and the final cut is a TakeOrdered heap.  The hash
-    match against the SQL replica certifies the whole chain, hashing
-    included (md5-nibble bucketing is engine-portable; conv() is
-    not)."""
+    100 TB shape (r12, guide §1.2/§2.4): the raw and target bucket
+    counts come from ONE token pass (a conditional count on the lang
+    column carried with each exploded token — the former shape derived
+    the exploded frame twice and shuffle-joined the 'en' slice), each
+    token hashes ONCE (`conv(substr(md5, 1, 2))`, same value as the
+    oracle's two-nibble strpos form), the per-bucket log-ratios
+    quantize to exact BIGINTs on a 256-row frame, so every
+    per-document weight is an exact integer dot product (c_b · qlr_b)
+    — no float summation in any corpus-sized path — the final cut is
+    a TakeOrdered heap, and lang attaches to the 50 SURVIVORS
+    (broadcast), not to the whole corpus.  The hash match against the
+    SQL replica certifies the whole chain, hashing included
+    (md5-nibble bucketing is engine-portable; conv() is not, so the
+    ORACLE spells it with strpos)."""
     from etl_utils_spark.operators.text import _alpha_tokens
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _alpha_tokens("text").alias("toks"))
-    hexpos = (
-        "((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16"
-        " + (instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))"
+    b = d.select(
+        "doc_id", "lang", F.explode(_alpha_tokens("text")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("int").alias("bkt"),
     )
-    b = toks.select("doc_id", F.explode("toks").alias("tok")).select(
-        "doc_id", F.expr(hexpos).alias("bkt")
+    bc = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
     )
-    raw = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = (
-        b.join(d.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
-    tot = raw.agg(F.sum("rc").alias("rn")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tn"))
+    tot = bc.agg(
+        F.sum("rc").alias("rn"), F.coalesce(F.sum("tc"), F.lit(0)).alias("tn")
     )
     lam, bkts = _DSIR_LAM, _DSIR_B
-    lr = (
-        raw.join(tgt, "bkt", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bkt",
-            F.floor(
-                F.log(
-                    (
-                        (F.coalesce(F.col("tc"), F.lit(0)) + lam)
-                        / (F.col("tn") + lam * bkts)
-                    )
-                    / ((F.col("rc") + lam) / (F.col("rn") + lam * bkts))
-                )
-                * 1073741824.0
-                + 0.5
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.floor(
+            F.log(
+                ((F.col("tc") + lam) / (F.col("tn") + lam * bkts))
+                / ((F.col("rc") + lam) / (F.col("rn") + lam * bkts))
             )
-            .cast("long")
-            .alias("qlr"),
+            * 1073741824.0
+            + 0.5
         )
+        .cast("long")
+        .alias("qlr"),
     )
     w = (
         b.join(F.broadcast(lr), "bkt")
         .groupBy("doc_id")
         .agg(F.sum("qlr").alias("wq"))
     )
+    top = w.orderBy(F.desc("wq"), "doc_id").limit(_DSIR_K)
     return (
-        w.join(d.select("doc_id", "lang"), "doc_id")
+        top.join(d.select("doc_id", "lang"), "doc_id")
         .orderBy(F.desc("wq"), "doc_id")
-        .limit(_DSIR_K)
         .select(
             "doc_id",
             "lang",
