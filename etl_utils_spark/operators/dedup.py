@@ -827,16 +827,20 @@ def duplicate_span_runs(
     The paper's suffix-array pass is a single-machine construction; the
     Spark-first shape replaces it with four linear stages:
 
-    1. posexplode tokens (narrow, linear);
-    2. k-gram hash at each position via ``k-1`` LEADs inside the
-       per-document window — no corpus-wide state, partitions bounded
-       by document length;
+    1-2. k-gram hash at each position, ROW-LOCALLY: the token array is
+       sliced per position with a nested Catalyst ``transform`` — the
+       gram text ``array_join(slice(w, i+1, k), ' ')`` equals the
+       former LEAD-window ``concat_ws`` gram exactly, but no exchange
+       and no per-document sort happen before the hashes exist (r12,
+       guide §2.4; the explode+LEAD-window form shuffled every token
+       row to build them);
     3. corpus gram frequency: groupBy(gram hash) → count(DISTINCT doc)
        — a digest-only shuffle with map-side partial aggregation, then
        a semi join back on the hash (never the text);
     4. per-document island merge: positions whose covering intervals
        [pos, pos+k-1] overlap OR touch collapse into maximal spans via
-       the classic cummax/new-island/cumsum window chain.
+       the classic cummax/new-island/cumsum window chain (hit rows
+       only, not the corpus).
 
     No stage is quadratic: pair explosion cannot happen because stage 3
     joins positions to a DISTINCT gram-hash set (left-semi), not
@@ -845,24 +849,22 @@ def duplicate_span_runs(
     from pyspark.sql.window import Window
 
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    toks = df.select(
-        F.col(id_col).alias("sid"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    w = F.split(F.col(text_col), " ")
+    # guard: documents shorter than k tokens have NO grams — an
+    # unguarded sequence(0, size-k) would count DOWN for them
+    gh_arr = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: _hash60(F.array_join(F.slice(w, i + 1, k), " "), hash_family),
+        ),
     )
-    wdoc = Window.partitionBy("sid").orderBy("pos")
-    gram_text = F.concat_ws(
-        " ", F.col("token"), *[F.lead("token", j).over(wdoc) for j in range(1, k)]
-    )
-    last = F.lead("token", k - 1).over(wdoc)
-    grams = toks.select(
-        "sid", "pos", gram_text.alias("gram"), last.alias("_last")
-    ).filter(F.col("_last").isNotNull())
     # two consumers (corpus frequency + position hits): eagerly
-    # localCheckpoint so the explode+lead-window chain — the heavy
-    # linear stage — runs ONCE (the semdedup.py:156 idiom; persist()
-    # on a real cluster)
-    hashed = grams.select(
-        "sid", "pos", _hash60(F.col("gram"), hash_family).alias("gh")
+    # localCheckpoint so the tokenize+hash pipeline — the heavy linear
+    # stage — runs ONCE (the semdedup.py:156 idiom; persist() on a
+    # real cluster)
+    hashed = df.select(
+        F.col(id_col).alias("sid"), F.posexplode(gh_arr).alias("pos", "gh")
     ).localCheckpoint(eager=True)
     dup_grams = (
         hashed.groupBy("gh")
@@ -871,6 +873,7 @@ def duplicate_span_runs(
         .select("gh")
     )
     hits = hashed.join(dup_grams, "gh", "left_semi")
+    wdoc = Window.partitionBy("sid").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
         wdoc.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -922,28 +925,28 @@ def strip_duplicate_spans(
     cleaned text is rebuilt with an order-preserving aggregate
     (array_sort over (pos, token) structs — deterministic, no window).
     Documents with nothing removed pass through unchanged, so the
-    operator is a corpus map, not a filter."""
-    from pyspark.sql.window import Window
+    operator is a corpus map, not a filter.
 
+    r12 (guide §2.4): the checkpointed reusable form is the TOKEN
+    ARRAY per document (narrower than the exploded frame), and both
+    consumers derive from it row-locally — gram hashes by array slice
+    (identical text to the former LEAD-window concat, without the
+    corpus-wide window exchange + sort) and token rows by posexplode."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    toks = df.select(
-        F.col(id_col).alias("sid"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    arr = df.select(
+        F.col(id_col).alias("sid"), F.split(F.col(text_col), " ").alias("w")
+    ).localCheckpoint(eager=True)  # two consumers: token rows + gram hashes
+    toks = arr.select("sid", F.posexplode("w").alias("pos", "token"))
+    gh_arr = F.when(
+        F.size("w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - k),
+            lambda i: _hash60(
+                F.array_join(F.slice("w", i + 1, k), " "), hash_family
+            ),
+        ),
     )
-    wdoc = Window.partitionBy("sid").orderBy("pos")
-    gram_text = F.concat_ws(
-        " ", F.col("token"), *[F.lead("token", j).over(wdoc) for j in range(1, k)]
-    )
-    last = F.lead("token", k - 1).over(wdoc)
-    # two consumers (kept anti-join needs toks too): checkpoint the
-    # token frame once, derive grams from it
-    toks = toks.localCheckpoint(eager=True)
-    grams = toks.select(
-        "sid", "pos", gram_text.alias("gram"), last.alias("_last")
-    ).filter(F.col("_last").isNotNull())
-    hashed = grams.select(
-        "sid", "pos", _hash60(F.col("gram"), hash_family).alias("gh")
-    )
+    hashed = arr.select("sid", F.posexplode(gh_arr).alias("pos", "gh"))
     dup_grams = (
         hashed.groupBy("gh")
         .agg(F.count_distinct("sid").alias("ndocs"))

@@ -407,6 +407,27 @@ def test_duplicate_span_runs_semantics(spark):
     assert spans == {(1, 3, 12, 10), (2, 0, 9, 10)}
 
 
+def test_duplicate_span_short_docs_no_grams(spark):
+    """Documents SHORTER than k tokens emit no grams and no spans (and
+    pass through strip unchanged) — guards the r12 row-local gram
+    rewrite: an unguarded sequence(0, size-k) would count DOWN for
+    short docs and fabricate out-of-range positions."""
+    rows = [
+        (1, "a b"),                # 2 tokens < k=3: no grams possible
+        (2, "a b"),                # identical, still no 3-gram to share
+        (3, "x y z w"),
+        (4, "x y z w"),            # shared full 3-gram run: spans 0..3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {(r.doc_id, r.span_start, r.span_end)
+             for r in dedup.duplicate_span_runs(df, k=3).collect()}
+    assert spans == {(3, 0, 3), (4, 0, 3)}
+    out = {r.doc_id: r for r in dedup.strip_duplicate_spans(df, k=3).collect()}
+    assert out[1].clean_text == "a b" and out[1].n_tokens_removed == 0
+    assert out[2].clean_text == "a b" and out[2].n_tokens_removed == 0
+    assert out[3].clean_text == "" and out[3].n_tokens_removed == 4
+
+
 def test_simhash_bucket_cap_star_semantics(spark):
     """With a cap of 1 every bucket star-pairs: identical docs (one
     clique) emit exactly the rep-to-member star, not the C(n,2)
