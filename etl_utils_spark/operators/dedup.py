@@ -63,17 +63,28 @@ def shingles(
     the pre-explode rows are the smallest this pipeline will ever be —
     one cheap shuffle before a 10-100× amplification step."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    w = F.split(F.col(text_col), " ")
+    # Materialize the token array in its own Project BEFORE the gram
+    # transform (r12, guide §1.2.2): written inline, split(text) is
+    # substituted into EVERY element_at of the generator — n re-splits
+    # per gram = O(n·len²) work per document, and the resulting
+    # generated method is large enough that the JIT sometimes leaves it
+    # interpreted (measured: the same sf0.1 shingle count() swinging
+    # 13→250 JVM-CPU-seconds run-to-run).  With `w` projected once,
+    # grams are row-local array slices: 4-6× less CPU, linear in len,
+    # stable.
+    toks = df.select(
+        F.col(id_col).alias("sid"), F.split(F.col(text_col), " ").alias("w")
+    )
     # guard: sequence(0, negative) would generate a DESCENDING range
     grams = F.when(
-        F.size(w) >= n,
+        F.size("w") >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)]),
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.array_join(F.slice("w", i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("sid"), F.explode(F.array_distinct(grams)).alias("shingle")
+    return toks.select(
+        "sid", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -849,22 +860,29 @@ def duplicate_span_runs(
     from pyspark.sql.window import Window
 
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    w = F.split(F.col(text_col), " ")
+    # Token array in its own Project (r12, guide §1.2.2): inlined, the
+    # split() expression is substituted into every slice() call of the
+    # generator lambda — one re-split per position = O(len²) per doc.
+    toks = df.select(
+        F.col(id_col).alias("sid"), F.split(F.col(text_col), " ").alias("w")
+    )
     # guard: documents shorter than k tokens have NO grams — an
     # unguarded sequence(0, size-k) would count DOWN for them
     gh_arr = F.when(
-        F.size(w) >= k,
+        F.size("w") >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - k),
-            lambda i: _hash60(F.array_join(F.slice(w, i + 1, k), " "), hash_family),
+            F.sequence(F.lit(0), F.size("w") - k),
+            lambda i: _hash60(
+                F.array_join(F.slice("w", i + 1, k), " "), hash_family
+            ),
         ),
     )
     # two consumers (corpus frequency + position hits): eagerly
     # localCheckpoint so the tokenize+hash pipeline — the heavy linear
     # stage — runs ONCE (the semdedup.py:156 idiom; persist() on a
     # real cluster)
-    hashed = df.select(
-        F.col(id_col).alias("sid"), F.posexplode(gh_arr).alias("pos", "gh")
+    hashed = toks.select(
+        "sid", F.posexplode(gh_arr).alias("pos", "gh")
     ).localCheckpoint(eager=True)
     dup_grams = (
         hashed.groupBy("gh")
