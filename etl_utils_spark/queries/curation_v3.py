@@ -325,6 +325,9 @@ def knn_majority_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 40)
     topk = cosine_topk_bruteforce(e, probes, k=5)
+    # measured r12: broadcasting the ≤|probes|·k topk frame here is
+    # 2× SLOWER (the broadcast build serializes the whole BNL+window
+    # subplan before the main job); the shuffle join overlaps it.
     votes = (
         topk.join(
             e.select(F.col("vec_id").alias("neighbor_id"), "label"),

@@ -104,20 +104,29 @@ def augment_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _start(i):  # is token i a span start?
         return lcg_uniform(doc, i, _SPAN_B) < F.lit(_SPAN_P)
 
-    def _masked(i):  # covered by a span starting at i, i-1 or i-2?
-        return (
-            _start(i)
-            | ((i >= 2) & _start(i - 1))
-            | ((i >= 3) & _start(i - 2))
-        )
-
+    # r12 (guide §1.2.2): the starts array is PROJECTED once and the
+    # mask derives from it by 0-based lookups — inline, _masked(i)
+    # re-ran the LCG three more times per token (4 evaluations/token).
     starts = F.transform(idx, lambda i: _start(i).cast("int"))
-    masked = F.transform(idx, lambda i: _masked(i).cast("int"))
+    staged = base.select(
+        "doc_id", n.cast("long").alias("n_tok"), starts.alias("starts")
+    )
+    s = F.col("starts")
+
+    def _hit(i0):  # start flag at 0-based index, false out of bounds
+        return F.coalesce(F.get(s, i0) == 1, F.lit(False))
+
+    def _masked(i):  # covered by a span starting at i, i-1 or i-2?
+        return _hit(i - 1) | _hit(i - 2) | _hit(i - 3)
+
+    masked = F.transform(
+        F.sequence(F.lit(1), F.size(s)), lambda i: _masked(i).cast("int")
+    )
     sum_arr = lambda a: F.aggregate(a, F.lit(0), lambda acc, v: acc + v)  # noqa: E731
-    return base.select(
+    return staged.select(
         "doc_id",
-        n.cast("long").alias("n_tok"),
-        sum_arr(starts).cast("long").alias("n_spans"),
+        "n_tok",
+        sum_arr(s).cast("long").alias("n_spans"),
         sum_arr(masked).cast("long").alias("n_masked"),
     )
 

@@ -90,61 +90,58 @@ def bm25_topk_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     has exact ≤ S_ub < θ ≤ s_k, so it cannot even tie the cut.  The
     oracle brute-force scores EVERY matching doc — equality is a
     recall-1 certificate for the pruned plan, not a spot check.  All
-    scores are exact dyadics (SUM of quantized BIGINT / 2^30)."""
-    from etl_utils_spark.operators.text import _alpha_tokens
+    scores are exact dyadics (SUM of quantized BIGINT / 2^30).
 
+    r12 shape: ONE tokenize pass builds the checkpointed narrow per-doc
+    frame (id, dl, per-term tf — operators/retrieval.bm25_per_doc);
+    corpus stats + df, the per-term upper bounds, S_ub, the exact
+    scores and θ are all row-local arithmetic over that frame plus
+    1-row broadcast aggregates.  The old shape re-tokenized the corpus
+    per branch and shuffled a per-(doc, term) frame; no corpus-keyed
+    exchange remains."""
+    from etl_utils_spark.operators import retrieval
+
+    terms = list(_MS_TERMS)
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _alpha_tokens("text").alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "avgdl"
-        ),
+    per_doc = retrieval.bm25_per_doc(d, terms)
+    scored = per_doc.crossJoin(
+        F.broadcast(retrieval.bm25_consts(per_doc, terms))
     )
-    tf = (
-        toks.select("doc_id", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(*_MS_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # per-term upper bounds ub_t = max q over docs containing t — one
+    # more 1-row aggregate over the checkpointed frame (the old
+    # |terms|-row tok-keyed frame, as columns).
+    ub = scored.agg(
+        *[
+            F.max(
+                F.when(F.col(f"tf_{i}") > 0, retrieval.bm25_q_col(i))
+            ).alias(f"ub_{i}")
+            for i in range(len(terms))
+        ]
     )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-    q = F.floor(idf * (F.col("tf") * 2.2) / denom * 1073741824.0 + 0.5).cast(
-        "long"
-    )
-    qtf = scored.select("doc_id", "tok", q.alias("q")).localCheckpoint(eager=True)
-
-    # per-term upper bounds (|terms| rows) → per-doc upper bound
-    ub = qtf.groupBy("tok").agg(F.max("q").alias("ub"))
-    s_ub = (
-        qtf.join(F.broadcast(ub), "tok")
-        .groupBy("doc_id")
-        .agg(F.sum("ub").alias("s_ub"))
+    s_ub = F.lit(0).cast("long")
+    for i in range(len(terms)):
+        s_ub = s_ub + F.when(
+            F.col(f"tf_{i}") > 0, F.col(f"ub_{i}")
+        ).otherwise(F.lit(0).cast("long"))
+    enriched = (
+        scored.filter(retrieval.any_term_present(terms))
+        .crossJoin(F.broadcast(ub))
+        .select(
+            "doc_id",
+            s_ub.alias("s_ub"),
+            retrieval.bm25_quantized_sum(terms).alias("qs"),
+        )
     )
     # candidate probe: exact scores of the top-k docs by upper bound;
     # θ = their k-th best exact score (min of the k) — one scalar.
-    cand = s_ub.orderBy(F.desc("s_ub"), "doc_id").limit(_MS_K).select("doc_id")
-    cand_scores = (
-        qtf.join(F.broadcast(cand), "doc_id")
-        .groupBy("doc_id")
-        .agg(F.sum("q").alias("qs"))
+    theta = (
+        enriched.orderBy(F.desc("s_ub"), "doc_id")
+        .limit(_MS_K)
+        .agg(F.min("qs").alias("th"))
+        .collect()[0]["th"]
     )
-    theta = cand_scores.agg(F.min("qs").alias("th")).collect()[0]["th"]
-
-    survivors = s_ub.filter(F.col("s_ub") >= F.lit(theta)).select("doc_id")
-    exact = (
-        qtf.join(F.broadcast(survivors), "doc_id")
-        .groupBy("doc_id")
-        .agg((F.sum("q").cast("double") / 1073741824.0).alias("bm25"))
+    exact = enriched.filter(F.col("s_ub") >= F.lit(theta)).select(
+        "doc_id", (F.col("qs").cast("double") / 1073741824.0).alias("bm25")
     )
     return exact.orderBy(F.desc("bm25"), "doc_id").limit(_MS_K)
 

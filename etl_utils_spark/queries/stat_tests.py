@@ -971,12 +971,22 @@ def stats_brown_forsythe_components(spark: SparkSession, sf_dir: str) -> DataFra
     double casts are driver-proven identical (the r6 exact-moments
     pattern).  The grid divisions (100·n, 10^8) are single shared IEEE
     expressions on both engines.  Median via the bounded count-frame
-    decomposition, then one hash aggregate."""
+    decomposition, then one hash aggregate.
+
+    r12 shape: the (priority, price-cent) count frame is built once,
+    checkpointed, and EVERY face reads it — the median decomposition as
+    before, and the deviation moments as count-weighted sums
+    (Σ_rows |x−med| = Σ_values |x−med|·c, exact integers either way).
+    The old shape re-scanned orders for the cum/tot branches and a
+    third time for the deviation pass."""
     o = _t(spark, sf_dir, "orders")
     xc = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-    c = o.select("o_orderpriority", xc.alias("xc")).groupBy(
-        "o_orderpriority", "xc"
-    ).agg(F.count(F.lit(1)).alias("c"))
+    c = (
+        o.select("o_orderpriority", xc.alias("xc"))
+        .groupBy("o_orderpriority", "xc")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     w = (
         Window.partitionBy("o_orderpriority")
         .orderBy("xc")
@@ -990,17 +1000,21 @@ def stats_brown_forsythe_components(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("o_orderpriority")
         .agg(F.min("xc").alias("medc"))
     )
-    z = o.select("o_orderpriority", xc.alias("xc")).join(
-        F.broadcast(med), "o_orderpriority"
-    ).select("o_orderpriority", F.abs(F.col("xc") - F.col("medc")).alias("zc"))
+    z = c.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("xc") - F.col("medc")).alias("zc"),
+        "c",
+    )
     # decimal(18,0) BEFORE the product — zc² ≤ ~2e15 per row is long-safe
     # but the SUM is not (wraps past ~4600 rows/group at sf0.1 scale)
     zd = F.col("zc").cast("decimal(18,0)")
     return z.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("n"),
         (
-            F.sum(zd).cast("double")
-            / (F.lit(100) * F.count(F.lit(1))).cast("double")
+            F.sum(zd * F.col("c")).cast("double")
+            / (F.lit(100) * F.sum("c")).cast("double")
         ).alias("mean_z"),
-        (F.sum(zd * zd).cast("double") / F.lit(1e8)).alias("sum_z2"),
+        (F.sum(zd * zd * F.col("c")).cast("double") / F.lit(1e8)).alias(
+            "sum_z2"
+        ),
     )

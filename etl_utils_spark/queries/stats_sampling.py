@@ -647,37 +647,41 @@ def join_salted_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def outliers_mad_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-key outlier detection: flag events whose value sits
     more than 6 MADs from the user's median — the outlier rule that
-    (unlike z-scores) a single extreme value cannot drag. Two grouped
-    exact-percentile aggregates and two key-partitioned joins.  All
+    (unlike z-scores) a single extreme value cannot drag.  All
     median/MAD arithmetic runs on EXACT integer cents (even-count
     interpolation of two BIGINTs is exact in double on both engines,
     landing on the half-cent grid), so the 6-MAD threshold comparison
     and the emitted med/mad (one /100.0 division each, unrounded) are
     bit-deterministic — float medians interpolate with engine-specific
-    expression shapes that differ at the ulp level."""
-    e = _t(spark, sf_dir, "events").withColumn(
-        "vc", F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    expression shapes that differ at the ulp level.
+
+    r12 shape: both exact percentiles are WINDOW aggregates over the
+    same user_id partitioning — ONE exchange, zero joins (the old
+    groupBy + join form re-evaluated the scan-join subtree per
+    consumer: ~4 corpus scans and 4 exchanges).  Per-partition state
+    is the same per-user value buffer the grouped percentile held."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("vc"),
     )
-    med = e.groupBy("user_id").agg(
-        F.expr("percentile(vc, 0.5)").alias("med_c")
-    )
-    dev = e.select("user_id", "event_id", "value", "vc").join(
-        med, "user_id"
+    wu = Window.partitionBy("user_id")
+    dev = e.withColumn(
+        "med_c", F.expr("percentile(vc, 0.5)").over(wu)
     ).withColumn("adev_c", F.abs(F.col("vc") - F.col("med_c")))
-    mad = dev.groupBy("user_id").agg(
-        F.expr("percentile(adev_c, 0.5)").alias("mad_c")
+    flagged = dev.withColumn(
+        "mad_c", F.expr("percentile(adev_c, 0.5)").over(wu)
     )
-    return (
-        dev.join(mad, "user_id")
-        .filter(
-            (F.col("mad_c") > 0)
-            & (F.abs(F.col("vc") - F.col("med_c")) > 6 * F.col("mad_c"))
-        )
-        .select(
-            "user_id", "event_id", "value",
-            (F.col("med_c") / 100.0).alias("med"),
-            (F.col("mad_c") / 100.0).alias("mad"),
-        )
+    return flagged.filter(
+        (F.col("mad_c") > 0)
+        & (F.abs(F.col("vc") - F.col("med_c")) > 6 * F.col("mad_c"))
+    ).select(
+        "user_id", "event_id", "value",
+        (F.col("med_c") / 100.0).alias("med"),
+        (F.col("mad_c") / 100.0).alias("mad"),
     )
 
 

@@ -475,26 +475,38 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; the score is 2^-30-quantized and the top-20 is
     ordered by (quantized score, bigram) — a total order no ulp can
     flip.  Count tables are the same inverted-index hash aggregates
-    as the bigram-LM family; the final cut is TakeOrdered."""
+    as the bigram-LM family; the final cut is TakeOrdered.
+
+    r12 shape: two corpus passes (unigram counts, bigram counts), both
+    checkpointed type-scale frames; Nt and Nb are Σnu / Σnb over those
+    count tables (the old shape re-tokenized the corpus twice more to
+    count() them), and the token array is projected once before the
+    pair zip_with (the shingle-stage lesson: inlined, split() is
+    re-substituted per reference)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
-    tok = d.select(F.explode(toks).alias("w"))
-    u = tok.groupBy("w").agg(F.count(F.lit(1)).alias("nu"))
-    nt = tok.count()  # bounded scalar: total token count
+    t = d.select(toks.alias("toks"))
+    u = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nu"))
+        .localCheckpoint(eager=True)
+    )
+    nt = u.agg(F.sum("nu")).collect()[0][0]  # total tokens = Σ nu
     pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    db = d.select(F.explode(pairs).alias("p")).select(
-        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
-    nbig = db.count()  # bounded scalar: total bigram count
-    b = (
-        db.groupBy("w1", "w2")
+    bfull = (
+        t.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("nb"))
-        .filter(F.col("nb") >= 5)
+        .localCheckpoint(eager=True)
     )
+    nbig = bfull.agg(F.sum("nb")).collect()[0][0]  # total bigrams = Σ nb
+    b = bfull.filter(F.col("nb") >= 5)
     u1 = u.select(F.col("w").alias("w1"), F.col("nu").alias("nu1"))
     u2 = u.select(F.col("w").alias("w2"), F.col("nu").alias("nu2"))
     num = (

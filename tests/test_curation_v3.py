@@ -31,11 +31,19 @@ def test_dup_ngram_fraction_zero_exchange(spark, sf_dir):
 
 
 def test_bm25_broadcasts_stats_and_idf(spark, sf_dir):
-    """The corpus-sized stream must shuffle on doc_id/tok only; the
-    one-row corpus stats and per-term idf table join by broadcast."""
+    """r12 shape: the corpus-sized stream never shuffles AT ALL — tf/dl
+    are row-local array reductions over the checkpointed per-doc frame,
+    and the only join is the broadcast cross of the 1-row consts frame
+    (n_docs, avgdl, per-term df).  Any hash/sort-merge join or a
+    doc/tok-keyed exchange means the per-(doc, term) shuffle crept
+    back."""
     df = _q("bm25_rank_docs", spark, sf_dir)
-    assert has_broadcast_join(df)
     plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        plan[:1200]
+    )
+    assert "hashpartitioning" not in plan, plan[:1200]
     assert "TakeOrderedAndProject" in plan, plan[:1200]
 
 

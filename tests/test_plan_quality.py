@@ -77,9 +77,11 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
     - topk_cosine_neighbors[_lsh]: brute-force / LSH probe joins with a
       broadcast (bounded) probe set.
     - knn_majority_label: reuses the brute-force probe join above.
-    - bm25_rank_docs / time_decay_user_score: 1-row corpus-stats frame
-      (aggregate without grouping) broadcast via crossJoin — the
-      no-collect scalar-anchor pattern; build side is provably one row.
+    - bm25_rank_docs / bm25_topk_maxscore / time_decay_user_score:
+      1-row corpus-stats frames (aggregate without grouping; maxscore
+      adds the 1-row per-term upper-bound frame) broadcast via
+      crossJoin — the no-collect scalar-anchor pattern; build sides
+      are provably one row.
     - stats_chi2_lang_source: margins grid cross join bounded by the
       category product |langs|×|sources| (fixture: 5×16) plus a 1-row N.
     - stats_ttest_price_by_status: two 1-row moment frames.
@@ -94,6 +96,7 @@ def test_no_accidental_cartesians_across_registry(spark, sf_dir):
         "topk_cosine_neighbors_lsh",
         "knn_majority_label",
         "bm25_rank_docs",
+        "bm25_topk_maxscore",
         "time_decay_user_score",
         "stats_chi2_lang_source",
         "stats_ttest_price_by_status",
