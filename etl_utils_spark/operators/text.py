@@ -78,12 +78,21 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(*cols)
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality scoring: length, punctuation ratio, stopword
     ratio, mean word length → bounded score in [0,1].
 
     The formula is rational arithmetic only (no transcendentals) so any
-    engine computes it bit-identically."""
+    engine computes it bit-identically.
+
+    ``extra_cols`` are carried through the (row-local) projection so a
+    caller needing e.g. ``lang`` alongside the score doesn't have to
+    join the corpus back to itself to reattach it."""
     w = tokens_col(text_col)
     n_chars = F.length(text_col)
     n_tokens = F.size(w)
@@ -95,6 +104,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     score = len_score * 0.4 + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.3
     return df.select(
         id_col,
+        *extra_cols,
         n_chars.alias("n_chars_computed"),
         n_tokens.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),

@@ -631,9 +631,11 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     labels = connected_components(jaccard_pair_graph(spark, sf_dir))
-    quality = quality_score(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "lang", "quality_score")
+    # lang rides the row-local scoring projection — no corpus self-join
+    # just to reattach a column of the same scan.
+    quality = quality_score(docs, extra_cols=("lang",)).select(
+        "doc_id", "lang", "quality_score"
+    )
     member = (
         quality.filter(F.col("quality_score") >= 0.5)
         .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")

@@ -339,38 +339,56 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = estimated_scan_splits(docs)
     if splits is not None and splits < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(F.col("doc_id"))
+    from etl_utils_spark.operators.text import _alpha_tokens
+
+    # ONE corpus pass computes everything derived from text — block,
+    # sort key AND trigram shingles — and materializes it; the window
+    # branch, both join sides and the size lookups all read this narrow
+    # frame instead of re-scanning/re-tokenizing the corpus per branch
+    # (previously: one scan for blk/key, one for shingles).
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
-    k = docs.select(
-        "doc_id",
-        F.substring(norm, 1, _SNM_BLK).alias("blk"),
-        F.substring(norm, 1, _SNM_KEY).alias("key"),
+    base = (
+        docs.select(
+            "doc_id",
+            F.substring(norm, 1, _SNM_BLK).alias("blk"),
+            F.substring(norm, 1, _SNM_KEY).alias("key"),
+            _alpha_tokens("text").alias("toks"),
+        )
+        .select("doc_id", "blk", "key", _trigram_shingles().alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("blk").orderBy("key", "doc_id")
-    nb = k.select(
+    nb = base.select(
         "doc_id",
         F.lead("doc_id", 1).over(w).alias("n1"),
         F.lead("doc_id", 2).over(w).alias("n2"),
     )
-    pairs = None
-    for col in ("n1", "n2"):
-        p = nb.filter(F.col(col).isNotNull()).select(
-            F.least("doc_id", col).alias("id_a"),
-            F.greatest("doc_id", col).alias("id_b"),
+    # Emit both neighbor pairs from ONE window evaluation (explode of a
+    # 2-struct array instead of a union of two filtered branches).
+    # least/greatest skip NULLs, so a missing neighbor collapses to
+    # (doc_id, doc_id) — dropped by the id_a < id_b guard (a real pair
+    # can never be reflexive: doc_id is unique and lead() ≠ self).
+    cand = (
+        nb.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("doc_id", "n1").alias("id_a"),
+                        F.greatest("doc_id", "n1").alias("id_b"),
+                    ),
+                    F.struct(
+                        F.least("doc_id", "n2").alias("id_a"),
+                        F.greatest("doc_id", "n2").alias("id_b"),
+                    ),
+                )
+            ).alias("p")
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    # Bounded id-pair frame with one downstream consumer chain but a
-    # doubled upstream (the two lead() branches) — pin it.
-    cand = pairs.distinct().localCheckpoint(eager=True)
-    from etl_utils_spark.operators.text import _alpha_tokens
-
-    # The shingle frame feeds BOTH join sides — materialize the one
-    # evaluation instead of re-tokenizing the corpus per side.
-    sh = (
-        docs.select("doc_id", _alpha_tokens("text").alias("toks"))
-        .select("doc_id", _trigram_shingles().alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .localCheckpoint(eager=True)
+        .select("p.id_a", "p.id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
     )
+    sh = base.select("doc_id", "sh", "n_sh")
     sa = sh.select(
         F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
     )

@@ -230,8 +230,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic keyword/topic
     fingerprint used for corpus browsing and near-topic dedup.  tf and
-    df come from the SAME (doc, term) aggregate (df = tf's row count
-    per term — no second corpus scan, no count-distinct shuffle); the
+    df come from the SAME (doc, term) aggregate: df is a plain count
+    window over the tf frame's term partition (exactly tf's row count
+    per term), so the tf lineage is evaluated ONCE — no second tokenize
+    scan, no count-distinct shuffle, no term-keyed join back.  The
     corpus size N is a driver-side metadata scalar embedded as a
     literal.  Ranking orders by the ROUND-6 score on both engines so
     float ulp noise can't flip ranks (term asc breaks exact ties);
@@ -245,8 +247,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").select(
+    # df = number of docs containing the term = tf's row count per term.
+    # A whole-partition count window shares the same skew profile as the
+    # old groupBy(term)+join (a hot term lands on one task either way)
+    # but shuffles the tf frame once instead of twice-plus-join.
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).select(
         "doc_id",
         "term",
         F.round(

@@ -295,27 +295,32 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a
     threshold, with their customer — the canonical HAVING-over-join
     aggregate (the classic IN-subquery formulation collapses into the
-    same single aggregation; no second lineitem scan)."""
+    same single aggregation; no second lineitem scan).
+
+    The quantity sum aggregates lineitem by its own key BEFORE any
+    join: o_orderkey is the orders PK, so grouping the joined frame by
+    (c_custkey, c_name, o_orderkey, totalprice) partitions rows exactly
+    as l_orderkey does, and the HAVING filter then runs on the narrow
+    per-order totals — only the few surviving orders enter the joins
+    (inner joins drop orphan keys identically on either side of the
+    aggregate).  The wide customer⋈orders⋈lineitem frame never exists."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     qty = F.col("l_quantity").cast("decimal(18,2)")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.col("o_totalprice").cast("double").alias("totalprice"),
-        )
+    big = (
+        l.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("_qty"))
         .filter(F.col("_qty") > F.lit(250).cast("decimal(18,2)"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
-            "totalprice",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
             F.col("_qty").cast("double").alias("total_qty"),
         )
     )

@@ -142,3 +142,24 @@ def test_stream_cusum_matches_batch_operator(spark, sf_dir):
         for r in _q("stream_cusum_live", spark, sf_dir).collect()
     }
     assert batch == stream
+
+
+def test_quality_score_extra_cols_passthrough(spark, sf_dir):
+    """r12: extra_cols rides the row-local projection — values must be
+    identical to the old join-the-corpus-back shape, with the score
+    columns unchanged."""
+    from etl_utils_spark.operators.text import quality_score
+    from etl_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merged = {
+        r.doc_id: (r.lang, r.quality_score)
+        for r in quality_score(docs, extra_cols=("lang",)).collect()
+    }
+    joined = {
+        r.doc_id: (r.lang, r.quality_score)
+        for r in quality_score(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .collect()
+    }
+    assert merged == joined
