@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # ----------------------------------------------------------------- exact
@@ -239,18 +240,20 @@ def jaccard_prefix_pairs(
 
     Verification computes true Jaccard on full shingle sets, so output
     equals the brute inverted-index join at the same threshold."""
-    # cached: sh feeds two plan branches (the dfreq aggregate and the
-    # join probe side) and the explode+hash pipeline is the CPU hot spot
-    sh = hashed_shingles(df, id_col, text_col, n).cache()
+    sh = hashed_shingles(df, id_col, text_col, n)
 
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
-    # ONE groupBy materializes each doc's full (dfreq, sh) list; the
-    # global-order rank is an ARRAY-SIDE sort of ~|d| elements instead
-    # of a corpus-wide window sort, and the same frame serves both the
-    # prefix (slice) and the verify sets (the sh projection) — no
-    # second pass over the shingles.
+    # r12 (guide §2.4): dfreq is a count window over the shingle
+    # partition — exactly the old groupBy(sh)+join-back count, but the
+    # explode+hash pipeline now feeds ONE plan branch (the sh cache and
+    # the join's second sh-keyed exchange are gone; a hot shingle lands
+    # on one window task exactly as it landed on one join task).
+    # ONE groupBy then materializes each doc's full (dfreq, sh) list;
+    # the global-order rank is an ARRAY-SIDE sort of ~|d| elements
+    # instead of a corpus-wide window sort, and the same frame serves
+    # both the prefix (slice) and the verify sets (the sh projection) —
+    # no second pass over the shingles.
     per_doc = (
-        sh.join(dfreq, "sh")
+        sh.withColumn("dfreq", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .groupBy("sid")
         .agg(F.array_sort(F.collect_list(F.struct("dfreq", "sh"))).alias("items"))
         .withColumn("n_sh", F.size("items"))

@@ -416,25 +416,45 @@ def lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     NLL is 2^-30-quantized so the per-doc mean is exact-integer
     arithmetic plus one shared division (same discipline as
     lm_bigram_doc_score)."""
-    from etl_utils_spark.operators.text import _alpha_tokens, ngrams_array
+    from etl_utils_spark.operators.text import _alpha_tokens
 
     d = _t(spark, sf_dir, "documents")
     fold = F.floor(lcg_uniform(F.col("doc_id"), F.lit(0), 1) * 5).cast("long")
     base = d.select("doc_id", fold.alias("fold"), _alpha_tokens("text").alias("toks"))
-    bigrams = ngrams_array(F.col("toks"), 2)
-    db = base.select("doc_id", "fold", F.explode(bigrams).alias("bigram")).withColumn(
-        "w1", F.split("bigram", " ")[0]
-    ).localCheckpoint(eager=True)  # train counts + heldout probe reuse it
-    train = db.filter(F.col("fold") != 0)
-    nb = train.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
-    nu = train.groupBy("w1").agg(F.count(F.lit(1)).alias("nu"))
-    v = train.select("w1").distinct().count()  # bounded: vocabulary size
-    held = db.filter(F.col("fold") == 0)
-    joined = held.join(nb, "bigram", "left").join(nu, "w1", "left")
-    nll = -F.log(
-        (F.coalesce(F.col("nb"), F.lit(0)) + 1.0)
-        / (F.coalesce(F.col("nu"), F.lit(0)) + F.lit(v))
+    # r12 (guide §2.4, §5): train counts are WINDOW counts of the train
+    # rows over the one exploded (w1, bigram) frame — `count(CASE WHEN
+    # fold != 0 ...) OVER (PARTITION BY key)` equals the old
+    # train-groupBy count LEFT-JOINed back (0 where no train row shares
+    # the key, exactly the old coalesce(nb, 0)).  The eager
+    # localCheckpoint of the instance-scale bigram frame and BOTH join
+    # shuffles are gone; w1 rides the pair struct instead of re-splitting
+    # the bigram string per row.  Vocabulary size V stays a bounded
+    # driver-side scalar (the oracle's CROSS JOIN V), derived from a
+    # column-pruned token slice — not from a checkpoint.
+    pl = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, pl),
+        F.slice("toks", 2, pl),
+        lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bigram")),
     )
+    db = base.select("doc_id", "fold", F.explode(pairs).alias("p")).select(
+        "doc_id", "fold", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram")
+    )
+    v = (  # bounded: vocabulary size (distinct train w1 = non-final tokens)
+        base.filter(F.col("fold") != 0)
+        .select(F.explode(F.slice("toks", 1, pl)).alias("w1"))
+        .distinct()
+        .count()
+    )
+    train_row = F.when(F.col("fold") != 0, F.lit(1))
+    nb_w = F.count(train_row).over(Window.partitionBy("bigram"))
+    nu_w = F.count(train_row).over(Window.partitionBy("w1"))
+    joined = (
+        db.withColumn("nb", nb_w)
+        .withColumn("nu", nu_w)
+        .filter(F.col("fold") == 0)
+    )
+    nll = -F.log((F.col("nb") + 1.0) / (F.col("nu") + F.lit(v)))
     # Quantize each per-bigram NLL term at 2^-30 (shared floor IEEE
     # expression), sum exactly, divide once — the mean of irrational
     # doubles is otherwise summation-order-dependent and a ROUND on

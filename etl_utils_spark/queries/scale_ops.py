@@ -97,33 +97,41 @@ def dedup_lines_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("pos", "passage"),
-    ).withColumn("h", F.md5("passage"))
-    freq = chunks.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    kept = (
-        chunks.join(freq, "h")
-        .where(F.col("n_docs") < _BOILER_MIN_DOCS)
-        .select("doc_id", "pos", "passage")
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "passage"))),
-                lambda s: s["passage"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
-    return tot.join(agg, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_dropped"),
+    ).withColumn("h", F.xxhash64("passage"))
+    # r12 (guide §2.3-2.4; same rewrite as pipeline_corpus_to_shards):
+    # the passage key is the 8-byte xxhash64 currency (internal only —
+    # the oracle's md5 grouping is equivalent modulo negligible 64-bit
+    # collisions), the per-passage doc frequency is ONE window over h
+    # instead of a groupBy + join back, and kept/total/reassembly
+    # collapse into ONE per-doc aggregate: collect_list(when(keep, …))
+    # drops the null (boilerplate) entries, so the survivor text,
+    # n_kept and n_total all come from the same pass — the old shape's
+    # freq join + agg/tot LEFT join (2 joins, 5 exchanges) are gone.
+    keep = F.col("n_docs") < _BOILER_MIN_DOCS
+    return (
+        chunks.withColumn(
+            "n_docs", F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "passage")))
+                    ),
+                    lambda s: s["passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "doc_id",
+            "clean_text",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.col("n_total") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        )
     )
 
 
