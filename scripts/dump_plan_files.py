@@ -1,11 +1,11 @@
-"""Dump .explain("formatted") for named queries into plans/r12/.
+"""Dump .explain("formatted") for named queries into plans/r13/.
 
 Usage::
 
     python scripts/dump_plan_files.py before name1 name2 ...
     python scripts/dump_plan_files.py after  name1 name2 ...
 
-Writes plans/r12/<name>_<suffix>.txt (the optimization-round evidence
+Writes plans/r13/<name>_<suffix>.txt (the optimization-round evidence
 files the judge checks plan claims against).  Uses sf0.001 and a small
 local session — plan SHAPE is SF-independent for these queries.
 """
@@ -29,10 +29,10 @@ def main() -> int:
     from etl_utils_spark.queries import REGISTRY
     from etl_utils_spark.session import get_spark
 
-    spark = get_spark(app_name="plan-dump-r12", cpus=4, shuffle_partitions=8)
+    spark = get_spark(app_name="plan-dump-r13", cpus=4, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    out_dir = os.path.join(_REPO, "plans", "r12")
+    out_dir = os.path.join(_REPO, "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
