@@ -81,8 +81,9 @@ def dedup_lines_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level boilerplate removal (CCNet-style line dedup;
     Wenzek et al. 2020): drop every 10-token passage whose exact text
     occurs in >= 2 distinct documents (duplicated docs and shared
-    spans), reassemble the survivors in order.  Passages shuffle as
-    md5 digests; reassembly sorts only within each doc's own rows."""
+    spans), reassemble the survivors in order.  Passages shuffle keyed
+    by a 128-bit composite xxhash64 digest; reassembly sorts only
+    within each doc's own rows."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
@@ -97,20 +98,31 @@ def dedup_lines_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("pos", "passage"),
-    ).withColumn("h", F.xxhash64("passage"))
-    # r12 (guide §2.3-2.4; same rewrite as pipeline_corpus_to_shards):
-    # the passage key is the 8-byte xxhash64 currency (internal only —
-    # the oracle's md5 grouping is equivalent modulo negligible 64-bit
-    # collisions), the per-passage doc frequency is ONE window over h
-    # instead of a groupBy + join back, and kept/total/reassembly
-    # collapse into ONE per-doc aggregate: collect_list(when(keep, …))
-    # drops the null (boilerplate) entries, so the survivor text,
-    # n_kept and n_total all come from the same pass — the old shape's
-    # freq join + agg/tot LEFT join (2 joins, 5 exchanges) are gone.
-    keep = F.col("n_docs") < _BOILER_MIN_DOCS
+    )
+    # r12 folded kept/total/reassembly into ONE per-doc aggregate (the
+    # freq join + agg/tot LEFT join — 2 joins, 5 exchanges — are gone).
+    # r13 (VERDICT r12 items 1+2) hardens the per-passage frequency
+    # step for 100 TB:
+    # - KEY: two independent xxhash64 digests (128-bit composite)
+    #   instead of one 64-bit value — at ~2^40 passages a single-long
+    #   key expects tens of thousands of collisions, each of which
+    #   merges two distinct passages and can falsely strip text; at
+    #   2^-128 grain collisions are gone.  The key never reaches the
+    #   output, so results are unchanged (the oracle groups by md5).
+    # - PREDICATE: `keep` ⟺ n_docs < 2 ⟺ every instance of the
+    #   passage lives in ONE doc ⟺ min(doc_id)==max(doc_id) over the
+    #   same window.  min/max are constant-state window aggregates, so
+    #   a true boilerplate passage (the hot key this operator exists to
+    #   find) no longer materializes its full distinct doc-id set in a
+    #   single task's collect_set buffer (guide §5) — same exchange,
+    #   same rows, provably the same boolean per row.
+    w_h = Window.partitionBy("h1", "h2")
+    keep = F.col("_keep")
     return (
-        chunks.withColumn(
-            "n_docs", F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
+        chunks.withColumn("h1", F.xxhash64("passage"))
+        .withColumn("h2", F.xxhash64(F.lit(1), F.col("passage")))
+        .withColumn(
+            "_keep", F.min("doc_id").over(w_h) == F.max("doc_id").over(w_h)
         )
         .groupBy("doc_id")
         .agg(
@@ -581,19 +593,25 @@ def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice("toks", i * _CHUNK + 1, _CHUNK), " "),
             )
         ).alias("pos", "passage"),
-    ).withColumn("h", F.xxhash64("passage"))
-    # r12 (guide §2.3-2.4): the passage key is the 8-byte xxhash64
-    # currency (the repo-wide hash idiom; the oracle's md5 grouping is
-    # equivalent modulo negligible 64-bit collisions — no hash appears
-    # in the output), and the per-passage doc frequency comes from ONE
-    # window over h instead of a groupBy + join back (which exchanged
-    # the narrow freq frame AND re-exchanged the passage-carrying
-    # chunks for the join).  The hot-passage skew lands on rows the
-    # filter immediately DROPS (n_docs ≥ threshold) in either shape.
-    w_h = Window.partitionBy("h")
+    )
+    # r12 made the per-passage doc frequency ONE window over the hash
+    # key instead of a groupBy + join back.  r13 (VERDICT r12 items
+    # 1+2, same rewrite as dedup_lines_boilerplate): the key is a
+    # 128-bit composite of two independent xxhash64 digests (a single
+    # 64-bit key expects ~n²/2⁶⁵ silent passage merges at corpus
+    # scale), and the n_docs < 2 predicate is evaluated as
+    # min(doc_id)==max(doc_id) over the same window — constant-state
+    # aggregates, so a hot boilerplate passage never materializes its
+    # distinct doc-id set in one task's collect_set buffer (guide §5).
+    # Same exchange, same rows, provably the same boolean per row.
+    w_h = Window.partitionBy("h1", "h2")
     kept = (
-        chunks.withColumn("n_docs", F.size(F.collect_set("doc_id").over(w_h)))
-        .where(F.col("n_docs") < _BOILER_MIN_DOCS)
+        chunks.withColumn("h1", F.xxhash64("passage"))
+        .withColumn("h2", F.xxhash64(F.lit(1), F.col("passage")))
+        .withColumn(
+            "_keep", F.min("doc_id").over(w_h) == F.max("doc_id").over(w_h)
+        )
+        .where(F.col("_keep"))
         .select("doc_id", "pos", "passage")
     )
     agg = kept.groupBy("doc_id").agg(
