@@ -440,13 +440,13 @@ def simhash_bits(
     :func:`simhash_sig`'s packed long (single source of truth for the
     per-bit aggregates), unpacked with 64 shift-and-mask projections."""
     sg = simhash_sig(df, id_col, text_col)
-    bits = F.array(
-        *[
-            F.shiftrightunsigned("sig", j).bitwiseAND(F.lit(1)).cast("int")
-            for j in range(64)
-        ]
+    # one F.expr call, not 64 Column chains (see simhash_sig note 2)
+    bits_sql = "array({})".format(
+        ", ".join(
+            f"CAST(shiftrightunsigned(sig, {j}) & 1 AS INT)" for j in range(64)
+        )
     )
-    return sg.select("sid", bits.alias("bits"))
+    return sg.select("sid", F.expr(bits_sql).alias("bits"))
 
 
 def simhash_sig(
@@ -477,23 +477,47 @@ def simhash_sig(
         F.col(id_col).alias("sid"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).select("sid", _hash60(F.col("token"), hash_family).alias("h"))
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    agg = tok.groupBy("sid").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for j in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-            ).otherwise(F.lit(0).cast("long"))
+    # r13 (guide §1.2.2 + §5-driver): two changes, same values.
+    #
+    # 1. LANE-PACKED bit counting: the previous shape was one
+    #    conditional ±1 sum PER BIT (60-64 CASE aggregates per token
+    #    instance).  Lane k's plain integer sum
+    #        s_k = Σ ((h >>> k) & 0x0000000100000001)
+    #    accumulates cnt(bit k) in the low 32-bit lane and cnt(bit
+    #    k+32) in the high lane of ONE long (no lane carry while a doc
+    #    has < 2³² token instances; sums stay < 2⁶³).  32 branch-free
+    #    aggregates + one count replace 60-64 CASE aggregates; the
+    #    per-bit majority b_j = 2·cnt_j − n > 0 is evaluated once per
+    #    GROUP in the projection, reproducing the old ±1-sum sign
+    #    bit-identically (b_j = cnt_j − (n − cnt_j)).
+    # 2. The aggregate list and the packed-signature projection are
+    #    built as SQL STRINGS (one F.expr py4j call each), not as
+    #    64-deep Column-method chains: measured 1.6-3.5s of pure
+    #    DRIVER-side plan construction per query build (hundreds of
+    #    py4j round-trips) for the old chain, ~50ms this way.  The
+    #    parsed expression tree — and therefore the physical plan and
+    #    every value — is the same.
+    lane_mask = (1 << 32) | 1
+    agg = tok.groupBy("sid").agg(
+        *[
+            F.expr(f"sum(shiftrightunsigned(h, {k}) & {lane_mask}L)").alias(f"s{k}")
+            for k in range(min(32, bits))
+        ],
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+    def _cnt_sql(j: int) -> str:
+        return (
+            f"(s{j} & {(1 << 32) - 1}L)"
+            if j < 32
+            else f"shiftrightunsigned(s{j - 32}, 32)"
         )
-    return agg.select("sid", sig.alias("sig"))
+
+    sig_sql = " | ".join(
+        f"IF(2 * {_cnt_sql(j)} - _n > 0, shiftleft(1L, {j}), 0L)"
+        for j in range(bits)
+    )
+    return agg.select("sid", F.expr(sig_sql).alias("sig"))
 
 
 def _chunk_expr(b: int, chunk_bits: int) -> Column:

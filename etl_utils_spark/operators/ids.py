@@ -84,6 +84,7 @@ def prefix_sum(
     num_partitions: int = 16,
     out_col: str = "running_total",
     value_cols: dict[str, str] | None = None,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Distributed inclusive prefix sum of INTEGER value column(s) in
     ``order_col`` order (unique key), with no single-partition stage
@@ -100,7 +101,13 @@ def prefix_sum(
     bucket decomposition cannot drift from a sequential evaluation
     (floats would differ in summation order by ulps)."""
     specs = list((value_cols or {value_col: out_col}).items())
-    boundaries = _boundary_literals(df, order_col, num_partitions)
+    # ``boundaries`` lets a caller with SEVERAL prefix_sum inputs fuse
+    # the per-input sketch collects into one driver job (r13; any
+    # boundary vector is correct — see the module docstring).
+    if boundaries is None:
+        boundaries = _boundary_literals(df, order_col, num_partitions)
+    else:
+        boundaries = sorted(set(boundaries))
     bucketed = df.withColumn("_bucket", _bucket_expr(order_col, boundaries))
 
     w_in = (

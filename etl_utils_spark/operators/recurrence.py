@@ -26,8 +26,41 @@ recursive-CTE oracle relies on this).
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+
+def _python_stage_partitions(
+    df: DataFrame, target_bytes: int = 32 << 20
+) -> int:
+    """Data-proportional partition count for a mapInPandas stage.
+
+    The r12 driver scaling block showed these stages running SLOWER
+    with more cores (ewma c8/c32 = 0.67): the key-hash repartition
+    inherits ``spark.sql.shuffle.partitions``, so tiny inputs fan out
+    into dozens of Python tasks whose worker round-trip cost dwarfs
+    the data (guide §4).  Size the stage from the INPUT instead: one
+    Python task per ~``target_bytes`` of optimizer-estimated input, so
+    a small frame runs as a handful of tasks at any core count and a
+    100 TB frame still gets its thousands.  ``SPARK_GRAFT_PY_STAGE_PARTS``
+    overrides for deployments that know their key cardinality."""
+    v = os.environ.get("SPARK_GRAFT_PY_STAGE_PARTS")
+    if v:
+        return max(1, int(v))
+    spark = df.sparkSession
+    fallback = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001 — stats are an estimate, never fatal
+        return fallback
+    if size <= 0:
+        return fallback
+    return max(1, min(math.ceil(size / target_bytes), 1 << 16))
 
 
 def ewma(
@@ -70,7 +103,9 @@ def ewma(
             pdf = pdf.assign(**{out_col: out})
             yield pdf[cols]
 
-    part = df.repartition(key_col).sortWithinPartitions(key_col, order_col)
+    part = df.repartition(
+        _python_stage_partitions(df), key_col
+    ).sortWithinPartitions(key_col, order_col)
     return part.mapInPandas(_run, schema)
 
 
@@ -118,7 +153,9 @@ def cusum(
             pdf = pdf.assign(**{out_col: out})
             yield pdf[cols]
 
-    part = df.repartition(key_col).sortWithinPartitions(key_col, order_col)
+    part = df.repartition(
+        _python_stage_partitions(df), key_col
+    ).sortWithinPartitions(key_col, order_col)
     return part.mapInPandas(_run, schema)
 
 
@@ -183,5 +220,7 @@ def holt_linear(
             pdf = pdf.assign(**{level_col: out_l, trend_col: out_b})
             yield pdf[cols]
 
-    part = df.repartition(key_col).sortWithinPartitions(key_col, order_col)
+    part = df.repartition(
+        _python_stage_partitions(df), key_col
+    ).sortWithinPartitions(key_col, order_col)
     return part.mapInPandas(_run, schema)

@@ -42,21 +42,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _min_rank_map(df: DataFrame, col: str, rank_col: str) -> DataFrame:
-    """(value → competition/min rank) built WITHOUT a global sort: one
-    per-value count aggregate (bounded by distinct cardinality), then
-    the distributed prefix sum over the value order.  min_rank(v) =
-    cum_counts_inclusive(v) − count(v) + 1 — exactly ``rank()`` ties
-    semantics.  The count frame is localCheckpointed because
-    prefix_sum makes three passes over its input."""
-    from etl_utils_spark.operators.ids import prefix_sum
-
-    counts = (
+def _value_counts(df: DataFrame, col: str) -> DataFrame:
+    """Per-value count frame (bounded by distinct cardinality),
+    localCheckpointed because prefix_sum makes three passes over it."""
+    return (
         df.groupBy(col)
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
         .localCheckpoint(eager=True)
     )
-    pc = prefix_sum(counts, order_col=col, value_col="_c", out_col="_cum")
+
+
+def _min_rank_map(
+    df: DataFrame,
+    col: str,
+    rank_col: str,
+    counts: DataFrame | None = None,
+    boundaries: list | None = None,
+) -> DataFrame:
+    """(value → competition/min rank) built WITHOUT a global sort: one
+    per-value count aggregate, then the distributed prefix sum over the
+    value order.  min_rank(v) = cum_counts_inclusive(v) − count(v) + 1
+    — exactly ``rank()`` ties semantics.  ``counts``/``boundaries``
+    let a caller building SEVERAL rank maps share frames and fuse the
+    boundary sketches into one driver job (r13, guide §1.2)."""
+    from etl_utils_spark.operators.ids import prefix_sum
+
+    if counts is None:
+        counts = _value_counts(df, col)
+    pc = prefix_sum(
+        counts, order_col=col, value_col="_c", out_col="_cum",
+        boundaries=boundaries,
+    )
     return pc.select(col, (F.col("_cum") - F.col("_c") + 1).alias(rank_col))
 
 
@@ -91,8 +107,27 @@ def stats_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
     )
-    rx = _min_rank_map(l, "l_extendedprice", "rx")
-    ry = _min_rank_map(l, "l_quantity", "ry")
+    # r13: the two rank maps' boundary sketches run as ONE driver job
+    # (a crossJoin of the two 1-row percentile aggregates) instead of
+    # two sequential collects — same literals, one fewer job (§1.2).
+    cx = _value_counts(l, "l_extendedprice")
+    cy = _value_counts(l, "l_quantity")
+    fracs = [i / 16 for i in range(1, 16)]
+    brow = (
+        cx.agg(
+            F.percentile_approx("l_extendedprice", fracs, 10_000).alias("bx")
+        )
+        .crossJoin(
+            cy.agg(F.percentile_approx("l_quantity", fracs, 10_000).alias("by"))
+        )
+        .collect()[0]
+    )
+    rx = _min_rank_map(
+        l, "l_extendedprice", "rx", counts=cx, boundaries=list(brow["bx"] or [])
+    )
+    ry = _min_rank_map(
+        l, "l_quantity", "ry", counts=cy, boundaries=list(brow["by"] or [])
+    )
     j = l.join(rx, "l_extendedprice").join(F.broadcast(ry), "l_quantity")
     m = exact_moments.moments_agg(j, F.col("rx"), F.col("ry"))
     return m.select(exact_moments.corr_col(4).alias("spearman"), "n")

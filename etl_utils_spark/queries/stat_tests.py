@@ -503,7 +503,13 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").cast("long").alias("net"))
         .localCheckpoint(eager=True)
     )
+    # r13: `run` has TWO consumers (the max subquery and the final
+    # join) — without a checkpoint the whole prefix machinery (bucket
+    # window + totals + offsets join) executes twice per action.  Lazy
+    # (no job at construction); blocks materialize at first use and the
+    # second consumer reads them (guide §1.2).
     run = prefix_sum(net, order_col="us", value_col="net", out_col="conc")
+    run = run.localCheckpoint(eager=False)
     m = run.agg(F.max("conc").alias("mx"))
     return (
         run.join(F.broadcast(m), run["conc"] == m["mx"])

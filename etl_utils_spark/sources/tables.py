@@ -33,13 +33,37 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Per-session PLAN-HANDLE cache: load_table resolves a table's schema
+# by reading parquet footers, and the engine's query functions call it
+# hundreds of times per process (measured ~0.09s per call — ~15% of a
+# full bench run was footer re-reads).  A catalog-backed deployment
+# resolves table metadata once; this dict is the same thing for the
+# path-based fixtures.  It stores ONLY the lazy DataFrame (an
+# unexecuted logical plan): no rows, no results — every action on it
+# still scans the parquet inputs.  Weakly keyed by session so entries
+# die with their SparkSession (DataFrames are session-bound and the
+# events loader sets a per-session conf).
+import weakref
+
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _normalize_ntz(_load_events(spark, path))
-    return _normalize_ntz(spark.read.parquet(path))
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if name == "events":
+            df = _normalize_ntz(_load_events(spark, path))
+        else:
+            df = _normalize_ntz(spark.read.parquet(path))
+        per_session[key] = df
+    return df
 
 
 def _normalize_ntz(df: DataFrame) -> DataFrame:
